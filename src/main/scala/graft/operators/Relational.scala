@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational/analytics core: the engine-foundation queries and bench
+  * headliners.
+  *
+  * Oracle-determinism rules (SURVEY.md §5): every double aggregation goes
+  * through DECIMAL (exact rational arithmetic, identical in Spark and
+  * DuckDB) and is cast to double only at the end; dates/timestamps are
+  * emitted as strings; every top-k has a total-order tiebreak.
+  */
+object Relational {
+
+  /** Cast to a small exact decimal. Money columns fit (12,2); rate columns
+    * (discount/tax) fit (5,2). Keeping precision tight keeps products within
+    * decimal(38) so neither engine rounds.
+    */
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  /** (1 - l_discount) as exact decimal(5,2). */
+  private def discFactor: Column =
+    (lit(1) - dec(col("l_discount"), 5, 2)).cast(DecimalType(5, 2))
+
+  /** (1 + l_tax) as exact decimal(5,2). */
+  private def taxFactor: Column =
+    (lit(1) + dec(col("l_tax"), 5, 2)).cast(DecimalType(5, 2))
+
+  /** TPC-H Q1-style pricing summary: single hash-aggregate, map-side
+    * partial agg, filter pushed to the parquet scan. Scales as one shuffle
+    * keyed on (returnflag, linestatus) — 6 groups, trivially skew-free.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * discFactor).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * discFactor * taxFactor).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), 5, 2)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top-10 orders by revenue. lineitem⋈orders shuffles on
+    * orderkey; customer side reduces to a key set and is broadcast. At 100 TB
+    * the agg keys on o_orderkey (high cardinality) — AQE coalesces; the
+    * top-10 is a TakeOrdered, no global sort materialized.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * discFactor).cast("double").as("revenue"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region, customer and
+    * supplier in the same nation. region/nation/supplier are broadcast
+    * (small dims); the only real shuffles are orders⋈lineitem on orderkey
+    * and the final 25-group agg.
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * discFactor).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: pure filter+sum — the predicate-pushdown showcase.
+    * All four predicates reach the parquet scan (PushedFilters); one row out,
+    * no shuffle beyond the final partial-agg merge.
+    */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+              col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Top-3 parts per brand by retail price: rank-over-partition. Single
+    * shuffle on p_brand; a WindowGroupLimit (Spark 4) prunes to 3 rows per
+    * group before the sort at scale.
+    */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+              col("p_retailprice"), col("rk"))
+  }
+
+  /** Tumbling 1-hour window aggregation over events (batch form of the
+    * streaming pipeline in graft.streaming). Epoch-aligned hourly buckets ==
+    * date_trunc('hour'). One shuffle on (hour, event_type).
+    */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum over a
+    * per-user window. One shuffle on user_id; state per user is a single
+    * pass — the same shape Structured Streaming's session windows use.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+}
