@@ -25,6 +25,16 @@ object SparkEntry {
     "q_window_topk"       -> Relational.qWindowTopk _,
     "q_events_window"     -> Relational.qEventsWindow _,
     "q_events_sessionize" -> Relational.qEventsSessionize _,
+    "doc_normalize"       -> TextOps.docNormalize _,
+    "text_tokens"         -> TextOps.textTokens _,
+    "text_langid"         -> TextOps.textLangid _,
+    "text_quality"        -> TextOps.textQuality _,
+    "text_fingerprint"    -> TextOps.textFingerprint _,
+    "chunk_fixed"         -> Chunking.chunkFixed _,
+    "chunk_sentences"     -> Chunking.chunkSentences _,
+    "chunk_headings"      -> Chunking.chunkHeadings _,
+    "chunk_stats"         -> Chunking.chunkStats _,
+    "chunk_histogram"     -> Chunking.chunkHistogram _,
   )
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
@@ -119,5 +129,121 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s
         |GROUP BY user_id, session_id""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id,
+        |  concat_ws(' | ', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR)) AS row_text
+        |FROM documents
+        |WHERE trim(concat_ws(' | ', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))) <> ''""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS score_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS score_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','de','es','y','un'], x))) AS score_es,
+        |    len(list_filter(toks, x -> list_contains(['le','les','et','est','un','une','de'], x))) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, score_de, score_en, score_es, score_fr,
+        |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+        |       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stops,
+        |    list_sum(list_transform(toks, x -> length(x))) AS sum_wl
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        |  round(CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |  round(CAST(sum_wl AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_word_len,
+        |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |      + 0.3 * (1.0 - least(1.0, CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0))
+        |      + 0.3 * least(1.0, CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0), 6) AS quality
+        |FROM f WHERE n_tokens > 0""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) < 1 THEN 0
+        |       ELSE list_reduce(list_transform(range(1, length(text) + 1),
+        |              i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) END AS fp,
+        |  CASE WHEN length(lower(trim(text))) < 1 THEN 0
+        |       ELSE list_reduce(list_transform(range(1, length(lower(trim(text))) + 1),
+        |              i -> CAST(ord(substr(lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) END AS fp_norm
+        |FROM documents""".stripMargin,
+
+    "chunk_fixed" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |e AS (SELECT doc_id, text, t.j AS j
+        |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j))
+        |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,
+        |  doc_id, j,
+        |  substr(text, CAST(j * 80 + 1 AS INT), 100) AS chunk,
+        |  length(substr(text, CAST(j * 80 + 1 AS INT), 100)) AS chunk_len
+        |FROM e""".stripMargin,
+
+    "chunk_stats" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |c AS (SELECT source, length(substr(text, CAST(t.j * 80 + 1 AS INT), 100)) AS len
+        |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j)),
+        |r AS (SELECT source, len,
+        |        row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM c),
+        |g AS (SELECT source, count(*) AS n_chunks, min(len) AS len_min, max(len) AS len_max,
+        |        CAST(sum(len) AS DOUBLE) / count(*) AS len_avg,
+        |        max(CASE WHEN CAST(rn - 1 AS DOUBLE) = floor(CAST(cnt - 1 AS DOUBLE) * 0.95) THEN len END) AS lo,
+        |        max(CASE WHEN CAST(rn - 1 AS DOUBLE) = ceil(CAST(cnt - 1 AS DOUBLE) * 0.95) THEN len END) AS hi,
+        |        max(CAST(cnt - 1 AS DOUBLE) * 0.95) AS kk
+        |      FROM r GROUP BY source)
+        |SELECT source, n_chunks, len_min, len_max, len_avg,
+        |  lo + (hi - lo) * (kk - floor(kk)) AS len_p95
+        |FROM g""".stripMargin,
+
+    "chunk_histogram" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |c AS (SELECT length(substr(text, CAST(t.j * 80 + 1 AS INT), 100)) AS len
+        |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j)),
+        |ext AS (SELECT min(len) AS vmin, max(len) AS vmax,
+        |          greatest(1, (max(len) - min(len) + 19) // 20) AS step FROM c),
+        |cnts AS (SELECT CASE WHEN ext.vmin = ext.vmax THEN 0
+        |                     WHEN len = ext.vmax THEN 19
+        |                     ELSE least(19, (len - ext.vmin) // ext.step) END AS bin, count(*) AS n
+        |         FROM c, ext GROUP BY 1),
+        |bins AS (SELECT t.b AS bin, ext.vmin, ext.vmax, ext.step
+        |         FROM UNNEST(range(20)) AS t(b), ext
+        |         WHERE ext.vmin <> ext.vmax OR t.b = 0)
+        |SELECT bins.bin,
+        |  bins.vmin + bins.bin * bins.step AS lo,
+        |  CASE WHEN bins.vmin = bins.vmax THEN bins.vmax
+        |       WHEN bins.bin = 19 THEN bins.vmax
+        |       ELSE bins.vmin + (bins.bin + 1) * bins.step END AS hi,
+        |  COALESCE(cnts.n, 0) AS n
+        |FROM bins LEFT JOIN cnts ON bins.bin = cnts.bin""".stripMargin,
   )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: row→text assembly
+  * (reference `app/ingest/chunker.py:5-12` concat_row, `normalize.py:3-7`),
+  * plus the LLM-data-pipeline text extensions (token counting, language ID,
+  * quality scoring, rolling-hash fingerprinting).
+  *
+  * Every operator here is a narrow map over the scan — zero shuffle, fully
+  * inside WholeStageCodegen (no Scala UDFs) — so at 100 TB they scale with
+  * input splits and the parquet reader only materializes the referenced
+  * columns (check ReadSchema in explain).
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, python `text.lower().split()` semantics:
+    * empty input → empty array, runs of whitespace collapse.
+    */
+  private def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), "\\s+"))
+
+  /** SURVEY §2 `doc_normalize`: normalize + concat_row. The reference joins
+    * all scalar cells with " | " (chunker.py:5-7) after dropping all-null
+    * rows (normalize.py:3-7); concat_ws gives the same null-skipping join.
+    */
+  def docNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).na.drop("all")
+    d.select(
+        col("doc_id"),
+        concat_ws(" | ",
+          col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string")).as("row_text"))
+      .filter(length(trim(col("row_text"))) > 0)
+  }
+
+  /** SURVEY §2 `text_tokens`: whitespace token count + BPE-ish regex token
+    * count (letters runs | digit runs | single non-alnum) + char count.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+        .as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "los", "de", "es", "y", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "de"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** SURVEY §2 `text_langid`: stopword-profile scores per language; winner =
+    * highest hit count, alphabetical tiebreak, `unknown` when all zero.
+    * A real system swaps the profiles for char-n-gram models; the Spark
+    * shape (narrow scored map + argmax CASE) is identical.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id")) ++
+        Profiles.map { case (l, ws) => stopHits(toks, ws).as(s"score_$l") }: _*)
+    val best = greatest(Profiles.map(p => col(s"score_${p._1}")): _*)
+    val pred = Profiles.foldRight(lit("unknown")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      (col("doc_id") +: Profiles.map(p => col(s"score_${p._1}"))) :+
+        when(best === 0, lit("unknown")).otherwise(pred).as("pred_lang"): _*)
+  }
+
+  /** SURVEY §2 `text_quality`: length/punct/stopword/word-length features +
+    * a bounded weighted score, arithmetic written identically to the DuckDB
+    * oracle (int/int divisions are IEEE-exact; final score rounded 6dp).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+    val stops = stopHits(toks, Profiles.toMap.apply("en"))
+    val sumWl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val punctRatio = punct.cast("double") / nChars.cast("double")
+    val stopRatio = stops.cast("double") / nTok.cast("double")
+    val avgWlen = sumWl.cast("double") / nTok.cast("double")
+    val score =
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5.0)
+    Tables.documents(spark, dir)
+      .filter(nTok > 0)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(avgWlen, 6).as("avg_word_len"),
+        round(score, 6).as("quality"))
+  }
+
+  val FpMod = 1000000007L
+  val FpBase = 31L
+
+  /** Polynomial rolling hash of a string column: fold of
+    * `acc = (acc*31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
+    * fingerprint the reference family uses for doc identity. Pure column
+    * program (sequence + aggregate), codegen'd; O(len) per row.
+    */
+  def fingerprint(c: Column): Column =
+    when(length(c) < 1, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(c)),
+        lit(0L),
+        (acc, i) => (acc * FpBase + ascii(substring(c, i.cast("int"), lit(1)))) % FpMod))
+
+  /** SURVEY §2 `text_fingerprint`. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      fingerprint(lower(trim(col("text")))).as("fp_norm"))
+}
