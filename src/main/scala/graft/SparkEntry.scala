@@ -35,6 +35,11 @@ object SparkEntry {
     "chunk_headings"      -> Chunking.chunkHeadings _,
     "chunk_stats"         -> Chunking.chunkStats _,
     "chunk_histogram"     -> Chunking.chunkHistogram _,
+    "dedup_exact"         -> Dedup.dedupExact _,
+    "dedup_ngram"         -> Dedup.dedupNgram _,
+    "dedup_minhash"       -> Dedup.dedupMinhash _,
+    "dedup_simhash"       -> Dedup.dedupSimhash _,
+    "dedup_embedding"     -> Dedup.dedupEmbedding _,
   )
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
@@ -245,5 +250,59 @@ object SparkEntry {
         |       ELSE bins.vmin + (bins.bin + 1) * bins.step END AS hi,
         |  COALESCE(cnts.n, 0) AS n
         |FROM bins LEFT JOIN cnts ON bins.bin = cnts.bin""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |g AS (SELECT norm, min(doc_id) AS keep_id, count(*) AS n_docs FROM n GROUP BY norm)
+        |SELECT
+        |  CASE WHEN length(norm) < 1 THEN 0
+        |       ELSE list_reduce(list_transform(range(1, length(norm) + 1),
+        |              i -> CAST(ord(substr(norm, CAST(i AS INT), 1)) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) END AS fp,
+        |  keep_id, n_docs
+        |FROM g""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(toks) - 1), i ->
+        |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
+        |  FROM t),
+        |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM f),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM f),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= 0.05""".stripMargin,
+
+    "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
+
+    "dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_id_a, vec_id_b, round(c, 6) AS cos_sim
+        |FROM p WHERE c >= 0.35""".stripMargin,
   )
 }

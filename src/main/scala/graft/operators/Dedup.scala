@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Deduplication family for LLM training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine. The reference has no
+  * dedup surface; these follow the standard published designs (Broder '97
+  * MinHash, Charikar '02 SimHash) re-expressed as Spark column programs.
+  *
+  * Scale design (SURVEY §4): signature computation is always a narrow map;
+  * the only shuffles are keyed on (band, bucket) / shingle / normalized
+  * text — never all-pairs. The one exception is dedup_embedding's exact
+  * variant, which is the small-data oracle path; its 100 TB path is the
+  * IVF/LSH-bucketed join in [[VectorOps]].
+  */
+object Dedup {
+
+  /** python `text.lower().split()` tokens (empty-safe). */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), "\\s+"))
+
+  /** Distinct word 3-gram shingles from a token array column. */
+  def shingles(toks: Column): Column =
+    array_distinct(
+      when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ",
+            element_at(toks, (i + 1).cast("int")),
+            element_at(toks, (i + 2).cast("int")),
+            element_at(toks, (i + 3).cast("int"))))))
+
+  /** SURVEY §2 `dedup_exact`: collapse by whitespace-normalized lowercased
+    * text. One hash shuffle keyed on the normalized text (at 100 TB: key on
+    * xxhash64(norm) first, verify within group — same shape). Emits the
+    * rolling-hash fingerprint as the stable group id.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .select(TextOps.fingerprint(col("norm")).as("fp"), col("keep_id"), col("n_docs"))
+  }
+
+  val NgramJaccardThreshold = 0.05
+
+  /** SURVEY §2 `dedup_ngram`: word-3-gram Jaccard pairs ≥ τ. Shuffle is
+    * keyed on the shingle (SURVEY §4) so only docs sharing a shingle ever
+    * meet; Jaccard from distinct-shingle counts: |∩| / (|A|+|B|−|∩|).
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(wsTokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("m"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("m").cast("double") / (col("sa.n") + col("sb.n") - col("m")).cast("double"))
+      .filter(col("jaccard") >= NgramJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH (constants shared with the generated DuckDB oracle) --
+  val MinhashP = 2147483647L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => 1000003L * i + 16777619L)
+  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => 999983L * i + 40503L)
+
+  /** SURVEY §2 `dedup_minhash`: 16 deterministic affine min-hashes over
+    * rolling-hash shingle ids, banded 4×4; candidate pairs share ≥1 band
+    * bucket. Signature computation is narrow; the single shuffle is keyed
+    * on (band, bucket) — at 100 TB oversized buckets get salted (SURVEY §4).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(wsTokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), s => TextOps.fingerprint(s)))
+    val withSigs = docs.select(
+      col("doc_id") +:
+        (0 until NumHashes).map(i =>
+          array_min(transform(col("hs"), h => (h * HashA(i) + HashB(i)) % MinhashP))
+            .as(s"sig$i")): _*)
+    val bandKeys = array((0 until Bands).map(j =>
+      concat_ws(",", (0 until RowsPerBand).map(r =>
+        col(s"sig${j * RowsPerBand + r}").cast("string")): _*)): _*)
+    val banded = withSigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** DuckDB oracle for dedup_minhash, generated from the same constants so
+    * Spark and the oracle can never drift.
+    */
+  def minhashOracleSql: String = {
+    val sigExprs = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${HashA(i)} + ${HashB(i)}) % $MinhashP)) AS sig$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { j =>
+      val key = (0 until RowsPerBand).map(r => s"CAST(sig${j * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks) - 1), i ->
+       |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(sh, s ->
+       |    list_reduce(list_transform(range(1, length(s) + 1),
+       |      c -> CAST(ord(substr(s, CAST(c AS INT), 1)) AS BIGINT)),
+       |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+       |  FROM sh WHERE len(sh) > 0),
+       |s AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM h),
+       |b AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
+       |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  val SimhashBits = 64
+  val SimhashChunks = 4
+  val SimhashMaxHamming = 16
+
+  /** SURVEY §2 `dedup_simhash` (rows-only oracle — keyed on Spark's
+    * xxhash64): 64-bit SimHash from per-bit token-hash votes; candidate
+    * pairs share ≥1 of 4 16-bit chunks (so hamming ≤ 48 is guaranteed
+    * findable for t ≤ 16); emit pairs with hamming ≤ 16.
+    * One shuffle for the per-doc vote agg, one keyed on (chunk_idx, chunk).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until SimhashBits).map(k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"v$k"))
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val chunks = votes.select(
+      col("doc_id") +:
+        (0 until SimhashChunks).map { j =>
+          (0 until 16).map(r =>
+            when(col(s"v${j * 16 + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+            .reduce(_ + _).as(s"c$j")
+        }: _*)
+    val banded = chunks.select(col("doc_id"),
+      posexplode(array((0 until SimhashChunks).map(j => col(s"c$j")): _*)).as(Seq("j", "chunk")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val ham = (0 until SimhashChunks).map(j =>
+      bit_count(col(s"ca.c$j").bitwiseXOR(col(s"cb.c$j")))).reduce(_ + _)
+    cand.join(chunks.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(chunks.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val EmbeddingCosThreshold = 0.35
+
+  /** SURVEY §2 `dedup_embedding`: exact cosine near-dup pairs ≥ τ. This is
+    * the oracle-checkable exact form (all-pairs with precomputed norms);
+    * at 100 TB the same scoring runs inside IVF cells / LSH buckets
+    * ([[VectorOps]]) so the join is bucket-local, never n².
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("c",
+        VectorFunctions.cosinePre(
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")))
+      .filter(col("c") >= EmbeddingCosThreshold)
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        round(col("c"), 6).as("cos_sim"))
+  }
+}
