@@ -40,7 +40,78 @@ object SparkEntry {
     "dedup_minhash"       -> Dedup.dedupMinhash _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
+    "knn_bruteforce"      -> VectorOps.knnBruteforce _,
+    "ann_bruteforce"      -> VectorOps.annBruteforce _,
+    "ivf_build"           -> VectorOps.ivfBuild _,
+    "ivf_search"          -> VectorOps.ivfSearch _,
+    "ann_ivf"             -> VectorOps.annIvf _,
+    "bm25_topk"           -> Search.bm25TopK _,
+    "hybrid_rrf"          -> Search.hybridRrf _,
+    "eval_recall"         -> Search.evalRecall _,
+    "eval_compare"        -> Search.evalCompare _,
   )
+
+  /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
+    * [[graft.operators.VectorOps.topK]] exactly (6dp-rounded score ranking,
+    * id tiebreak). CTE names are prefixed so two retrievers can coexist in
+    * one oracle query (eval_compare).
+    */
+  private def rankedCtes(p: String, qFilter: String, metric: String): String = {
+    val dotExpr =
+      "list_sum(list_transform(list_zip(q.q_emb, e.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    val score = metric match {
+      case "dot" => s"round($dotExpr, 6)"
+      case _     => s"round($dotExpr / (q.q_nrm * e.nrm), 6)"
+    }
+    s"""${p}n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |${p}q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM ${p}n WHERE $qFilter),
+       |${p}p AS (SELECT q.q_id, e.vec_id AS neighbor_id, $score AS score
+       |      FROM ${p}q q, ${p}n e WHERE e.vec_id <> q.q_id),
+       |${p}r AS (SELECT q_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM ${p}p)""".stripMargin
+  }
+
+  /** DuckDB CTE block producing the full BM25 ranking `bmr(rk, doc_id,
+    * score)`, mirroring [[graft.operators.Search.bm25Ranked]].
+    */
+  private def bm25Ctes: String = {
+    val qlist = graft.operators.Search.QueryText.toLowerCase.split("\\s+")
+      .map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+       |idfr AS (SELECT term,
+       |           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf_raw
+       |         FROM dft, stats),
+       |ai AS (SELECT sum(idf_raw) / CAST(count(*) AS DOUBLE) AS avg_idf FROM idfr),
+       |idf AS (SELECT term, CASE WHEN idf_raw < 0 THEN 0.25 * avg_idf ELSE idf_raw END AS idf
+       |        FROM idfr, ai WHERE term IN ($qlist)),
+       |tf AS (SELECT doc_id, term, count(*) AS f FROM toks WHERE term IN ($qlist) GROUP BY 1, 2),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(idf.idf * (CAST(tf.f AS DOUBLE) * 2.5) /
+       |             (CAST(tf.f AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS s
+       |       FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+       |       GROUP BY 1),
+       |bmr AS (SELECT round(s, 6) AS score, doc_id,
+       |          row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk FROM sc)""".stripMargin
+  }
+
+  /** Gold-set CTE (q_id → expected_id) mirroring [[graft.operators.Search]]. */
+  private def goldCte: String =
+    """g AS (SELECT q.vec_id AS q_id, min(o.vec_id) AS expected_id
+      |      FROM embeddings q JOIN embeddings o
+      |        ON o.label = q.label AND o.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 50 GROUP BY 1)""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
     * files; same output column names as the Spark result).
@@ -304,5 +375,64 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_id_a, vec_id_b, round(c, 6) AS cos_sim
         |FROM p WHERE c >= 0.35""".stripMargin,
+
+    "knn_bruteforce" ->
+      s"""WITH ${rankedCtes("", "vec_id < 10", "cos")}
+         |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""WITH ${rankedCtes("", "vec_id < 10", "dot")}
+         |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT rk, doc_id, score FROM bmr WHERE rk <= 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH ${rankedCtes("", "vec_id = 0", "cos")},
+         |$bm25Ctes,
+         |v AS (SELECT neighbor_id AS id, rk FROM r WHERE rk <= 20),
+         |bm AS (SELECT doc_id AS id, rk FROM bmr WHERE rk <= 20),
+         |u AS (SELECT id, 1.0 / (CAST(60 AS DOUBLE) + CAST(rk AS DOUBLE)) AS contrib
+         |      FROM (SELECT id, rk FROM v UNION ALL SELECT id, rk FROM bm)),
+         |fz AS (SELECT id, sum(contrib) AS rrf FROM u GROUP BY 1),
+         |fr AS (SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rk FROM fz)
+         |SELECT rk, id, round(rrf, 6) AS rrf_score FROM fr WHERE rk <= 10""".stripMargin,
+
+    "eval_recall" ->
+      s"""WITH ${rankedCtes("", "vec_id < 50", "cos")},
+         |$goldCte,
+         |gr AS (SELECT g.q_id, r.rk AS rnk
+         |       FROM g LEFT JOIN r
+         |         ON r.q_id = g.q_id AND r.neighbor_id = g.expected_id AND r.rk <= 5)
+         |SELECT CAST(5 AS BIGINT) AS k, count(*) AS total,
+         |  round(CAST(sum(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall_at_k,
+         |  round(sum(CASE WHEN rnk IS NOT NULL THEN 1.0 / CAST(rnk AS DOUBLE) ELSE 0.0 END) / CAST(count(*) AS DOUBLE), 6) AS mrr,
+         |  round(sum(CASE WHEN rnk IS NOT NULL THEN 1.0 / log2(CAST(rnk AS DOUBLE) + 1.0) ELSE 0.0 END) / CAST(count(*) AS DOUBLE), 6) AS ndcg
+         |FROM gr""".stripMargin,
+
+    "eval_compare" ->
+      s"""WITH ${rankedCtes("l", "vec_id < 50", "cos")},
+         |${rankedCtes("rt", "vec_id < 50", "dot")},
+         |$goldCte,
+         |lg AS (SELECT g.q_id, lr.rk AS lrnk
+         |       FROM g LEFT JOIN lr
+         |         ON lr.q_id = g.q_id AND lr.neighbor_id = g.expected_id AND lr.rk <= 5),
+         |rg AS (SELECT g.q_id, rtr.rk AS rrnk
+         |       FROM g LEFT JOIN rtr
+         |         ON rtr.q_id = g.q_id AND rtr.neighbor_id = g.expected_id AND rtr.rk <= 5),
+         |j AS (SELECT lg.q_id, lrnk, rrnk,
+         |        CASE WHEN lrnk IS NULL AND rrnk IS NULL THEN NULL
+         |             WHEN lrnk IS NULL THEN -999
+         |             WHEN rrnk IS NULL THEN 999
+         |             ELSE rrnk - lrnk END AS delta
+         |      FROM lg JOIN rg ON lg.q_id = rg.q_id)
+         |SELECT CAST(5 AS BIGINT) AS k, count(*) AS total,
+         |  CAST(sum(CASE WHEN lrnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_found,
+         |  CAST(sum(CASE WHEN rrnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_found,
+         |  CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS regressions_count,
+         |  CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS improvements_count,
+         |  CAST(sum(CASE WHEN delta IS NOT NULL AND delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS changed_count
+         |FROM j""".stripMargin,
   )
 }

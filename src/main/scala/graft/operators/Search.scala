@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Lexical + hybrid search and retrieval evaluation:
+  * BM25 (reference `app/ingest/hybrid.py:4-12` — BM25Okapi over
+  * `lower().split()` tokens), RRF fusion (`hybrid.py:14-21` —
+  * `1/(60+rank)` summed over both lists), and the eval metrics
+  * (`app/api/eval_api.py:206-263` — recall@k, MRR, binary-relevance NDCG).
+  *
+  * Scale design (SURVEY §4): corpus statistics (df, dl, avgdl, idf) are
+  * per-term aggregations with map-side combine; scoring joins the tiny
+  * query-term stat table via broadcast, so the corpus is never shuffled —
+  * one narrow scoring pass + a per-doc agg.
+  */
+object Search {
+
+  // BM25Okapi defaults (rank_bm25): k1=1.5, b=0.75, epsilon=0.25.
+  val K1 = 1.5
+  val B = 0.75
+  val Epsilon = 0.25
+  val QueryText = "table hash value merge spark"
+  val BmK = 10
+
+  /** Exploded (doc_id, term) with multiplicity, python lower().split(). */
+  private def docTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.wsTokens(col("text"))).as("term"))
+
+  /** SURVEY §2 `bm25_topk`: top-10 of the full ranking. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir).filter(col("rk") <= BmK)
+
+  /** Per-doc BM25 scores for the fixed query; rank on 6dp-rounded score
+    * with doc_id tiebreak (same as oracle).
+    */
+  def bm25Ranked(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docTerms(spark, dir)
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf over the WHOLE vocabulary (needed for BM25Okapi's epsilon floor:
+    // negative idf -> 0.25 * mean(idf over vocab)).
+    val idfRaw = df.crossJoin(broadcast(stats))
+      .withColumn("idf_raw",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)))
+    val avgIdf = idfRaw.agg(
+      (sum(col("idf_raw")) / count(lit(1)).cast("double")).as("avg_idf"))
+    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
+    val idf = idfRaw.filter(col("term").isInCollection(qTerms))
+      .crossJoin(broadcast(avgIdf))
+      .withColumn("idf",
+        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf")).otherwise(col("idf_raw")))
+      .select(col("term"), col("idf"))
+    val tf = terms.filter(col("term").isInCollection(qTerms))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+    val perTerm = tf
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ts",
+        col("idf") * (col("f").cast("double") * lit(K1 + 1.0)) /
+          (col("f").cast("double") +
+            lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))))
+    perTerm.groupBy(col("doc_id")).agg(round(sum(col("ts")), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("score"))
+  }
+
+  val RrfK = 60
+  val RrfListLen = 20
+  val RrfOut = 10
+  val RrfQueryVec = 0
+
+  /** SURVEY §2 `hybrid_rrf`: fuse the cosine ranking of query vector 0
+    * with the BM25 ranking of the fixed text query via reciprocal-rank
+    * fusion `Σ 1/(60+rank)` (hybrid.py:14-21; rank 1-based here = the
+    * reference's 0-based r with +1). Both input lists are tiny (k=20), so
+    * fusion is a trivial union+agg; ids unify the doc/vec id spaces.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.embWithNorm(spark, dir)
+    val vec = VectorOps.topK(e, e.filter(col("vec_id") === RrfQueryVec), RrfListLen, "cos")
+      .select(col("neighbor_id").as("id"), col("rk"))
+    val bm = bm25Ranked(spark, dir).filter(col("rk") <= RrfListLen)
+      .select(col("doc_id").as("id"), col("rk"))
+    vec.unionByName(bm)
+      .withColumn("contrib", lit(1.0) / (lit(RrfK).cast("double") + col("rk").cast("double")))
+      .groupBy(col("id")).agg(sum(col("contrib")).as("rrf"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .filter(col("rk") <= RrfOut)
+      .select(col("rk"), col("id"), round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  val EvalK = 5
+  val NGold = 50
+
+  /** Gold set: for each query vector (vec_id < 50), expected_id = the
+    * smallest other vec_id with the same label — a deterministic,
+    * SQL-expressible stand-in for the reference's (question, expected_id)
+    * upload (eval_api.py:206-263).
+    */
+  private def gold(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    e.filter(col("vec_id") < NGold).as("q")
+      .join(e.as("o"),
+        col("o.label") === col("q.label") && col("o.vec_id") =!= col("q.vec_id"))
+      .groupBy(col("q.vec_id").as("q_id"))
+      .agg(min(col("o.vec_id")).as("expected_id"))
+  }
+
+  /** Ranks of expected_id in a retriever's top-k per gold question:
+    * (q_id, expected_id, rank|null).
+    */
+  private def goldRanks(spark: SparkSession, dir: String, metric: String): DataFrame = {
+    val e = VectorOps.embWithNorm(spark, dir)
+    val hits = VectorOps.topK(e, e.filter(col("vec_id") < NGold), EvalK, metric)
+    gold(spark, dir).as("g")
+      .join(hits.as("h"),
+        col("h.q_id") === col("g.q_id") && col("h.neighbor_id") === col("g.expected_id"),
+        "left")
+      .select(col("g.q_id").as("q_id"), col("g.expected_id").as("expected_id"),
+        col("h.rk").as("rank"))
+  }
+
+  /** SURVEY §2 `eval_recall`: recall@k + MRR + binary-relevance NDCG of the
+    * cosine retriever vs the gold set. With a single relevant id per query
+    * the per-query NDCG reduces to 1/log2(rank+1) (ideal DCG = 1), matching
+    * sklearn's binary ndcg_score as the reference uses it.
+    */
+  def evalRecall(spark: SparkSession, dir: String): DataFrame =
+    goldRanks(spark, dir, "cos").agg(
+        count(lit(1)).as("total"),
+        round(sum(when(col("rank").isNotNull, 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("recall_at_k"),
+        round(sum(when(col("rank").isNotNull,
+            lit(1.0) / col("rank").cast("double")).otherwise(0.0)) /
+          count(lit(1)).cast("double"), 6).as("mrr"),
+        round(sum(when(col("rank").isNotNull,
+            lit(1.0) / log2(col("rank").cast("double") + 1.0)).otherwise(0.0)) /
+          count(lit(1)).cast("double"), 6).as("ndcg"))
+      .withColumn("k", lit(EvalK.toLong))
+      .select(col("k"), col("total"), col("recall_at_k"), col("mrr"), col("ndcg"))
+
+  /** SURVEY §2 `eval_compare`: left (cosine) vs right (inner-product)
+    * retriever on the same gold set; per-question rank delta with the
+    * reference's ±999 hit/miss sentinels (eval_api.py:297-375), rolled up
+    * to regression/improvement/changed counts.
+    */
+  def evalCompare(spark: SparkSession, dir: String): DataFrame = {
+    val l = goldRanks(spark, dir, "cos")
+      .select(col("q_id"), col("rank").as("left_rank"))
+    val r = goldRanks(spark, dir, "dot")
+      .select(col("q_id"), col("rank").as("right_rank"))
+    val joined = l.join(r, Seq("q_id"))
+      .withColumn("delta",
+        when(col("left_rank").isNull && col("right_rank").isNull, lit(null).cast("long"))
+          .when(col("left_rank").isNull, lit(-999L))
+          .when(col("right_rank").isNull, lit(999L))
+          .otherwise((col("right_rank") - col("left_rank")).cast("long")))
+    joined.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("left_rank").isNotNull, 1).otherwise(0)).cast("long").as("left_found"),
+      sum(when(col("right_rank").isNotNull, 1).otherwise(0)).cast("long").as("right_found"),
+      sum(when(col("delta") > 0, 1).otherwise(0)).cast("long").as("regressions_count"),
+      sum(when(col("delta") < 0, 1).otherwise(0)).cast("long").as("improvements_count"),
+      sum(when(col("delta").isNotNull && col("delta") =!= 0, 1).otherwise(0)).cast("long")
+        .as("changed_count"))
+      .withColumn("k", lit(EvalK.toLong))
+      .select(col("k"), col("total"), col("left_found"), col("right_found"),
+        col("regressions_count"), col("improvements_count"), col("changed_count"))
+  }
+}
