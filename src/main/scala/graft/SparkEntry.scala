@@ -49,6 +49,7 @@ object SparkEntry {
     "hybrid_rrf"          -> Search.hybridRrf _,
     "eval_recall"         -> Search.evalRecall _,
     "eval_compare"        -> Search.evalCompare _,
+    "multimodal_meta"     -> Multimodal.multimodalMeta _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -434,5 +435,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS improvements_count,
          |  CAST(sum(CASE WHEN delta IS NOT NULL AND delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS changed_count
          |FROM j""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  upper(substr(hex(encode(text)), 1, 8)) AS magic,
+        |  CASE WHEN doc_id % 3 = 0 THEN 320 + (doc_id % 4) * 160 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN (320 + (doc_id % 4) * 160) // 4 * 3 END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 <> 0
+        |       THEN round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) END AS duration_s
+        |FROM documents""".stripMargin,
   )
 }

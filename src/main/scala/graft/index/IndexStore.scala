@@ -1,0 +1,115 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** Parquet-backed vector-index persistence with manifest + timestamped
+  * versions — the reference's artifact layout
+  * (`/root/reference/app/ingest/pipeline.py:64-160`: manifest with
+  * dim/count/model/backend/params/chunking/metric/created_at, plus a
+  * `versions/<ts>/` archive with `meta.json`) re-expressed as a parquet
+  * dataset instead of a faiss binary.
+  *
+  * Layout: `root/<name>/latest/vectors/` (+ `manifest.json`) and
+  * `root/<name>/versions/<ts>/vectors/` (+ `manifest.json`, `meta.json`).
+  *
+  * Scale: an IVF index is written `partitionBy("cell")`, so probing
+  * `nprobe` cells is a partition-pruned scan reading nprobe/nlist of the
+  * data — the parquet-native analogue of faiss IVF cell lists. The flat
+  * index is a plain dataset scanned fully (exact search).
+  */
+object IndexStore {
+
+  case class Chunking(mode: String, size: Int, overlap: Int)
+  case class Params(nlist: Int, nprobe: Int)
+  case class Manifest(
+      dim: Int, count: Long, model: String, normalize: Boolean,
+      backend: String, params: Params, chunking: Chunking,
+      metric: String, createdAt: String) {
+    def toJson: String =
+      s"""{"dim": $dim, "count": $count, "model": "$model", "normalize": $normalize,
+         | "backend": "$backend",
+         | "params": {"nlist": ${params.nlist}, "nprobe": ${params.nprobe}},
+         | "chunking": {"mode": "${chunking.mode}", "size": ${chunking.size}, "overlap": ${chunking.overlap}},
+         | "metric": "$metric", "created_at": "$createdAt"}""".stripMargin
+  }
+
+  private val VersionFmt = DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+
+  /** Build + persist an index over `vectors` (`id`, `vec array<float>`).
+    * backend: "flat" (single cell, unpartitioned) or "ivf" (seeded k-means
+    * cells, partitioned by cell). Writes latest + a timestamped version.
+    */
+  def build(vectors: DataFrame, root: String, name: String, backend: String,
+            params: Params = Params(VectorOps.NumCells, VectorOps.NProbe),
+            chunking: Chunking = Chunking("fixed", 100, 20),
+            model: String = "none", normalize: Boolean = false,
+            metric: String = "ip"): Manifest = {
+    val spark = vectors.sparkSession
+    val assigned = backend match {
+      case "ivf" =>
+        val (a, _) = VectorOps.fitIvfOn(
+          vectors.select(col("id").as("vec_id"), col("vec").as("embedding")), params.nlist)
+        a.select(col("vec_id").as("id"), col("embedding").as("vec"), col("cell"))
+      case _ =>
+        vectors.select(col("id"), col("vec"), lit(0).as("cell"))
+    }
+    val count = assigned.count()
+    val dim = vectors.select(size(col("vec"))).first().getInt(0)
+    val createdAt = ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ISO_LOCAL_DATE_TIME).take(19)
+    val manifest = Manifest(dim, count, model, normalize, backend, params,
+      chunking, metric, createdAt)
+    val version = ZonedDateTime.now(ZoneOffset.UTC).format(VersionFmt)
+
+    for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
+      val w = assigned.write.mode("overwrite")
+      (if (backend == "ivf") w.partitionBy("cell") else w).parquet(s"$dir/vectors")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/manifest.json"), manifest.toJson)
+    }
+    val meta =
+      s"""{"version": "$version", "created_at": "$createdAt", "embed_model": "$model",
+         | "chunking": "${chunking.mode}", "chunk_size": ${chunking.size},
+         | "chunk_overlap": ${chunking.overlap}, "index_backend": "$backend",
+         | "vector_count": $count,
+         | "metrics": {"recall@k": null, "mrr": null, "ndcg": null}}""".stripMargin
+    Files.writeString(Paths.get(s"$root/$name/versions/$version/meta.json"), meta)
+    manifest
+  }
+
+  /** Read an index (latest or a specific version). The scan is lazy: with
+    * an IVF layout, a subsequent `.filter(col("cell").isin(...))` prunes
+    * partitions before any IO.
+    */
+  def load(spark: SparkSession, root: String, name: String,
+           version: Option[String] = None): DataFrame = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    spark.read.parquet(s"$dir/vectors")
+  }
+
+  def manifestJson(root: String, name: String, version: Option[String] = None): String = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    Files.readString(Paths.get(s"$dir/manifest.json"))
+  }
+
+  /** Version ids, newest last (lexicographic == chronological). */
+  def versions(root: String, name: String): Seq[String] = {
+    val f = new java.io.File(s"$root/$name/versions")
+    if (!f.exists) Seq.empty
+    else f.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  /** Probe an IVF index: restrict the scan to the query's nprobe nearest
+    * cells (partition filter → partition-pruned IO), then exact top-k
+    * within. `cells` come from centroid distances computed caller-side.
+    */
+  def probe(index: DataFrame, cells: Seq[Int]): DataFrame =
+    index.filter(col("cell").isin(cells: _*))
+}

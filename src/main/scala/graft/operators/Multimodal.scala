@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: treat media as an opaque `binary` column
+  * with typed metadata extracted by a decode step. The real decoder
+  * (image/audio codecs) is STUBBED — deterministic arithmetic stands in
+  * for it — but everything Spark-side is real: schema, binary payloads,
+  * narrow extraction, and a typed `mapPartitions` pipeline (the Scala
+  * analogue of `mapInPandas` batch decoding; a per-partition decoder
+  * amortizes codec init exactly like a pandas batch would).
+  */
+object Multimodal {
+
+  /** SURVEY §2 `multimodal_meta` (SQL oracle): binary payload + typed
+    * metadata as a pure column program. The payload is the utf-8 document
+    * text (the testdata has no real media); media_type/width/height/etc.
+    * are the deterministic decode-stub outputs.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val nBytes = length(payload).cast("long")
+    val mt = col("doc_id") % 3
+    val width = (lit(320L) + (col("doc_id") % 4) * 160L)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(mt === 0, "image").when(mt === 1, "audio").otherwise("video").as("media_type"),
+      nBytes.as("n_bytes"),
+      upper(substring(hex(payload), 1, 8)).as("magic"),
+      when(mt === 0, width).otherwise(lit(null).cast("long")).as("width"),
+      when(mt === 0, (width / 4).cast("long") * 3).otherwise(lit(null).cast("long")).as("height"),
+      when(mt === 1, lit(16000L)).otherwise(lit(null).cast("long")).as("sample_rate"),
+      when(mt =!= 0, round(nBytes.cast("double") / 1000.0, 3))
+        .otherwise(lit(null).cast("double")).as("duration_s"))
+  }
+
+  // ---- typed mapPartitions decode pipeline (ScalaTest-covered) ----------
+
+  case class MediaFile(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                       width: Option[Long], height: Option[Long],
+                       duration_s: Option[Double])
+
+  /** STUB decoder: a real implementation would parse the codec headers
+    * (e.g. PNG IHDR / WAV fmt chunk) here. Deterministic fake so the
+    * pipeline is testable without codec libraries in the container.
+    */
+  def decodeStub(f: MediaFile): MediaMeta = {
+    val n = f.payload.length.toLong
+    f.media_type match {
+      case "image" =>
+        val w = 320L + (f.doc_id % 4) * 160L
+        MediaMeta(f.doc_id, f.media_type, n, Some(w), Some(w / 4 * 3), None)
+      case _ =>
+        MediaMeta(f.doc_id, f.media_type, n, None, None, Some(n / 1000.0))
+    }
+  }
+
+  /** Batch decode: one decoder instance per partition (mirrors
+    * mapInPandas' batch shape — codec init happens once per partition,
+    * rows stream through). Narrow map, no shuffle.
+    */
+  def extractMeta(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { iter =>
+      // (real impl: initialize the codec/decoder context here, once)
+      iter.map(decodeStub)
+    }
+  }
+
+  /** documents → MediaFile dataset (payload = utf-8 text bytes). */
+  def mediaFiles(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaFile]
+  }
+}

@@ -68,23 +68,28 @@ object VectorOps {
     topK(e, e.filter(col("vec_id") < 10), DefaultK, "dot")
   }
 
-  /** Fit seeded k-means and return (assignments, centroids). The fit runs
-    * on the full set here; at 100 TB fit on a ≤1M-row sample — the
-    * assignment pass (broadcast centroids, narrow map) is unchanged.
+  /** Fit seeded k-means on any (vec_id, embedding) frame and return
+    * (assignments, centroids). The fit runs on the full set here; at
+    * 100 TB fit on a ≤1M-row sample — the assignment pass (broadcast
+    * centroids, narrow map) is unchanged.
     */
-  def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir)
+  def fitIvfOn(vectors: DataFrame, k: Int = NumCells): (DataFrame, DataFrame) = {
+    val e = vectors
       .withColumn("features",
         array_to_vector(transform(col("embedding"), x => x.cast("double"))))
     val model = new KMeans()
-      .setK(NumCells).setSeed(Seed).setMaxIter(20).setFeaturesCol("features")
+      .setK(k).setSeed(Seed).setMaxIter(20).setFeaturesCol("features")
       .fit(e)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val cdf = spark.createDataFrame(centroids.toIndexedSeq).toDF("cell", "centroid")
+    val cdf = vectors.sparkSession.createDataFrame(centroids.toIndexedSeq)
+      .toDF("cell", "centroid")
     (assigned, cdf)
   }
+
+  def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   /** SURVEY §2 `ivf_build` (rows-only): cell assignment for every vector,
     * plus squared L2 distance to its centroid. Written partitioned-by-cell

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the events schema: watermarked
+  * tumbling-window aggregation and gap-based sessionization with
+  * `flatMapGroupsWithState` — the streaming forms of the batch queries
+  * `q_events_window` / `q_events_sessionize` in [[graft.operators.Relational]].
+  *
+  * Scale: state is keyed by user_id, so it shards across executors with the
+  * shuffle; the watermark bounds state size (sessions close and are
+  * evicted once the watermark passes end+gap). Works identically on a
+  * `readStream` source and (for the window agg) on batch frames.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+  case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  val DefaultGapMinutes = 30
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization. A session closes when the event-time
+    * watermark passes its end + gap (EventTimeTimeout), at which point it
+    * is emitted and its state evicted. Events inside one micro-batch are
+    * sorted per user before folding, so intra-batch order is handled.
+    */
+  def sessionize(events: Dataset[Event],
+                 gapMinutes: Int = DefaultGapMinutes): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fold(userId: Long, evs: Iterator[Event],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(s: SessionState): SessionOut =
+        SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+            case Some(s) =>
+              closed ::= emit(s)
+              Some(SessionState(t, t, 1))
+            case None => Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // Timeout must be beyond the current watermark or Spark rejects it.
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+}

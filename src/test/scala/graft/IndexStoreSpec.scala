@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexStore
+
+class IndexStoreSpec extends SparkSpec {
+
+  private def vectors = {
+    val s = spark
+    import s.implicits._
+    (0L until 100L).map(i =>
+      (i.toString, Array.tabulate(8)(d => (math.sin(i * 31 + d) * 10).toFloat)))
+      .toDF("id", "vec")
+  }
+
+  test("flat index round-trips vectors and writes a manifest + version") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    val m = IndexStore.build(vectors, root, "flat_test", "flat", model = "stub-model")
+    assert(m.count == 100 && m.dim == 8 && m.backend == "flat")
+
+    val loaded = IndexStore.load(spark, root, "flat_test")
+    assert(loaded.count() == 100)
+    assert(loaded.columns.toSet == Set("id", "vec", "cell"))
+
+    val mj = IndexStore.manifestJson(root, "flat_test")
+    assert(mj.contains("\"model\": \"stub-model\"") && mj.contains("\"dim\": 8"))
+
+    val vs = IndexStore.versions(root, "flat_test")
+    assert(vs.length == 1)
+    assert(IndexStore.load(spark, root, "flat_test", Some(vs.head)).count() == 100)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$root/flat_test/versions/${vs.head}/meta.json")))
+  }
+
+  test("ivf index is partitioned by cell and probe prunes to chosen cells") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    val m = IndexStore.build(vectors, root, "ivf_test", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    assert(m.backend == "ivf" && m.params.nlist == 4)
+
+    // partitioned layout on disk: cell=N subdirectories
+    val dirs = new java.io.File(s"$root/ivf_test/latest/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty)
+
+    val idx = IndexStore.load(spark, root, "ivf_test")
+    val cells = idx.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.nonEmpty)
+    val probed = IndexStore.probe(idx, Seq(cells.head))
+    assert(probed.count() > 0 && probed.count() < 100)
+    // the cell filter must reach the scan as a partition filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+}
