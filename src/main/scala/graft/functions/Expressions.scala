@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Rabin–Karp): fold over code points of
+  * `acc = (acc * base + cp) mod m`. Native Catalyst expression with
+  * `doGenCode`, so it runs as a single O(len) loop inside whole-stage
+  * codegen — replacing the O(len²) `aggregate(sequence, substring)` column
+  * program (every `substring(s, i, 1)` re-seeks from the string start).
+  *
+  * Semantics match the DuckDB oracle exactly: code points (= `ord(substr)`
+  * per character), 64-bit modular arithmetic, empty string → 0, null → null.
+  */
+case class PolyHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * ${base}L + $cp) % ${mod}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles of lowercased whitespace-split text, as
+  * one native kernel: `text → lower/trim → split(\s+) → n-grams → distinct`.
+  *
+  * The equivalent higher-order-function column program
+  * (`array_distinct(transform(sequence…, element_at…))`) runs interpreted
+  * with per-element boxing and was the dominant cost of the dedup family
+  * (~4 ms/row); this kernel is one JVM pass (~µs/row). CodegenFallback is
+  * deliberate: the surrounding stage stays codegen'd and makes a single
+  * call per row — hand-writing array-builder codegen buys nothing here.
+  *
+  * Semantics identical to the DuckDB oracle:
+  * `list_distinct(list_transform(range…))` over `string_split_regex(
+  * lower(trim(text)), '\s+')`; < n tokens → empty array; null → null.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val shingles = WordShingles.shingles(input.asInstanceOf[UTF8String].toString, n)
+    new GenericArrayData(shingles.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Ws = "\\s+".r.pattern
+
+  def shingles(text: String, n: Int): Array[String] = {
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT))
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def column(c: Column, n: Int = 3): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n))
+}
+
+object PolyHash {
+  def hash(s: String, base: Long, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Column form usable anywhere a Column is, including inside
+    * higher-order-function lambdas.
+    */
+  def column(c: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
+    Bridge.column(PolyHash(Bridge.expression(c), base, mod))
+}

@@ -24,15 +24,12 @@ object Dedup {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(c)), "\\s+"))
 
-  /** Distinct word 3-gram shingles from a token array column. */
-  def shingles(toks: Column): Column =
-    array_distinct(
-      when(size(toks) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ",
-            element_at(toks, (i + 1).cast("int")),
-            element_at(toks, (i + 2).cast("int")),
-            element_at(toks, (i + 3).cast("int"))))))
+  /** Distinct word 3-gram shingles straight from the text column — the
+    * native [[graft.functions.WordShingles]] kernel (one JVM pass; the
+    * interpreted HOF equivalent dominated the dedup profile).
+    */
+  def shingles(text: Column): Column =
+    graft.functions.WordShingles.column(text, 3)
 
   /** SURVEY §2 `dedup_exact`: collapse by whitespace-normalized lowercased
     * text. One hash shuffle keyed on the normalized text (at 100 TB: key on
@@ -56,7 +53,7 @@ object Dedup {
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(wsTokens(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
@@ -87,18 +84,21 @@ object Dedup {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(wsTokens(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), s => TextOps.fingerprint(s)))
-    val withSigs = docs.select(
-      col("doc_id") +:
-        (0 until NumHashes).map(i =>
-          array_min(transform(col("hs"), h => (h * HashA(i) + HashB(i)) % MinhashP))
-            .as(s"sig$i")): _*)
-    val bandKeys = array((0 until Bands).map(j =>
-      concat_ws(",", (0 until RowsPerBand).map(r =>
-        col(s"sig${j * RowsPerBand + r}").cast("string")): _*)): _*)
-    val banded = withSigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    // All 16 signatures + 4 band keys as ONE expression tree: projection
+    // collapse would otherwise inline `hs` into every sig{i} reference and
+    // recompute the shingle+hash pipeline ~32x per row.
+    val abPairs = array((0 until NumHashes).map(i =>
+      struct(lit(HashA(i)).as("a"), lit(HashB(i)).as("b"))): _*)
+    val sigs = transform(abPairs, p =>
+      array_min(transform(col("hs"), h =>
+        (h * p.getField("a") + p.getField("b")) % MinhashP)))
+    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)), j =>
+      concat_ws(",", transform(
+        slice(sigs, j * RowsPerBand + 1, lit(RowsPerBand)), s => s.cast("string"))))
+    val banded = docs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

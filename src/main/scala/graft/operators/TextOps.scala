@@ -111,15 +111,12 @@ object TextOps {
 
   /** Polynomial rolling hash of a string column: fold of
     * `acc = (acc*31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
-    * fingerprint the reference family uses for doc identity. Pure column
-    * program (sequence + aggregate), codegen'd; O(len) per row.
+    * fingerprint the reference family uses for doc identity. Backed by the
+    * native codegen'd [[graft.functions.PolyHash]] expression: one O(len)
+    * loop inside WholeStageCodegen.
     */
   def fingerprint(c: Column): Column =
-    when(length(c) < 1, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(c)),
-        lit(0L),
-        (acc, i) => (acc * FpBase + ascii(substring(c, i.cast("int"), lit(1)))) % FpMod))
+    graft.functions.PolyHash.column(c, FpBase, FpMod)
 
   /** SURVEY §2 `text_fingerprint`. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =

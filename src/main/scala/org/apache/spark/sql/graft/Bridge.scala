@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the `private[sql]` Column ⇄ Expression converters so
+  * graft's native Catalyst expressions can be used as ordinary Columns in
+  * any session (no SparkSessionExtensions registration required). Lives in
+  * an `org.apache.spark.sql` subpackage on purpose — the supported pattern
+  * for Spark-native extension libraries.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

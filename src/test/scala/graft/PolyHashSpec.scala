@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+class PolyHashSpec extends SparkSpec {
+
+  test("kernel matches the hand-computed fold") {
+    // 'a'=97,'b'=98,'c'=99: ((97*31+98)*31+99) % 1e9+7 = 96354
+    assert(PolyHash.hash("abc", 31, 1000000007L) == 96354L)
+    assert(PolyHash.hash("", 31, 1000000007L) == 0L)
+  }
+
+  test("expression evaluates in both codegen and interpreted paths") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("abc", "", "key agg row").toDF("t")
+    val got = df.select(PolyHash.column(col("t")).as("h")).collect().map(_.getLong(0))
+    assert(got(0) == 96354L && got(1) == 0L)
+    assert(got(2) == PolyHash.hash("key agg row", 31, 1000000007L))
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(PolyHash.column(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("works inside higher-order-function lambdas (minhash path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq("ab", "cd")).toDF("xs")
+    val got = df.select(transform(col("xs"), x => PolyHash.column(x)).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(PolyHash.hash("ab", 31, 1000000007L),
+      PolyHash.hash("cd", 31, 1000000007L)))
+  }
+}
