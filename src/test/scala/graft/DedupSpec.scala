@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.WordShingles
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact partitions the corpus: n_docs sums to the doc count") {
+    val groups = Dedup.dedupExact(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).count()
+    assert(groups.map(_.getAs[Long]("n_docs")).sum == docs)
+    groups.foreach(g => assert(g.getAs[Long]("keep_id") >= 0))
+  }
+
+  test("dedup_ngram jaccard matches a set-based replica") {
+    val sh = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> WordShingles.shingles(r.getString(1), 3).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      m = (sa & sb).size if m > 0
+      j = m.toDouble / (sa.size + sb.size - m).toDouble if j >= Dedup.NgramJaccardThreshold
+    } yield (a, b) -> j).toMap
+    val got = Dedup.dedupNgram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+  }
+
+  test("dedup_minhash candidates are deterministic and well-formed") {
+    val a = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
+      .sortBy(x => (x._1, x._2))
+    val b = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
+      .sortBy(x => (x._1, x._2))
+    assert(a.sameElements(b))
+    a.foreach { case (x, y, nb) =>
+      assert(x < y); assert(nb >= 1 && nb <= Dedup.Bands)
+    }
+  }
+
+  test("minhash finds the high-jaccard near-duplicates LSH promises") {
+    // With 4 rows/band, a pair with J >= 0.9 collides in >= 1 of 4 bands
+    // with prob ~1 - (1 - 0.9^4)^4 ~ 0.98; the sf0.001 corpus near-dups
+    // (J ~ 0.99) must be found.
+    val nearDups = Dedup.dedupNgram(spark, dir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cand = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(nearDups.nonEmpty, "testdata should contain near-duplicates")
+    assert(nearDups.subsetOf(cand),
+      s"missed near-dups: ${nearDups -- cand}")
+  }
+
+  test("dedup_simhash pairs are within the hamming budget and symmetric-free") {
+    val rows = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b); assert(h >= 0 && h <= Dedup.SimhashMaxHamming)
+    }
+    assert(rows.map(x => (x._1, x._2)).distinct.length == rows.length)
+  }
+
+  test("dedup_embedding agrees with a cosine replica at the threshold") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (a, va) <- emb; (b, vb) <- emb if a < b
+      c = cos(va, vb) if c >= Dedup.EmbeddingCosThreshold
+    } yield (a, b)).toSet
+    val got = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(got == want)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Search
+import graft.sources.Tables
+
+/** Independent in-JVM replicas of the BM25 / RRF / eval math, checked
+  * against the distributed implementations on real data. The DuckDB oracle
+  * covers Spark↔SQL parity; these cover Spark↔reference-algorithm parity
+  * (BM25Okapi semantics from the reference's hybrid.py).
+  */
+class SearchSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val corpus: Map[Long, Seq[String]] =
+    Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .toMap
+
+  /** rank_bm25.BM25Okapi replica: k1=1.5, b=0.75, epsilon=0.25. */
+  private def bm25Reference(query: Seq[String]): Map[Long, Double] = {
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val df = corpus.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val idfRaw = df.map { case (t, d) => t -> math.log((n - d + 0.5) / (d + 0.5)) }
+    val avgIdf = idfRaw.values.sum / idfRaw.size
+    val idf = idfRaw.map { case (t, v) => t -> (if (v < 0) 0.25 * avgIdf else v) }
+    corpus.flatMap { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val terms = query.flatMap { t =>
+        val f = toks.count(_ == t).toDouble
+        if (f == 0 || !idf.contains(t)) None
+        else Some(idf(t) * (f * 2.5) / (f + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
+      }
+      // NB: with a tiny vocabulary every idf is negative (and so is the
+      // BM25Okapi epsilon floor), so scores can legitimately be < 0 —
+      // membership is "has >= 1 matching term", not "score > 0".
+      if (terms.nonEmpty) Some(id -> terms.sum) else None
+    }
+  }
+
+  test("bm25_topk matches the BM25Okapi replica") {
+    val query = Search.QueryText.toLowerCase.split("\\s+").toSeq
+    val want = bm25Reference(query)
+      .map { case (id, s) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(Search.BmK)
+    val got = Search.bm25TopK(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rk"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid == wid, s"doc order: got $gid want $wid")
+      assert(math.abs(gs - ws) < 1e-6, s"score: got $gs want $ws")
+    }
+  }
+
+  test("hybrid_rrf equals hand-fused knn + bm25 lists") {
+    val e = graft.operators.VectorOps.embWithNorm(spark, dir)
+    val vec = graft.operators.VectorOps
+      .topK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") === 0L), 20, "cos")
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rk")))
+    val bm = Search.bm25Ranked(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rk") <= 20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
+    val fused = (vec ++ bm).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(x => 1.0 / (60.0 + x._2)).sum }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Search.hybridRrf(spark, dir).collect().sortBy(_.getAs[Long]("rk"))
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf_score")))
+    got.zip(fused).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid == wid)
+      assert(math.abs(gs - BigDecimal(ws).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("eval_recall metrics match a replica computed from raw embeddings") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 < Search.NGold)
+    val stats = queries.map { case (qid, qv, qlab) =>
+      val expected = emb.filter(o => o._3 == qlab && o._1 != qid).map(_._1).min
+      val top = emb.filter(_._1 != qid)
+        .map(o => (o._1, BigDecimal(cos(qv, o._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, s) => (-s, id) }.take(Search.EvalK)
+      val rank = top.indexWhere(_._1 == expected)
+      if (rank >= 0) Some(rank + 1) else None
+    }
+    val total = stats.length.toDouble
+    val recall = stats.count(_.isDefined) / total
+    val mrr = stats.flatten.map(r => 1.0 / r).sum / total
+    val ndcg = stats.flatten.map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum / total
+    val row = Search.evalRecall(spark, dir).collect()(0)
+    assert(row.getAs[Long]("total") == stats.length)
+    assert(math.abs(row.getAs[Double]("recall_at_k") - recall) < 1e-6)
+    assert(math.abs(row.getAs[Double]("mrr") - mrr) < 1e-6)
+    assert(math.abs(row.getAs[Double]("ndcg") - ndcg) < 1e-6)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.PolyHash
+import graft.operators.TextOps
+import graft.sources.Tables
+
+class TextOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs: Array[(Long, String)] =
+    Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("text_tokens matches python-split semantics") {
+    val got = TextOps.textTokens(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars")))
+      .toMap
+    val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+").count(_.nonEmpty)
+      val nb = bpe.findAllIn(text).length
+      assert(got(id) == ((ws.toLong, nb.toLong, text.length.toLong)), s"doc $id")
+    }
+  }
+
+  test("text_fingerprint equals the PolyHash kernel on raw and normalized text") {
+    val got = TextOps.textFingerprint(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("fp"), r.getAs[Long]("fp_norm")))
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id)._1 == PolyHash.hash(text, 31, 1000000007L))
+      assert(got(id)._2 == PolyHash.hash(text.trim.toLowerCase, 31, 1000000007L))
+    }
+  }
+
+  test("text_langid picks the argmax profile with alphabetical tiebreak") {
+    val rows = TextOps.textLangid(spark, dir).collect()
+    rows.foreach { r =>
+      val scores = Map(
+        "de" -> r.getAs[Long]("score_de"), "en" -> r.getAs[Long]("score_en"),
+        "es" -> r.getAs[Long]("score_es"), "fr" -> r.getAs[Long]("score_fr"))
+      val pred = r.getAs[String]("pred_lang")
+      if (scores.values.max == 0) assert(pred == "unknown")
+      else {
+        val best = scores.values.max
+        val winner = scores.filter(_._2 == best).keys.min
+        assert(pred == winner)
+      }
+    }
+  }
+
+  test("text_quality is bounded and ratios are consistent") {
+    val rows = TextOps.textQuality(spark, dir).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("stop_ratio") >= 0.0 && r.getAs[Double]("stop_ratio") <= 1.0)
+      assert(r.getAs[Double]("avg_word_len") > 0.0)
+    }
+  }
+
+  test("doc_normalize joins all scalar cells with the reference separator") {
+    val got = TextOps.docNormalize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("row_text")).toMap
+    val full = Tables.documents(spark, dir).collect()
+    full.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = Seq(id.toString, r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars").toString).mkString(" | ")
+      assert(got(id) == want)
+    }
+  }
+}

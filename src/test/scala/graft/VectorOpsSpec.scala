@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+class VectorOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb: Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("knn_bruteforce matches an exact cosine replica") {
+    val got = VectorOps.knnBruteforce(spark, dir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("neighbor_id")).toSeq
+      }
+    val queries = emb.filter(_._1 < 10)
+    queries.foreach { case (qid, qv) =>
+      val want = emb.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(VectorOps.DefaultK).map(_._1).toSeq
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
+  test("ivf_build assigns every vector to a valid cell") {
+    val rows = VectorOps.ivfBuild(spark, dir).collect()
+    assert(rows.length == emb.length)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cell")
+      assert(c >= 0 && c < VectorOps.NumCells)
+      assert(r.getAs[Double]("d2") >= 0.0)
+    }
+    // seeded -> deterministic across runs
+    val again = VectorOps.ivfBuild(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+    rows.foreach(r => assert(again(r.getAs[Long]("vec_id")) == r.getAs[Long]("cell")))
+  }
+
+  test("ivf_search results are a subset of brute-force candidates with sane ranks") {
+    val rows = VectorOps.ivfSearch(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == emb.filter(_._1 < 10).map(_._1).toSet)
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+      val scores = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, "scores must be non-increasing")
+    }
+  }
+
+  test("ann_ivf pairs are a subset of exact dedup_embedding pairs") {
+    val exact = graft.operators.Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    val approx = VectorOps.annIvf(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(approx.subsetOf(exact))
+  }
+}
