@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{PolyHash, WordShingles}
+
+/** SQL-surface registration of graft's native expressions.
+  *
+  * Cluster use: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (functions resolve in every session of the cluster).
+  * Existing-session use: `GraftExtensions.register(spark)`.
+  *
+  * SQL: `graft_polyhash(str[, base, mod])`,
+  *      `graft_word_shingles(str[, n])`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  private val polyHashBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => PolyHash(s, 31L, 1000000007L)
+    case Seq(s, b, m) => PolyHash(s, litLong(b, "base"), litLong(m, "mod"))
+    case args => throw new IllegalArgumentException(
+      s"graft_polyhash expects 1 or 3 arguments, got ${args.length}")
+  }
+
+  private val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => WordShingles(s, 3)
+    case Seq(s, n) => WordShingles(s, litLong(n, "n").toInt)
+    case args => throw new IllegalArgumentException(
+      s"graft_word_shingles expects 1 or 2 arguments, got ${args.length}")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_polyhash",
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      polyHashBuilder),
+    ("graft_word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      shinglesBuilder))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.{PolyHash, WordShingles}
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions resolve and match the kernels") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_polyhash('abc') AS h,
+        |       graft_polyhash('abc', 31, 1000000007) AS h2,
+        |       graft_word_shingles('a b c d') AS sh,
+        |       graft_word_shingles('a b c d', 2) AS sh2""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("h") == 96354L)
+    assert(r.getAs[Long]("h2") == 96354L)
+    assert(r.getSeq[String](2) == WordShingles.shingles("a b c d", 3).toSeq)
+    assert(r.getSeq[String](3) == Seq("a b", "b c", "c d"))
+  }
+
+  test("SQL functions compose with table queries") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    val rows = spark.sql(
+      "SELECT doc_id, graft_polyhash(text) AS fp FROM docs_ext LIMIT 5").collect()
+    rows.foreach { row =>
+      assert(row.getAs[Long]("fp") >= 0)
+    }
+    // spot-check one against the kernel
+    val one = spark.sql(
+      "SELECT text, graft_polyhash(text) AS fp FROM docs_ext WHERE doc_id = 0").collect()(0)
+    assert(one.getAs[Long]("fp") == PolyHash.hash(one.getString(0), 31, 1000000007L))
+  }
+}
