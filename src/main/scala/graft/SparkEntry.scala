@@ -50,6 +50,8 @@ object SparkEntry {
     "eval_recall"         -> Search.evalRecall _,
     "eval_compare"        -> Search.evalCompare _,
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
+    "chunk_preview"       -> Chunking.chunkPreview _,
+    "search_preview"      -> Search.searchPreview _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -448,5 +450,17 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0
         |       THEN round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) END AS duration_s
         |FROM documents""".stripMargin,
+
+    "chunk_preview" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 5),
+        |e AS (SELECT doc_id, text, t.j AS j
+        |      FROM d, UNNEST(range(CASE WHEN n <= 50 THEN 1 ELSE 1 + (n - 11) // 40 END)) AS t(j))
+        |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,
+        |  doc_id, j,
+        |  substr(text, CAST(j * 40 + 1 AS INT), 50) AS chunk,
+        |  length(substr(text, CAST(j * 40 + 1 AS INT), 50)) AS chunk_len
+        |FROM e""".stripMargin,
+
+    "search_preview" -> graft.operators.Search.searchPreviewOracleSql(bm25Ctes),
   )
 }

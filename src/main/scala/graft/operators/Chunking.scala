@@ -24,18 +24,25 @@ object Chunking {
   val Overlap = 20
   val Step: Int = Size - Overlap
 
+  // chunk_preview params (reference api/chunk_preview.py: try params on a
+  // small sample before building).
+  val PreviewSize = 50
+  val PreviewOverlap = 10
+  val PreviewDocs = 5
+
   /** Fixed-size char windows with overlap as columns only.
     * Window starts are 0, step, 2*step, …; the reference loop
     * (chunker.py:14-21) emits `1 + ceil((n-size)/step)` chunks for n > size,
     * which in exact integer form is `1 + (n - size + step - 1) div step`.
     */
-  def chunkFixedDf(docs: DataFrame): DataFrame = {
+  def chunkFixedDf(docs: DataFrame, size: Int = Size, overlap: Int = Overlap): DataFrame = {
+    val step = size - overlap
     val n = length(col("text"))
-    val nchunks = when(n <= Size, lit(1L))
-      .otherwise(lit(1L) + ((n - Size + (Step - 1)).cast("long")) / Step cast "long")
+    val nchunks = when(n <= size, lit(1L))
+      .otherwise(lit(1L) + ((n - size + (step - 1)).cast("long")) / step cast "long")
     docs
       .withColumn("j", explode(sequence(lit(0L), nchunks - 1)))
-      .withColumn("chunk", substring(col("text"), (col("j") * Step + 1).cast("int"), lit(Size)))
+      .withColumn("chunk", substring(col("text"), (col("j") * step + 1).cast("int"), lit(size)))
       .withColumn("chunk_id", concat_ws("#", col("doc_id").cast("string"), col("j").cast("string")))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
@@ -43,6 +50,17 @@ object Chunking {
   /** SURVEY §2 `chunk_fixed`: chunk every document, id = `{doc}#{j}`. */
   def chunkFixed(spark: SparkSession, dir: String): DataFrame =
     chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
+
+  /** `chunk_preview` (reference `api/chunk_preview.py`): try alternative
+    * chunking params on a small sample of documents — same column program
+    * with (size=50, overlap=10) over doc_id < 5.
+    */
+  def chunkPreview(spark: SparkSession, dir: String): DataFrame =
+    chunkFixedDf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < PreviewDocs),
+      PreviewSize, PreviewOverlap)
       .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
 
   private def chunkUdfQuery(spark: SparkSession, dir: String,

@@ -40,12 +40,15 @@ object Search {
     * with doc_id tiebreak (same as oracle).
     */
   def bm25Ranked(spark: SparkSession, dir: String): DataFrame = {
-    val terms = docTerms(spark, dir)
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // One explode + one (doc, term) shuffle; dl/df/avgdl all derive from
+    // the tf frame, so the corpus is scanned and shuffled exactly once.
+    val tfAll = docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("f")).as("dl"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf over the WHOLE vocabulary (needed for BM25Okapi's epsilon floor:
     // negative idf -> 0.25 * mean(idf over vocab)).
     val idfRaw = df.crossJoin(broadcast(stats))
@@ -60,8 +63,7 @@ object Search {
       .withColumn("idf",
         when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf")).otherwise(col("idf_raw")))
       .select(col("term"), col("idf"))
-    val tf = terms.filter(col("term").isInCollection(qTerms))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+    val tf = tfAll.filter(col("term").isInCollection(qTerms))
     val perTerm = tf
       .join(broadcast(idf), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -74,6 +76,47 @@ object Search {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rk"), col("doc_id"), col("score"))
+  }
+
+  val PreviewLen = 220
+  val MaxHitsPerTerm = 8
+
+  /** `search_preview` (reference `api/answerless_search.py:139-163`):
+    * the BM25 top-k joined back to documents with the reference's preview
+    * slice (first 220 chars + '…' when longer) and per-query-term
+    * word-boundary highlight hit counts inside the preview, capped at 8
+    * per term. Narrow join of the tiny top-k against the docs scan.
+    */
+  def searchPreview(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val preview = when(length(col("text")) > PreviewLen,
+        concat(substring(col("text"), 1, PreviewLen), lit("…")))
+      .otherwise(col("text"))
+    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
+    val hitCols = qTerms.map(t =>
+      least(lit(MaxHitsPerTerm.toLong),
+        regexp_count(col("preview"), lit(s"(?i)\\b$t\\b")).cast("long")).as(s"hits_$t"))
+    bm25TopK(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .withColumn("preview", preview)
+      .select(Seq(col("rk"), col("doc_id"), col("score"), col("preview")) ++ hitCols: _*)
+  }
+
+  /** DuckDB oracle for search_preview, generated from the same constants. */
+  def searchPreviewOracleSql(bm25Ctes: String): String = {
+    val hitExprs = QueryText.toLowerCase.split("\\s+").map(t =>
+      s"least(8, len(regexp_extract_all(preview, '\\b$t\\b', 0, 'i'))) AS hits_$t")
+      .mkString(",\n  ")
+    s"""WITH $bm25Ctes,
+       |topd AS (SELECT rk, bmr.doc_id, score, text
+       |         FROM bmr JOIN documents d ON bmr.doc_id = d.doc_id WHERE rk <= 10),
+       |pv AS (SELECT rk, doc_id, score,
+       |         CASE WHEN length(text) > 220 THEN substr(text, 1, 220) || '…'
+       |              ELSE text END AS preview
+       |       FROM topd)
+       |SELECT rk, doc_id, score, preview,
+       |  $hitExprs
+       |FROM pv""".stripMargin
   }
 
   val RrfK = 60
