@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision — the native codegen'd
+    * [[graft.functions.DotF32]] kernel (the HOF
+    * `aggregate(zip_with(...))` form runs interpreted and was the
+    * innermost cost of every vector operator).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotF32.column(a, b)
 
   /** ‖a‖₂ in double precision. */
   def norm(a: Column): Column = sqrt(dot(a, a))

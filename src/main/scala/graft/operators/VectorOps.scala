@@ -88,8 +88,15 @@ object VectorOps {
     (assigned, cdf)
   }
 
+  // The fit is deterministic (fixed seed) and eager, so memoize it per
+  // (session, dir): ivf_build / ivf_search / ann_ivf in one run share one
+  // k-means fit instead of three.
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+
   def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    ivfCache.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
+      fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
 
   /** SURVEY §2 `ivf_build` (rows-only): cell assignment for every vector,
     * plus squared L2 distance to its centroid. Written partitioned-by-cell
