@@ -34,6 +34,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The testdata is one smallish file per table; the 128 MB default
+      // would scan each on a single core. At cluster scale this is sized
+      // to executor memory instead (SURVEY §4).
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
