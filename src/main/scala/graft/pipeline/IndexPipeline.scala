@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedder, VectorFunctions}
+import graft.index.IndexStore
+import graft.operators.Chunking
+import graft.sources.Readers
+
+/** The reference's end-to-end build flow
+  * (`/root/reference/app/ingest/pipeline.py:50-160`): read → normalize →
+  * chunk (ids `{doc}#{j}`) → embed → build index → manifest + versions —
+  * as one distributed job graph.
+  *
+  * Every step is a narrow map except the index write (and the k-means fit
+  * for IVF); nothing ever collects to the driver, so the same code runs at
+  * 100 TB: readers scale with splits, chunking/embedding with partitions,
+  * and the index lands partitioned-by-cell for pruned probes.
+  */
+object IndexPipeline {
+
+  case class Config(
+      name: String,
+      backend: String = "flat", // "flat" | "ivf"
+      chunkSize: Int = Chunking.Size,
+      chunkOverlap: Int = Chunking.Overlap,
+      dim: Int = Embedder.DefaultDim,
+      normalize: Boolean = true,
+      nlist: Int = graft.operators.VectorOps.NumCells,
+      nprobe: Int = graft.operators.VectorOps.NProbe)
+
+  /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors with the
+    * reference's `{doc}#{j}` chunk ids.
+    */
+  def vectorize(docs: DataFrame, cfg: Config): DataFrame = {
+    val chunks = Chunking.chunkFixedDf(
+        docs.select(col("doc_id"), col("text")), cfg.chunkSize, cfg.chunkOverlap)
+      .select(col("chunk_id").as("id"), col("chunk").as("text"))
+    Embedder.embed(chunks, cfg.dim, cfg.normalize)
+      .toDF().select(col("id"), col("vec"))
+  }
+
+  /** Full build: docs frame → persisted, versioned index. */
+  def build(docs: DataFrame, root: String, cfg: Config): IndexStore.Manifest =
+    IndexStore.build(
+      vectorize(docs, cfg), root, cfg.name, cfg.backend,
+      params = IndexStore.Params(cfg.nlist, cfg.nprobe),
+      chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+      model = "stub-hash-projection", normalize = cfg.normalize,
+      metric = "ip")
+
+  /** Build straight from a file (reference upload path): csv/json/parquet/
+    * text with a `text` column (and optional `doc_id`).
+    */
+  def buildFromFile(spark: SparkSession, path: String, format: String,
+                    root: String, cfg: Config): IndexStore.Manifest = {
+    val raw = Readers.read(spark, path, format)
+    val docs =
+      if (raw.columns.contains("doc_id")) raw
+      else raw.withColumn("doc_id", monotonically_increasing_id())
+    build(docs.select(col("doc_id"), col("text")), root, cfg)
+  }
+
+  /** Search a persisted index with a text query: embed the query with the
+    * same stub encoder, score by inner product (the reference's faiss
+    * metric), return top-k (id, score). The query vector is a one-row
+    * broadcast; a flat index scans fully (exact), an IVF index is probed
+    * cell-locally by the caller via [[IndexStore.probe]].
+    */
+  def search(spark: SparkSession, root: String, name: String,
+             query: String, k: Int, cfg: Config = Config("q"),
+             version: Option[String] = None): DataFrame = {
+    val qv = Embedder.encodeStub(query, cfg.dim, cfg.normalize)
+    val index = IndexStore.load(spark, root, name, version)
+    val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
+    index
+      .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("id"), col("score"))
+  }
+}

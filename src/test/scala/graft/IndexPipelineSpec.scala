@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexStore
+import graft.pipeline.IndexPipeline
+
+/** End-to-end reference workflow: read → chunk → embed → build → version →
+  * search → self-retrieval. The stub encoder is content-deterministic, so
+  * querying with a chunk's exact text must retrieve that chunk at rank 1
+  * with the maximal score.
+  */
+class IndexPipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("flat pipeline round-trips and self-retrieves at rank 1") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val cfg = IndexPipeline.Config(name = "e2e_flat", backend = "flat")
+    val manifest = IndexPipeline.build(docs, root, cfg)
+    assert(manifest.dim == cfg.dim && manifest.count > 0)
+    assert(manifest.model == "stub-hash-projection")
+
+    // query with an indexed chunk's own text -> that chunk is rank 1
+    val someChunk = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect()(7)
+    val hits = IndexPipeline.search(spark, root, "e2e_flat",
+      someChunk.getString(1), 5, cfg).collect()
+    assert(hits.head.getAs[String]("id") == someChunk.getString(0))
+    // normalized stub vectors: self inner product == 1 (6dp)
+    assert(math.abs(hits.head.getAs[Double]("score") - 1.0) < 1e-6)
+  }
+
+  test("ivf pipeline writes cell partitions and versions; search still works") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(40)
+    val cfg = IndexPipeline.Config(name = "e2e_ivf", backend = "ivf", nlist = 4)
+    IndexPipeline.build(docs, root, cfg)
+    val idx = IndexStore.load(spark, root, "e2e_ivf")
+    assert(idx.select("cell").distinct().count() > 1)
+    assert(IndexStore.versions(root, "e2e_ivf").length == 1)
+    val hits = IndexPipeline.search(spark, root, "e2e_ivf", "key agg row", 3, cfg)
+    assert(hits.count() == 3)
+  }
+
+  test("buildFromFile ingests a csv upload like the reference") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val f = Files.createTempFile("docs", ".csv")
+    Files.writeString(f,
+      "text\nthe quick brown fox jumps\npack my box with five dozen jugs\n")
+    val m = IndexPipeline.buildFromFile(spark, f.toString, "csv", root,
+      IndexPipeline.Config(name = "e2e_csv"))
+    assert(m.count == 2)
+    val hits = IndexPipeline.search(spark, root, "e2e_csv",
+      "the quick brown fox jumps", 1).collect()
+    assert(hits.head.getAs[Double]("score") > 0.999999)
+  }
+}
