@@ -162,27 +162,26 @@ object Search {
       .agg(min(col("o.vec_id")).as("expected_id"))
   }
 
-  /** Ranks of expected_id in a retriever's top-k per gold question:
-    * (q_id, expected_id, rank|null).
+  /** Rank of each gold question's expected id inside a retriever's result
+    * list. General library surface: `gold` is any (q_id, expected_id)
+    * frame (the reference's uploaded gold set), `retrieved` any
+    * (q_id, neighbor_id, rk) frame. Broadcast-friendly left join — gold is
+    * tiny by construction.
     */
-  private def goldRanks(spark: SparkSession, dir: String, metric: String): DataFrame = {
-    val e = VectorOps.embWithNorm(spark, dir)
-    val hits = VectorOps.topK(e, e.filter(col("vec_id") < NGold), EvalK, metric)
-    gold(spark, dir).as("g")
-      .join(hits.as("h"),
+  def goldRanksFor(gold: DataFrame, retrieved: DataFrame): DataFrame =
+    gold.as("g")
+      .join(retrieved.as("h"),
         col("h.q_id") === col("g.q_id") && col("h.neighbor_id") === col("g.expected_id"),
         "left")
       .select(col("g.q_id").as("q_id"), col("g.expected_id").as("expected_id"),
         col("h.rk").as("rank"))
-  }
 
-  /** SURVEY §2 `eval_recall`: recall@k + MRR + binary-relevance NDCG of the
-    * cosine retriever vs the gold set. With a single relevant id per query
-    * the per-query NDCG reduces to 1/log2(rank+1) (ideal DCG = 1), matching
-    * sklearn's binary ndcg_score as the reference uses it.
+  /** recall@k / MRR / binary NDCG over a (q_id, expected_id, rank|null)
+    * frame — the reference's metric block (eval_api.py:206-263) as one
+    * aggregation.
     */
-  def evalRecall(spark: SparkSession, dir: String): DataFrame =
-    goldRanks(spark, dir, "cos").agg(
+  def evalMetrics(ranks: DataFrame, k: Int): DataFrame =
+    ranks.agg(
         count(lit(1)).as("total"),
         round(sum(when(col("rank").isNotNull, 1).otherwise(0)).cast("double") /
           count(lit(1)).cast("double"), 6).as("recall_at_k"),
@@ -192,8 +191,22 @@ object Search {
         round(sum(when(col("rank").isNotNull,
             lit(1.0) / log2(col("rank").cast("double") + 1.0)).otherwise(0.0)) /
           count(lit(1)).cast("double"), 6).as("ndcg"))
-      .withColumn("k", lit(EvalK.toLong))
+      .withColumn("k", lit(k.toLong))
       .select(col("k"), col("total"), col("recall_at_k"), col("mrr"), col("ndcg"))
+
+  private def goldRanks(spark: SparkSession, dir: String, metric: String): DataFrame = {
+    val e = VectorOps.embWithNorm(spark, dir)
+    val hits = VectorOps.topK(e, e.filter(col("vec_id") < NGold), EvalK, metric)
+    goldRanksFor(gold(spark, dir), hits)
+  }
+
+  /** SURVEY §2 `eval_recall`: recall@k + MRR + binary-relevance NDCG of the
+    * cosine retriever vs the gold set. With a single relevant id per query
+    * the per-query NDCG reduces to 1/log2(rank+1) (ideal DCG = 1), matching
+    * sklearn's binary ndcg_score as the reference uses it.
+    */
+  def evalRecall(spark: SparkSession, dir: String): DataFrame =
+    evalMetrics(goldRanks(spark, dir, "cos"), EvalK)
 
   /** SURVEY §2 `eval_compare`: left (cosine) vs right (inner-product)
     * retriever on the same gold set; per-question rank delta with the

@@ -73,6 +73,35 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("evalMetrics computes known values on a hand-built ranks frame") {
+    val s = spark
+    import s.implicits._
+    // 4 queries: ranks 1, 2, miss, 5 -> recall 0.75, mrr (1+0.5+0.2)/4,
+    // ndcg (1 + 1/log2(3) + 1/log2(6))/4
+    val ranks = Seq(
+      (1L, 10L, Some(1L)), (2L, 20L, Some(2L)),
+      (3L, 30L, None: Option[Long]), (4L, 40L, Some(5L)))
+      .toDF("q_id", "expected_id", "rank")
+    val r = Search.evalMetrics(ranks, 5).collect()(0)
+    assert(r.getAs[Long]("total") == 4)
+    assert(math.abs(r.getAs[Double]("recall_at_k") - 0.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mrr") - (1.0 + 0.5 + 0.2) / 4.0) < 1e-6)
+    val wantNdcg = (1.0 + 1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(6) / math.log(2))) / 4.0
+    assert(math.abs(r.getAs[Double]("ndcg") - wantNdcg) < 1e-6)
+  }
+
+  test("goldRanksFor joins arbitrary gold against arbitrary retrieval lists") {
+    val s = spark
+    import s.implicits._
+    val gold = Seq((1L, 100L), (2L, 200L)).toDF("q_id", "expected_id")
+    val retrieved = Seq((1L, 100L, 3L), (1L, 101L, 1L), (2L, 999L, 1L))
+      .toDF("q_id", "neighbor_id", "rk")
+    val ranks = Search.goldRanksFor(gold, retrieved).collect()
+      .map(r => r.getAs[Long]("q_id") -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(ranks(1L).contains(3L))
+    assert(ranks(2L).isEmpty)
+  }
+
   test("eval_recall metrics match a replica computed from raw embeddings") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
