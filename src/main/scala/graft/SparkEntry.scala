@@ -25,6 +25,7 @@ object SparkEntry {
     "q_window_topk"       -> Relational.qWindowTopk _,
     "q_events_window"     -> Relational.qEventsWindow _,
     "q_events_sessionize" -> Relational.qEventsSessionize _,
+    "q_events_enrich"     -> Relational.qEventsEnrich _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -208,6 +209,16 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s
         |GROUP BY user_id, session_id""".stripMargin,
+
+    "q_events_enrich" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     "doc_normalize" ->
       """SELECT doc_id,

@@ -148,6 +148,24 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Semi-structured enrichment: parse the JSON `props` payload
+    * (get_json_object is codegen'd — no UDF, no full json4s parse), bucket
+    * the extracted key, aggregate per (event_type, bucket). Narrow parse +
+    * one shuffle; at scale the JSON never leaves the executor as anything
+    * but the extracted column.
+    */
+  def qEventsEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"), (col("k") / 10).cast("long").as("k_decile"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum over a
     * per-user window. One shuffle on user_id; state per user is a single
     * pass — the same shape Structured Streaming's session windows use.

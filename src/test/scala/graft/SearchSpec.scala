@@ -102,6 +102,41 @@ class SearchSpec extends SparkSpec {
     assert(ranks(2L).isEmpty)
   }
 
+  test("eval_compare counts match a two-retriever replica") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def score(a: Array[Float], b: Array[Float], dot: Boolean): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (dot) d else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rankOf(qid: Long, qv: Array[Float], expected: Long, dot: Boolean): Option[Long] = {
+      val top = emb.filter(_._1 != qid)
+        .map(o => (o._1, BigDecimal(score(qv, o._2, dot))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, sc) => (-sc, id) }.take(Search.EvalK)
+      val i = top.indexWhere(_._1 == expected)
+      if (i >= 0) Some(i + 1L) else None
+    }
+    val deltas = emb.filter(_._1 < Search.NGold).map { case (qid, qv, lab) =>
+      val expected = emb.filter(o => o._3 == lab && o._1 != qid).map(_._1).min
+      (rankOf(qid, qv, expected, dot = false), rankOf(qid, qv, expected, dot = true))
+    }.map {
+      case (None, None) => None
+      case (None, Some(_)) => Some(-999L)
+      case (Some(_), None) => Some(999L)
+      case (Some(l), Some(r)) => Some(r - l)
+    }
+    val row = Search.evalCompare(spark, dir).collect()(0)
+    assert(row.getAs[Long]("regressions_count") == deltas.count(d => d.exists(_ > 0)))
+    assert(row.getAs[Long]("improvements_count") == deltas.count(d => d.exists(_ < 0)))
+    assert(row.getAs[Long]("changed_count") == deltas.count(d => d.exists(_ != 0)))
+  }
+
   test("eval_recall metrics match a replica computed from raw embeddings") {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
