@@ -31,6 +31,7 @@ object SparkEntry {
     "text_langid"         -> TextOps.textLangid _,
     "text_quality"        -> TextOps.textQuality _,
     "text_fingerprint"    -> TextOps.textFingerprint _,
+    "text_vocab"          -> TextOps.textVocab _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
@@ -286,6 +287,17 @@ object SparkEntry {
         |              i -> CAST(ord(substr(lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007) END AS fp_norm
         |FROM documents""".stripMargin,
+
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc_id, term, count(*) AS f FROM toks GROUP BY 1, 2),
+        |v AS (SELECT term, sum(f) AS tf, count(*) AS df FROM pd GROUP BY 1),
+        |r AS (SELECT term, CAST(tf AS BIGINT) AS tf, df,
+        |        row_number() OVER (ORDER BY tf DESC, term) AS rk FROM v)
+        |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
 
     "chunk_fixed" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),

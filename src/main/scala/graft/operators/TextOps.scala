@@ -118,6 +118,24 @@ object TextOps {
   def fingerprint(c: Column): Column =
     graft.functions.PolyHash.column(c, FpBase, FpMod)
 
+  /** `text_vocab`: corpus vocabulary with collection frequency and
+    * document frequency, top-100 by (tf, term) — the input table for
+    * tokenizer/vocab construction in a training-data pipeline. One
+    * (doc,term) shuffle with map-side combine, then a tiny ranked head.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+    perDoc.groupBy(col("term"))
+      .agg(sum(col("f")).as("tf"), count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 100)
+      .select(col("rk"), col("term"), col("tf"), col("df"))
+  }
+
   /** SURVEY §2 `text_fingerprint`. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
