@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators._
+
+/** Plan contracts: the scale-critical physical-plan properties the README
+  * claims, asserted so a refactor can't silently regress them.
+  * (Executed plans need an action first — AQE finalizes join strategies at
+  * runtime — so each contract materializes to the noop sink, then asserts.)
+  */
+class PlanContractSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: all predicates reach the parquet scan; only needed columns read") {
+    val p = executedPlan(Relational.q6FilterAgg(spark, dir))
+    assert(p.contains("PushedFilters"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(p.contains(c), s"pushed filter on $c missing"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q5: every dimension join is broadcast; no sort-merge join") {
+    val p = executedPlan(Relational.q5NationRevenue(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension join degraded to sort-merge")
+  }
+
+  test("knn: the query side is broadcast, the corpus is never shuffled pre-join") {
+    val p = executedPlan(VectorOps.knnBruteforce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the only Exchange allowed is the per-query window rank
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(": +- Exchange"))
+    assert(exchanges <= 1, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("chunk_fixed is a pure narrow map: zero exchanges") {
+    val p = executedPlan(Chunking.chunkFixed(spark, dir))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("text ops read only the columns they use") {
+    val p = executedPlan(TextOps.textTokens(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "scan reads unused document columns")
+  }
+
+  test("native expressions appear in the plan (no HOF fallback)") {
+    val p = executedPlan(TextOps.textFingerprint(spark, dir))
+    assert(p.contains("graft_polyhash"))
+    val q = executedPlan(Dedup.dedupNgram(spark, dir))
+    assert(q.contains("graft_word_shingles"))
+  }
+}
