@@ -32,14 +32,21 @@ object Search {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.wsTokens(col("text"))).as("term"))
 
-  /** SURVEY §2 `bm25_topk`: top-10 of the full ranking. */
+  /** SURVEY §2 `bm25_topk`: top-10 of the ranking. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25Ranked(spark, dir).filter(col("rk") <= BmK)
+    bm25Top(spark, dir, BmK)
 
-  /** Per-doc BM25 scores for the fixed query; rank on 6dp-rounded score
-    * with doc_id tiebreak (same as oracle).
+  /** Distributed top-k of the BM25 ranking: TakeOrdered on the
+    * (6dp-rounded score, doc_id) total order — never a global window over
+    * the corpus (graft.functions.Ranking).
     */
-  def bm25Ranked(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Top(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.functions.Ranking.topK(
+        bm25Scored(spark, dir), k, col("score").desc, col("doc_id"))
+      .select(col("rk"), col("doc_id"), col("score"))
+
+  /** Per-doc BM25 scores for the fixed query (unranked). */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     // One explode + one (doc, term) shuffle; dl/df/avgdl all derive from
     // the tf frame, so the corpus is scanned and shuffled exactly once.
     val tfAll = docTerms(spark, dir)
@@ -73,9 +80,6 @@ object Search {
           (col("f").cast("double") +
             lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))))
     perTerm.groupBy(col("doc_id")).agg(round(sum(col("ts")), 6).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(col("rk"), col("doc_id"), col("score"))
   }
 
   val PreviewLen = 220
@@ -134,14 +138,12 @@ object Search {
     val e = VectorOps.embWithNorm(spark, dir)
     val vec = VectorOps.topK(e, e.filter(col("vec_id") === RrfQueryVec), RrfListLen, "cos")
       .select(col("neighbor_id").as("id"), col("rk"))
-    val bm = bm25Ranked(spark, dir).filter(col("rk") <= RrfListLen)
+    val bm = bm25Top(spark, dir, RrfListLen)
       .select(col("doc_id").as("id"), col("rk"))
-    vec.unionByName(bm)
+    val fused = vec.unionByName(bm)
       .withColumn("contrib", lit(1.0) / (lit(RrfK).cast("double") + col("rk").cast("double")))
       .groupBy(col("id")).agg(sum(col("contrib")).as("rrf"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
-      .filter(col("rk") <= RrfOut)
+    graft.functions.Ranking.topK(fused, RrfOut, col("rrf").desc, col("id"))
       .select(col("rk"), col("id"), round(col("rrf"), 6).as("rrf_score"))
   }
 

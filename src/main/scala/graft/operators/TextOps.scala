@@ -127,12 +127,9 @@ object TextOps {
     val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
-    perDoc.groupBy(col("term"))
+    val vocab = perDoc.groupBy(col("term"))
       .agg(sum(col("f")).as("tf"), count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("tf").desc, col("term"))).cast("long"))
-      .filter(col("rk") <= 100)
+    graft.functions.Ranking.topK(vocab, 100, col("tf").desc, col("term"))
       .select(col("rk"), col("term"), col("tf"), col("df"))
   }
 

@@ -75,11 +75,9 @@ object IndexPipeline {
     val qv = Embedder.encodeStub(query, cfg.dim, cfg.normalize)
     val index = IndexStore.load(spark, root, name, version)
     val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
-    index
+    val scored = index
       .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("id"))))
-      .filter(col("rk") <= k)
-      .select(col("rk").cast("long").as("rk"), col("id"), col("score"))
+    graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
+      .select(col("rk"), col("id"), col("score"))
   }
 }

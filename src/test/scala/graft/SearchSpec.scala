@@ -59,8 +59,7 @@ class SearchSpec extends SparkSpec {
     val vec = graft.operators.VectorOps
       .topK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") === 0L), 20, "cos")
       .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rk")))
-    val bm = Search.bm25Ranked(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("rk") <= 20)
+    val bm = Search.bm25Top(spark, dir, 20)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
     val fused = (vec ++ bm).groupBy(_._1)
       .map { case (id, xs) => id -> xs.map(x => 1.0 / (60.0 + x._2)).sum }
