@@ -192,6 +192,77 @@ object WordShingles {
     Bridge.column(WordShingles(Bridge.expression(c), n))
 }
 
+/** MinHash LSH band keys straight from text, one JVM pass: tokens →
+  * distinct 3-gram shingles → rolling-hash ids → `numHashes` affine
+  * min-hashes → `bands` comma-joined band keys. Fusing the chain into one
+  * kernel removes every intermediate array allocation and interpreted
+  * lambda hop (the remaining cost of dedup_minhash after WordShingles).
+  * Math is identical to the composed column program and to the generated
+  * DuckDB oracle (constants come from [[MinHashConf]], the single source
+  * of truth). Empty shingle set → empty array (doc drops out on explode).
+  */
+case class MinHashBandKeys(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val keys = MinHashConf.bandKeys(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(keys.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** MinHash constants + kernel — shared by the Spark expression and the
+  * generated DuckDB oracle SQL so they cannot drift.
+  */
+object MinHashConf {
+  val P = 2147483647L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => 1000003L * i + 16777619L)
+  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => 999983L * i + 40503L)
+
+  def bandKeys(text: String): Array[String] = {
+    val sh = WordShingles.shingles(text, 3)
+    if (sh.isEmpty) return Array.empty
+    val sigs = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = PolyHash.hash(sh(i), 31, 1000000007L)
+      var j = 0
+      while (j < NumHashes) {
+        val v = (h * HashA(j) + HashB(j)) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    Array.tabulate(Bands) { b =>
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < RowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sigs(b * RowsPerBand + r))
+        r += 1
+      }
+      sb.toString
+    }
+  }
+
+  def column(c: Column): Column =
+    Bridge.column(MinHashBandKeys(Bridge.expression(c)))
+}
+
 object PolyHash {
   def hash(s: String, base: Long, mod: Long): Long = {
     var acc = 0L

@@ -69,19 +69,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  // ---- MinHash + LSH (constants shared with the generated DuckDB oracle) --
-  val MinhashP = 2147483647L
-  val NumHashes = 16
-  val Bands = 4
-  val RowsPerBand = 4
+  // ---- MinHash + LSH (constants live in functions.MinHashConf, shared by
+  // the native kernel and the generated DuckDB oracle) --------------------
+  val MinhashP: Long = graft.functions.MinHashConf.P
+  val NumHashes: Int = graft.functions.MinHashConf.NumHashes
+  val Bands: Int = graft.functions.MinHashConf.Bands
+  val RowsPerBand: Int = graft.functions.MinHashConf.RowsPerBand
+  val HashA: IndexedSeq[Long] = graft.functions.MinHashConf.HashA
+  val HashB: IndexedSeq[Long] = graft.functions.MinHashConf.HashB
 
   /** Stop-bucket cap: buckets larger than this are degenerate (a shared
     * boilerplate shingle, not near-duplication) and would blow up the pair
     * count quadratically at scale — drop them, as production LSH dedup does.
     */
   val MaxBucketSize = 100
-  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => 1000003L * i + 16777619L)
-  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => 999983L * i + 40503L)
 
   /** SURVEY §2 `dedup_minhash`: 16 deterministic affine min-hashes over
     * rolling-hash shingle ids, banded 4×4; candidate pairs share ≥1 band
@@ -89,22 +90,13 @@ object Dedup {
     * on (band, bucket) — at 100 TB oversized buckets get salted (SURVEY §4).
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => TextOps.fingerprint(s)))
-    // All 16 signatures + 4 band keys as ONE expression tree: projection
-    // collapse would otherwise inline `hs` into every sig{i} reference and
-    // recompute the shingle+hash pipeline ~32x per row.
-    val abPairs = array((0 until NumHashes).map(i =>
-      struct(lit(HashA(i)).as("a"), lit(HashB(i)).as("b"))): _*)
-    val sigs = transform(abPairs, p =>
-      array_min(transform(col("hs"), h =>
-        (h * p.getField("a") + p.getField("b")) % MinhashP)))
-    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)), j =>
-      concat_ws(",", transform(
-        slice(sigs, j * RowsPerBand + 1, lit(RowsPerBand)), s => s.cast("string"))))
-    val banded = docs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    // Signatures + band keys come from ONE native kernel
+    // (functions.MinHashBandKeys): shingles → rolling hashes → 16 affine
+    // mins → 4 keys in a single JVM pass, no intermediate arrays. Docs
+    // without shingles produce an empty array and drop out on the explode.
+    val banded = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
     // Group per bucket instead of self-joining: a self-join would execute
     // the signature pipeline once per side (verified in the plan), and the
     // bucket view is where degenerate buckets get dropped (`MaxBucketSize`
