@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash (Rabin–Karp): fold over code points of
@@ -190,6 +190,62 @@ object WordShingles {
 
   def column(c: Column, n: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+}
+
+/** Per-document term frequencies as a `map<string,bigint>` in one JVM
+  * pass over `lower().split()` tokens. This is the map-side pre-aggregation
+  * for BM25: exploding the map yields already-counted (term, f) rows, so
+  * the corpus-sized (doc, term) shuffle disappears — only per-term corpus
+  * stats (small) ever shuffle. First-occurrence key order (deterministic).
+  */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val counts = TermCounts.counts(input.asInstanceOf[UTF8String].toString)
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = UTF8String.fromString(e.getKey)
+      vals(i) = e.getValue
+      i += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  private val Ws = "\\s+".r.pattern
+
+  def counts(text: String): java.util.LinkedHashMap[String, java.lang.Long] = {
+    val out = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val t = text.trim
+    if (t.isEmpty) return out
+    val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT))
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (w.nonEmpty) out.merge(w, 1L, (a, b) => a + b)
+      i += 1
+    }
+    out
+  }
+
+  def column(c: Column): Column =
+    Bridge.column(TermCounts(Bridge.expression(c)))
 }
 
 /** MinHash LSH band keys straight from text, one JVM pass: tokens →

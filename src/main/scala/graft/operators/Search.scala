@@ -27,11 +27,6 @@ object Search {
   val QueryText = "table hash value merge spark"
   val BmK = 10
 
-  /** Exploded (doc_id, term) with multiplicity, python lower().split(). */
-  private def docTerms(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.wsTokens(col("text"))).as("term"))
-
   /** SURVEY §2 `bm25_topk`: top-10 of the ranking. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25Top(spark, dir, BmK)
@@ -45,17 +40,24 @@ object Search {
         bm25Scored(spark, dir), k, col("score").desc, col("doc_id"))
       .select(col("rk"), col("doc_id"), col("score"))
 
-  /** Per-doc BM25 scores for the fixed query (unranked). */
+  /** Per-doc BM25 scores for the fixed query (unranked). The native
+    * [[graft.functions.TermCounts]] kernel pre-aggregates term frequencies
+    * per document, so the corpus-sized (doc, term) shuffle disappears:
+    * the only shuffles left are the per-term df agg (vocabulary-sized) and
+    * the per-doc score agg over query-matching rows only.
+    */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    // One explode + one (doc, term) shuffle; dl/df/avgdl all derive from
-    // the tf frame, so the corpus is scanned and shuffled exactly once.
-    val tfAll = docTerms(spark, dir)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
-    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("f")).as("dl"))
-    val stats = dl.agg(
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TermCounts.column(col("text")).as("tc"))
+      .withColumn("dl", aggregate(map_values(col("tc")), lit(0L), (a, v) => a + v))
+      .filter(col("dl") > 0)
+    val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val df = tfAll.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = perDoc.select(explode(map_keys(col("tc"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfAll = perDoc.select(col("doc_id"), col("dl"),
+      explode(col("tc")).as(Seq("term", "f")))
     // idf over the WHOLE vocabulary (needed for BM25Okapi's epsilon floor:
     // negative idf -> 0.25 * mean(idf over vocab)).
     val idfRaw = df.crossJoin(broadcast(stats))
@@ -73,7 +75,6 @@ object Search {
     val tf = tfAll.filter(col("term").isInCollection(qTerms))
     val perTerm = tf
       .join(broadcast(idf), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("ts",
         col("idf") * (col("f").cast("double") * lit(K1 + 1.0)) /

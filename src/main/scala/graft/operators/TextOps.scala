@@ -124,9 +124,11 @@ object TextOps {
     * (doc,term) shuffle with map-side combine, then a tiny ranked head.
     */
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    // TermCounts pre-aggregates per doc, so exploding yields one row per
+    // distinct (doc, term) — no corpus-sized shuffle before the term agg.
     val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts.column(col("text"))).as(Seq("term", "f")))
     val vocab = perDoc.groupBy(col("term"))
       .agg(sum(col("f")).as("tf"), count(lit(1)).as("df"))
     graft.functions.Ranking.topK(vocab, 100, col("tf").desc, col("term"))
