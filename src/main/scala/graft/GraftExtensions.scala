@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{PolyHash, WordShingles}
+import graft.functions.{MinHashBandKeys, PolyHash, TermCounts, WordShingles}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -51,7 +51,17 @@ object GraftExtensions {
       polyHashBuilder),
     ("graft_word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
-      shinglesBuilder))
+      shinglesBuilder),
+    ("graft_term_counts",
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      { case Seq(s) => TermCounts(s)
+        case args => throw new IllegalArgumentException(
+          s"graft_term_counts expects 1 argument, got ${args.length}") }),
+    ("graft_minhash_bands",
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "graft_minhash_bands"),
+      { case Seq(s) => MinHashBandKeys(s)
+        case args => throw new IllegalArgumentException(
+          s"graft_minhash_bands expects 1 argument, got ${args.length}") }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
