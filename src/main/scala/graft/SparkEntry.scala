@@ -39,6 +39,7 @@ object SparkEntry {
     "chunk_histogram"     -> Chunking.chunkHistogram _,
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram"         -> Dedup.dedupNgram _,
+    "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash"       -> Dedup.dedupMinhash _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
@@ -110,6 +111,36 @@ object SparkEntry {
        |bmr AS (SELECT round(s, 6) AS score, doc_id,
        |          row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk FROM sc)""".stripMargin
   }
+
+  /** CTE chain producing the n-gram near-dup `pairs(doc_a, doc_b,
+    * jaccard)`, shared by dedup_ngram and dedup_clusters.
+    */
+  private def ngramCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(toks) - 1), i ->
+      |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
+      |  FROM t),
+      |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM f),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM f),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id
+      |  JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= 0.05)""".stripMargin
 
   /** Gold-set CTE (q_id → expected_id) mirroring [[graft.operators.Search]]. */
   private def goldCte: String =
@@ -362,30 +393,20 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |         ELSE list_transform(range(1, len(toks) - 1), i ->
-        |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
-        |  FROM t),
-        |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-        |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM f),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM f),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sz sa ON doc_a = sa.doc_id
-        |JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= 0.05""".stripMargin,
+      s"""WITH $ngramCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc AS a, doc AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
+         |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
 

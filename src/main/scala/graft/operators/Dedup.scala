@@ -197,6 +197,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** `dedup_clusters`: connected components over the n-gram near-dup
+    * graph — the step that turns candidate PAIRS into KEEP/DROP decisions
+    * (one canonical doc per duplicate cluster, rep = min doc_id).
+    *
+    * Min-label propagation to fixpoint. The iteration count is bounded by
+    * the component diameter; near-dup clusters are small and dense, so
+    * this converges in a couple of rounds, and each round joins only the
+    * (tiny) pair graph — the corpus never enters the loop. The driver-side
+    * loop is control flow only; all data stays distributed.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id2")).agg(min(col("rep")).as("nrep"))
+      val updated = labels.join(viaNeighbors, labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .cache()
+      val changed = updated.as("u").join(labels.as("l"), Seq("doc_id"))
+        .filter(col("u.rep") =!= col("l.rep")).count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"),
+      (col("doc_id") === col("rep")).as("keep"))
+  }
+
   val EmbeddingCosThreshold = 0.35
 
   /** SURVEY §2 `dedup_embedding`: exact cosine near-dup pairs ≥ τ. This is

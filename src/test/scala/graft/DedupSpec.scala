@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
       s"missed near-dups: ${nearDups -- cand}")
   }
 
+  test("dedup_clusters equals a union-find over the near-dup pairs") {
+    val pairs = Dedup.dedupNgram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(d => d -> find(d)).toMap
+    val got = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Boolean]("keep"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (d, (rep, keep)) =>
+      assert(rep == want(d), s"doc $d")
+      assert(keep == (d == rep))
+    }
+    // exactly one keeper per cluster
+    assert(got.values.count(_._2) == want.values.toSet.size)
+  }
+
   test("dedup_simhash pairs are within the hamming budget and symmetric-free") {
     val rows = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
