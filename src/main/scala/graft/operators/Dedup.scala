@@ -209,11 +209,16 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions
+    // undirected edge list, both directions; materialized once — every
+    // iteration joins against this, never against the corpus
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(true)
+    // Each round MUST truncate lineage (localCheckpoint): chaining the
+    // update plan across rounds grows it exponentially and OOMs the
+    // driver/executors at scale (observed at sf0.1 with plain cache()).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -222,9 +227,10 @@ object Dedup {
       val updated = labels.join(viaNeighbors, labels("doc_id") === col("doc_id2"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated.as("u").join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.rep") =!= col("l.rep")).count()
+      labels.unpersist(blocking = false)
       labels = updated
       converged = changed == 0
       rounds += 1
