@@ -35,6 +35,23 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop later arrivals with the same content
+    * fingerprint (graft_polyhash of normalized text). State is the set of
+    * seen fingerprints, bounded by the watermark: a duplicate arriving
+    * within `withinMinutes` of the original is dropped, older state is
+    * evicted. This is the streaming form of the batch `dedup_exact`
+    * operator — the continuous-ingest path of a training-data pipeline.
+    */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame,
+                  withinMinutes: Int = 60): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withColumn("fp", graft.functions.PolyHash.column(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .dropDuplicates("fp")
+  }
+
   /** Gap-based sessionization. A session closes when the event-time
     * watermark passes its end + gap (EventTimeTimeout), at which point it
     * is emitted and its state evicted. Events inside one micro-batch are

@@ -63,6 +63,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops same-fingerprint docs across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(1), "hello world"), (2L, ts(2), "HELLO   world"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(3), "hello world"), (4L, ts(4), "something else"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted
+      // doc 2 normalizes to doc 1's fingerprint; doc 3 is a later dup
+      assert(kept.length == 2)
+      assert(kept.contains(4L))
+      assert(kept.exists(d => d == 1L || d == 2L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps within one batch") {
     val s = spark
     import s.implicits._
