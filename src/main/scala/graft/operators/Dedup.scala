@@ -50,6 +50,12 @@ object Dedup {
   /** SURVEY §2 `dedup_ngram`: word-3-gram Jaccard pairs ≥ τ. Shuffle is
     * keyed on the shingle (SURVEY §4) so only docs sharing a shingle ever
     * meet; Jaccard from distinct-shingle counts: |∩| / (|A|+|B|−|∩|).
+    *
+    * This is the EXACT form: a very common shingle amplifies the join
+    * quadratically, so at 100 TB this runs as the VERIFY stage over
+    * [[dedupMinhash]]'s banded candidates (whose stop-bucket cap bounds
+    * the blowup), not over the raw shingle join — same scoring, candidate
+    * generation swapped.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
