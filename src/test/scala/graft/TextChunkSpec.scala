@@ -35,6 +35,15 @@ class TextChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkFixed reconstruction: dropping the overlap re-yields the text") {
+    for (n <- Seq(1, 42, 99, 100, 101, 179, 180, 181, 500)) {
+      val text = (0 until n).map(i => ('a' + i % 26).toChar).mkString
+      val chunks = TextChunk.chunkFixed(text, 100, 20)
+      val rebuilt = chunks.head + chunks.tail.map(_.drop(20)).mkString
+      assert(rebuilt == text, s"n=$n")
+    }
+  }
+
   test("chunkSentences greedy pack with tail overlap") {
     val text = "One two. Three four. Five six seven eight."
     // size 20: "One two." (8) + "Three four." (11) packs to exactly 20;
