@@ -143,21 +143,43 @@ object VectorOps {
         col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** Vectors with multi-probe cell assignment: each vector participates in
+    * its `r` nearest cells (by centroid L2), so near-boundary pairs that a
+    * single-cell assignment would separate still meet. 2× the join rows
+    * for a large recall gain — the standard IVF recall/cost dial.
+    */
+  val AssignProbes = 2
+
   /** SURVEY §2 `ann_ivf` (rows-only): the 100 TB scale path for
-    * embedding near-dup — vectors only meet inside their IVF cell, so the
-    * pair join is cell-local (shuffle keyed on cell), never n².
-    * Same τ as dedup_embedding; recall < 1 by construction (cross-cell
-    * pairs are missed) — that's the ANN trade.
+    * embedding near-dup — pairs meet only inside a shared IVF cell, so
+    * the join is cell-local (shuffle keyed on cell), never n². Multi-probe
+    * assignment (r=2) recovers near-boundary pairs; recall < 1 remains by
+    * construction — that's the ANN trade. Same τ as dedup_embedding.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, _) = fitIvf(spark, dir)
-    val e = assigned.withColumn("nrm", norm(col("embedding")))
+    val (assigned0, cdf) = fitIvf(spark, dir)
+    val multi = assigned0.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("d2",
+        aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("crk") <= AssignProbes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val e = multi.withColumn("nrm", norm(col("embedding")))
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("c",
-        cosinePre(dot(col("a.embedding"), col("b.embedding")), col("a.nrm"), col("b.nrm")))
-      .filter(col("c") >= Dedup.EmbeddingCosThreshold)
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
-        round(col("c"), 6).as("cos_sim"))
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      // a pair can share both probed cells; duplicate rows carry identical
+      // payloads, so key the dedup on the pair ids only
+      .dropDuplicates("vec_id_a", "vec_id_b")
+      .withColumn("c", cosinePre(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("c") >= Dedup.EmbeddingCosThreshold)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos_sim"))
   }
 }
