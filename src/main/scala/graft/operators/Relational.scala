@@ -127,7 +127,7 @@ object Relational {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("p_brand"), col("p_partkey"), col("p_name"),
               col("p_retailprice"), col("rk"))

@@ -28,9 +28,9 @@ class RelationalSpec extends SparkSpec {
     val byBrand = Relational.qWindowTopk(spark, dir).collect()
       .groupBy(_.getAs[String]("p_brand"))
     byBrand.foreach { case (_, rs) =>
-      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
-      assert(rks == (1 to rks.length))
-      val prices = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("p_retailprice")).toSeq
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length))
+      val prices = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("p_retailprice")).toSeq
       assert(prices == prices.sorted.reverse)
     }
   }
