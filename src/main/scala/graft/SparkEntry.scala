@@ -26,6 +26,7 @@ object SparkEntry {
     "q_events_window"     -> Relational.qEventsWindow _,
     "q_events_sessionize" -> Relational.qEventsSessionize _,
     "q_events_enrich"     -> Relational.qEventsEnrich _,
+    "q_events_sliding"    -> Relational.qEventsSliding _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -241,6 +242,17 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s
         |GROUP BY user_id, session_id""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS win_start, event_type, value FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+        |FROM w
+        |GROUP BY win_start, event_type""".stripMargin,
 
     "q_events_enrich" ->
       """SELECT event_type,

@@ -148,6 +148,22 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Sliding 1-hour window with a 30-minute slide (each event lands in two
+    * windows) — the batch form of the streaming sliding agg. Spark's
+    * `window(ts, '1 hour', '30 minutes')` replicates rows per window;
+    * one shuffle on (window, event_type).
+    */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Semi-structured enrichment: parse the JSON `props` payload
     * (get_json_object is codegen'd — no UDF, no full json4s parse), bucket
     * the extracted key, aggregate per (event_type, bucket). Narrow parse +
