@@ -48,6 +48,32 @@ class IndexPipelineSpec extends SparkSpec {
     assert(hits.count() == 3)
   }
 
+  test("eval surface over the pipeline: self-query gold has perfect recall") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(30)
+    val cfg = IndexPipeline.Config(name = "e2e_eval", backend = "flat")
+    IndexPipeline.build(docs, root, cfg)
+    val chunks = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect().take(10)
+    val retrieved = chunks.zipWithIndex.map { case (c, qi) =>
+      IndexPipeline.search(spark, root, "e2e_eval", c.getString(1), 5, cfg)
+        .withColumn("q_id", lit(qi.toLong))
+        .select(col("q_id"), col("id").as("neighbor_id"), col("rk"))
+    }.reduce(_ unionByName _)
+    val gold = chunks.zipWithIndex
+      .map { case (c, qi) => (qi.toLong, c.getString(0)) }.toSeq
+      .toDF("q_id", "expected_id")
+    val m = graft.operators.Search.evalMetrics(
+      graft.operators.Search.goldRanksFor(gold, retrieved), 5).collect()(0)
+    assert(m.getAs[Long]("total") == 10)
+    assert(m.getAs[Double]("recall_at_k") == 1.0)
+    assert(m.getAs[Double]("mrr") == 1.0) // every self-query ranks itself #1
+  }
+
   test("buildFromFile ingests a csv upload like the reference") {
     val root = Files.createTempDirectory("graft-pipe").toString
     val f = Files.createTempFile("docs", ".csv")

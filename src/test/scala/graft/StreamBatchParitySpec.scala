@@ -17,6 +17,35 @@ import graft.streaming.EventStream.{Event, SessionOut}
 class StreamBatchParitySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming hourlyAgg == batch q_events_window on real events") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("parity_hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      events.grouped(300).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("parity_hourly").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").getTime / 1000, r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val batch = Relational.qEventsWindow(spark, dir).collect()
+        .map(r => (fmt.parse(r.getAs[String]("hour_start")).getTime / 1000, r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, (n, sv)) =>
+        assert(streamed(k)._1 == n, s"count mismatch at $k")
+        assert(math.abs(streamed(k)._2 - sv) < 1e-6, s"sum mismatch at $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionize == batch q_events_sessionize on real events") {
     val s = spark
     import s.implicits._
