@@ -56,6 +56,7 @@ object SparkEntry {
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
+    "pipeline_filter"     -> Curation.pipelineFilter _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -518,5 +519,45 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "search_preview" -> graft.operators.Search.searchPreviewOracleSql(bm25Ctes),
+
+    "pipeline_filter" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc AS a, doc AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |clus AS (SELECT a AS doc_id, a = min(b) AS dup_keep FROM reach GROUP BY a),
+         |qt AS (
+         |  SELECT doc_id, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |qf AS (
+         |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(['el','la','los','de','es','y','un'], x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(['le','les','et','est','un','une','de'], x))) AS s_fr
+         |  FROM qt),
+         |scored AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+         |        + 0.3 * (1.0 - least(1.0, CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0))
+         |        + 0.3 * least(1.0, CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0), 6) AS quality,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM qf)
+         |SELECT s.doc_id, s.quality, s.pred_lang,
+         |  COALESCE(clus.dup_keep, TRUE) AS dup_keep,
+         |  (s.quality >= 0.75 AND s.pred_lang = 'en' AND COALESCE(clus.dup_keep, TRUE)) AS keep
+         |FROM scored s LEFT JOIN clus ON s.doc_id = clus.doc_id
+         |WHERE s.n_tokens > 0""".stripMargin,
   )
 }
