@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Pass forked-run output through raw (no "[info] " logger prefix): the
 // bench/verify drivers parse the JSON line that Bench prints to stdout.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -39,6 +39,8 @@ object Bench {
       // to executor memory instead (SURVEY §4).
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "64k")
+      // events.parquet is INT64 TIMESTAMP(NANOS); see Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

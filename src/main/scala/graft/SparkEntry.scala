@@ -266,10 +266,17 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "doc_normalize" ->
-      """SELECT doc_id,
-        |  concat_ws(' | ', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR)) AS row_text
-        |FROM documents
-        |WHERE trim(concat_ws(' | ', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))) <> ''""".stripMargin,
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    concat_ws(' | ',
+        |      CASE WHEN trim(CAST(doc_id AS VARCHAR)) = '' THEN NULL ELSE CAST(doc_id AS VARCHAR) END,
+        |      CASE WHEN trim(text) = '' THEN NULL ELSE text END,
+        |      CASE WHEN trim(lang) = '' THEN NULL ELSE lang END,
+        |      CASE WHEN trim(source) = '' THEN NULL ELSE source END,
+        |      CASE WHEN trim(CAST(n_chars AS VARCHAR)) = '' THEN NULL ELSE CAST(n_chars AS VARCHAR) END
+        |    ) AS row_text
+        |  FROM documents)
+        |SELECT doc_id, row_text FROM j WHERE trim(row_text) <> ''""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

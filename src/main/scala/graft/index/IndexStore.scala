@@ -1,8 +1,11 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,6 +45,30 @@ object IndexStore {
 
   private val VersionFmt = DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
 
+  // Manifest/meta/versions go through the Hadoop FileSystem resolved from
+  // the index path itself, so the sidecar files land on the same store the
+  // vectors do (HDFS/S3/local alike) — java.nio would silently write them
+  // to the driver's local disk on a cluster.
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def writeString(path: String, content: String): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def readString(path: String): String = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+    finally in.close()
+  }
+
   /** Build + persist an index over `vectors` (`id`, `vec array<float>`).
     * backend: "flat" (single cell, unpartitioned) or "ivf" (seeded k-means
     * cells, partitioned by cell). Writes latest + a timestamped version.
@@ -71,8 +98,7 @@ object IndexStore {
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
       val w = assigned.write.mode("overwrite")
       (if (backend == "ivf") w.partitionBy("cell") else w).parquet(s"$dir/vectors")
-      Files.createDirectories(Paths.get(dir))
-      Files.writeString(Paths.get(s"$dir/manifest.json"), manifest.toJson)
+      writeString(s"$dir/manifest.json", manifest.toJson)
     }
     val meta =
       s"""{"version": "$version", "created_at": "$createdAt", "embed_model": "$model",
@@ -80,7 +106,7 @@ object IndexStore {
          | "chunk_overlap": ${chunking.overlap}, "index_backend": "$backend",
          | "vector_count": $count,
          | "metrics": {"recall@k": null, "mrr": null, "ndcg": null}}""".stripMargin
-    Files.writeString(Paths.get(s"$root/$name/versions/$version/meta.json"), meta)
+    writeString(s"$root/$name/versions/$version/meta.json", meta)
     manifest
   }
 
@@ -96,14 +122,15 @@ object IndexStore {
 
   def manifestJson(root: String, name: String, version: Option[String] = None): String = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
-    Files.readString(Paths.get(s"$dir/manifest.json"))
+    readString(s"$dir/manifest.json")
   }
 
   /** Version ids, newest last (lexicographic == chronological). */
   def versions(root: String, name: String): Seq[String] = {
-    val f = new java.io.File(s"$root/$name/versions")
-    if (!f.exists) Seq.empty
-    else f.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+    val p = new HPath(s"$root/$name/versions")
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
   /** Probe an IVF index: restrict the scan to the query's nprobe nearest

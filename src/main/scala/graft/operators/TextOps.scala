@@ -25,16 +25,21 @@ object TextOps {
       .otherwise(split(lower(trim(c)), "\\s+"))
 
   /** SURVEY §2 `doc_normalize`: normalize + concat_row. The reference joins
-    * all scalar cells with " | " (chunker.py:5-7) after dropping all-null
-    * rows (normalize.py:3-7); concat_ws gives the same null-skipping join.
+    * the scalar cells with " | " (chunker.py:5-7) after dropping all-null
+    * rows (normalize.py:3-7), skipping cells that are empty after trim —
+    * so NULL *and* ''/whitespace-only cells vanish from the joined text.
+    * concat_ws skips only NULLs; nulling-out blank cells first matches.
     */
   def docNormalize(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).na.drop("all")
+    def cell(c: Column): Column =
+      when(length(trim(c)) === 0, lit(null: String)).otherwise(c)
     d.select(
         col("doc_id"),
         concat_ws(" | ",
-          col("doc_id").cast("string"), col("text"), col("lang"),
-          col("source"), col("n_chars").cast("string")).as("row_text"))
+          cell(col("doc_id").cast("string")), cell(col("text")),
+          cell(col("lang")), cell(col("source")),
+          cell(col("n_chars").cast("string"))).as("row_text"))
       .filter(length(trim(col("row_text"))) > 0)
   }
 

@@ -90,13 +90,27 @@ object VectorOps {
 
   // The fit is deterministic (fixed seed) and eager, so memoize it per
   // (session, dir): ivf_build / ivf_search / ann_ivf in one run share one
-  // k-means fit instead of three.
+  // k-means fit instead of three. Keyed weakly on the session itself so
+  // entries (and the DataFrames bound to them) die with the session —
+  // an identity-hash key could collide after a session is GC'd.
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
 
-  def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
-      fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
+  def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val perSession = ivfCache.synchronized {
+      var m = ivfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        ivfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir,
+        fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
+    }
+  }
 
   /** SURVEY §2 `ivf_build` (rows-only): cell assignment for every vector,
     * plus squared L2 distance to its centroid. Written partitioned-by-cell

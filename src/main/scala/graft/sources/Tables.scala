@@ -22,17 +22,26 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
 
   /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default. Read nanos as long and floor-convert to microseconds (same
-    * truncation DuckDB's epoch_us applies), so downstream sees TimestampType.
+    * default. Read nanos as long and floor-convert to microseconds (DuckDB
+    * epoch_us semantics), so downstream sees TimestampType.
+    *
+    * The nanosAsLong conf is also set in the Bench/Verify session builders;
+    * it is re-asserted here (idempotently) because callers — the driver's
+    * smoke check, notebooks — read through sessions we don't build, and the
+    * flag must hold at action time for the lazy scan to resolve.
+    * `ts - pmod(ts, 1000)` makes the division exact, i.e. true floor — a
+    * bare `div` truncates toward zero and would round pre-1970 nanos the
+    * wrong way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

@@ -37,10 +37,14 @@ object EventStream {
 
   /** Streaming exact-dedup: drop later arrivals with the same content
     * fingerprint (graft_polyhash of normalized text). State is the set of
-    * seen fingerprints, bounded by the watermark: a duplicate arriving
-    * within `withinMinutes` of the original is dropped, older state is
-    * evicted. This is the streaming form of the batch `dedup_exact`
-    * operator — the continuous-ingest path of a training-data pipeline.
+    * seen fingerprints, bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` evicts a fingerprint once the
+    * watermark passes its first-seen time + `withinMinutes`, so a
+    * duplicate arriving within the window is dropped and state stays
+    * bounded (plain `dropDuplicates("fp")` would keep every fingerprint
+    * forever — fp alone isn't the event-time column, so nothing evicts).
+    * This is the streaming form of the batch `dedup_exact` operator —
+    * the continuous-ingest path of a training-data pipeline.
     */
   def dedupStream(docs: org.apache.spark.sql.DataFrame,
                   withinMinutes: Int = 60): org.apache.spark.sql.DataFrame = {
@@ -49,7 +53,7 @@ object EventStream {
       .withColumn("fp", graft.functions.PolyHash.column(
         regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .withWatermark("ts", s"$withinMinutes minutes")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
   }
 
   /** Gap-based sessionization. A session closes when the event-time
