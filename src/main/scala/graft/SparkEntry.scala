@@ -360,6 +360,10 @@ object SparkEntry {
         |  length(substr(text, CAST(j * 80 + 1 AS INT), 100)) AS chunk_len
         |FROM e""".stripMargin,
 
+    "chunk_sentences" -> graft.operators.Chunking.chunkSentencesOracleSql,
+
+    "chunk_headings" -> graft.operators.Chunking.chunkHeadingsOracleSql,
+
     "chunk_stats" ->
       """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
         |c AS (SELECT source, length(substr(text, CAST(t.j * 80 + 1 AS INT), 100)) AS len
@@ -429,6 +433,8 @@ object SparkEntry {
          |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
+
+    "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 
     "dedup_embedding" ->
       """WITH n AS (

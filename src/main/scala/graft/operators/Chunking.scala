@@ -71,16 +71,121 @@ object Chunking {
       .select(
         concat_ws("#", col("doc_id").cast("string"), col("j").cast("string")).as("chunk_id"),
         col("doc_id"), col("j").cast("long").as("j"), col("chunk"),
-        length(col("chunk")).as("chunk_len"))
+        length(col("chunk")).cast("long").as("chunk_len"))
   }
 
-  /** SURVEY §2 `chunk_sentences` (rows-only oracle). */
+  /** SURVEY §2 `chunk_sentences`. */
   def chunkSentences(spark: SparkSession, dir: String): DataFrame =
     chunkUdfQuery(spark, dir, TextChunk.chunkSentences(_, Size, Overlap))
 
-  /** SURVEY §2 `chunk_headings` (rows-only oracle). */
+  /** SURVEY §2 `chunk_headings`. */
   def chunkHeadings(spark: SparkSession, dir: String): DataFrame =
     chunkUdfQuery(spark, dir, TextChunk.chunkByHeadings(_, Size, Overlap))
+
+  // ---- DuckDB oracles for the regex chunkers -----------------------------
+  // Both replicate the Java kernels exactly for the testdata charset
+  // (verified ASCII, no control chars beyond \t\n\r, no \x1E):
+  // - Java's lookbehind split has no RE2 equivalent, so the oracle inserts
+  //   a \x1E sentinel at each split point with regexp_replace('g') and
+  //   str_splits on it — same segments because matches can't be adjacent.
+  // - Java String.trim strips codepoints <= 0x20 from both ends; DuckDB
+  //   trim(s, chars) with the whitespace-control set matches on this data.
+  // - length()/substr() agree (codepoints == UTF-16 units for ASCII/BMP).
+  private val TrimCh =
+    "(' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
+  /** DuckDB oracle for chunk_sentences: sentinel-split into sentences, then
+    * the greedy ≤size packing fold as a recursive CTE stepping one sentence
+    * per round per doc (state = the accumulated `cur` string, exactly the
+    * kernel's), then the tail-overlap prepend via lag().
+    */
+  def chunkSentencesOracleSql: String = {
+    val s = "sp.sents[CAST(r.i + 1 AS INT)]"
+    s"""WITH RECURSIVE
+       |sp AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      str_split(regexp_replace(text, '([.!?])[\t\n\f\r ]+', '\\1' || chr(30), 'g'), chr(30)),
+       |      x -> x <> '') AS sents
+       |  FROM documents),
+       |rec AS (
+       |  SELECT doc_id, 0 AS i, '' AS cur, CAST(NULL AS VARCHAR) AS emit FROM sp
+       |  UNION ALL
+       |  SELECT r.doc_id, r.i + 1,
+       |    CASE WHEN length(r.cur) + length($s) + 1 <= $Size
+       |         THEN trim(r.cur || ' ' || $s, $TrimCh)
+       |         ELSE $s END,
+       |    CASE WHEN length(r.cur) + length($s) + 1 <= $Size THEN NULL
+       |         WHEN r.cur <> '' THEN r.cur END
+       |  FROM rec r JOIN sp ON r.doc_id = sp.doc_id
+       |  WHERE r.i < len(sp.sents)),
+       |em AS (
+       |  SELECT doc_id, i AS ord, emit AS chunk FROM rec WHERE emit IS NOT NULL
+       |  UNION ALL
+       |  SELECT r.doc_id, r.i + 1 AS ord, r.cur
+       |  FROM rec r JOIN sp ON r.doc_id = sp.doc_id
+       |  WHERE r.i = len(sp.sents) AND r.cur <> ''),
+       |o AS (
+       |  SELECT doc_id, chunk,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS j,
+       |    lag(chunk) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+       |  FROM em),
+       |f AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN j = 0 THEN chunk ELSE right(prev, $Overlap) || chunk END AS chunk
+       |  FROM o)
+       |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,
+       |  doc_id, j, chunk, length(chunk) AS chunk_len
+       |FROM f""".stripMargin
+  }
+
+  /** DuckDB oracle for chunk_headings: sentinel-split on the heading
+    * pattern (keeping the captured marker as its own part, like python
+    * re.split-with-group), rebuild sections with a cumulative heading
+    * count + ordered string_agg, then fixed-chunk each section and number
+    * chunks globally per doc.
+    */
+  def chunkHeadingsOracleSql: String = {
+    val step = Step
+    s"""WITH p0 AS (
+       |  SELECT doc_id,
+       |    str_split(regexp_replace(text,
+       |      '\n[\t\n\f\r ]*(#+|<h[1-3]>|</h[1-3]>)',
+       |      chr(30) || '\\1' || chr(30), 'g'), chr(30)) AS parts
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, unnest(parts) AS p,
+       |    unnest(range(1, len(parts) + 1)) AS ord
+       |  FROM p0),
+       |fl AS (
+       |  SELECT doc_id, p, ord,
+       |    CASE WHEN p <> '' AND (starts_with(t, '#') OR starts_with(t, '<h')
+       |                           OR starts_with(t, '</h')) THEN 1 ELSE 0 END AS is_head
+       |  FROM (SELECT doc_id, p, ord, trim(p, $TrimCh) AS t FROM pr) x),
+       |sec AS (
+       |  SELECT doc_id, p, ord, is_head,
+       |    sum(is_head) OVER (PARTITION BY doc_id ORDER BY ord
+       |                       ROWS UNBOUNDED PRECEDING) AS s
+       |  FROM fl),
+       |bufs AS (
+       |  SELECT doc_id, s,
+       |    trim(string_agg(chr(10) || p, '' ORDER BY ord), $TrimCh) AS sect
+       |  FROM sec WHERE is_head = 0
+       |  GROUP BY doc_id, s),
+       |secs AS (SELECT doc_id, s, sect, length(sect) AS n FROM bufs WHERE sect <> ''),
+       |ch AS (
+       |  SELECT doc_id, s, t.j AS cj,
+       |    substr(sect, CAST(t.j * $step + 1 AS INT), $Size) AS chunk
+       |  FROM secs, UNNEST(range(CASE WHEN n <= $Size THEN 1
+       |                               ELSE 1 + (n - ${Size - step + 1}) // $step END)) AS t(j)),
+       |numbered AS (
+       |  SELECT doc_id, chunk,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s, cj) - 1 AS j
+       |  FROM ch)
+       |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,
+       |  doc_id, j, chunk, length(chunk) AS chunk_len
+       |FROM numbered""".stripMargin
+  }
 
   /** SURVEY §2 `chunk_stats`: per-source chunk-length stats with the
     * reference's linear-interpolation p95 (analytics.py:106-115), computed

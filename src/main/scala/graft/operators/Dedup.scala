@@ -164,28 +164,36 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  val SimhashBits = 64
+  val SimhashBits = 60
   val SimhashChunks = 4
-  val SimhashMaxHamming = 16
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+  val SimhashMaxHamming = 15 // same budget/width ratio as 16-of-64
+  // Token hash = two independent rolling polyhashes packed into one
+  // 60-bit value: p1 * (1e9+9) + p2 < 2^60. Both factors are exactly
+  // computable in DuckDB (BIGINT never overflows), so unlike xxhash64
+  // this hash admits an exact cross-engine oracle.
+  val SimhashBase1 = 31L;  val SimhashMod1 = 1000000007L
+  val SimhashBase2 = 131L; val SimhashMod2 = 1000000009L
 
-  /** SURVEY §2 `dedup_simhash` (rows-only oracle — keyed on Spark's
-    * xxhash64): 64-bit SimHash from per-bit token-hash votes; candidate
-    * pairs share ≥1 of 4 16-bit chunks (so hamming ≤ 48 is guaranteed
-    * findable for t ≤ 16); emit pairs with hamming ≤ 16.
-    * One shuffle for the per-doc vote agg, one keyed on (chunk_idx, chunk).
+  /** SURVEY §2 `dedup_simhash`: 60-bit SimHash from per-bit token-hash
+    * votes; candidate pairs share ≥1 of 4 15-bit chunks; emit pairs with
+    * hamming ≤ [[SimhashMaxHamming]]. One shuffle for the per-doc vote agg,
+    * one keyed on (chunk_idx, chunk).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        graft.functions.PolyHash.column(col("tok"), SimhashBase1, SimhashMod1) * SimhashMod2 +
+          graft.functions.PolyHash.column(col("tok"), SimhashBase2, SimhashMod2))
     val voteCols = (0 until SimhashBits).map(k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"v$k"))
     val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     val chunks = votes.select(
       col("doc_id") +:
         (0 until SimhashChunks).map { j =>
-          (0 until 16).map(r =>
-            when(col(s"v${j * 16 + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
+          (0 until SimhashChunkBits).map(r =>
+            when(col(s"v${j * SimhashChunkBits + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
             .reduce(_ + _).as(s"c$j")
         }: _*)
     val banded = chunks.select(col("doc_id"),
@@ -201,6 +209,59 @@ object Dedup {
       .withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** DuckDB oracle for dedup_simhash, generated from the same constants so
+    * Spark and the oracle can never drift. The token hash (two rolling
+    * polyhashes packed into 60 bits) is exact BIGINT arithmetic in both
+    * engines; bit probes, chunk packing, and hamming distance are the same
+    * integer programs on both sides.
+    */
+  def simhashOracleSql: String = {
+    def poly(base: Long, mod: Long): String =
+      s"""list_reduce(list_transform(range(1, length(tok) + 1),
+         |      c -> CAST(ord(substr(tok, CAST(c AS INT), 1)) AS BIGINT)),
+         |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
+    val voteCols = (0 until SimhashBits).map(k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k")
+      .mkString(",\n    ")
+    val chunkCols = (0 until SimhashChunks).map { j =>
+      (0 until SimhashChunkBits).map(r =>
+        s"(CASE WHEN v${j * SimhashChunkBits + r} > 0 THEN ${1L << r} ELSE 0 END)")
+        .mkString(" + ") + s" AS c$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until SimhashChunks).map(j =>
+      s"SELECT doc_id, $j AS j, c$j AS chunk FROM c").mkString("\n  UNION ALL ")
+    val ham = (0 until SimhashChunks).map(j =>
+      s"bit_count(xor(ca.c$j, cb.c$j))").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |hh AS (
+       |  SELECT doc_id,
+       |    ${poly(SimhashBase1, SimhashMod1)} * $SimhashMod2 +
+       |    ${poly(SimhashBase2, SimhashMod2)} AS h
+       |  FROM tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM hh GROUP BY doc_id),
+       |c AS (
+       |  SELECT doc_id,
+       |    $chunkCols
+       |  FROM v),
+       |b AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.j = b2.j AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand JOIN c ca ON cand.doc_a = ca.doc_id JOIN c cb ON cand.doc_b = cb.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= $SimhashMaxHamming""".stripMargin
   }
 
   /** `dedup_clusters`: connected components over the n-gram near-dup
