@@ -40,6 +40,35 @@ object Search {
         bm25Scored(spark, dir), k, col("score").desc, col("doc_id"))
       .select(col("rk"), col("doc_id"), col("score"))
 
+  // The per-doc term-count maps feed four downstream branches (corpus
+  // stats, df, idf, tf). Spark re-executes a shared subtree once per
+  // branch, so materialize it once per (session, dir) — the classic
+  // "build the inverted stats, then query them" shape; at 100 TB this is
+  // a persisted dataset, locally a localCheckpoint. Keyed weakly on the
+  // session so entries die with it.
+  private val perDocCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private[operators] def perDocTerms(spark: SparkSession, dir: String): DataFrame = {
+    val m = perDocCache.synchronized {
+      var mm = perDocCache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty
+        perDocCache.put(spark, mm)
+      }
+      mm
+    }
+    m.synchronized {
+      m.getOrElseUpdate(dir,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), graft.functions.TermCounts.column(col("text")).as("tc"))
+          .withColumn("dl", aggregate(map_values(col("tc")), lit(0L), (a, v) => a + v))
+          .filter(col("dl") > 0)
+          .localCheckpoint(true))
+    }
+  }
+
   /** Per-doc BM25 scores for the fixed query (unranked). The native
     * [[graft.functions.TermCounts]] kernel pre-aggregates term frequencies
     * per document, so the corpus-sized (doc, term) shuffle disappears:
@@ -47,10 +76,7 @@ object Search {
     * the per-doc score agg over query-matching rows only.
     */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.TermCounts.column(col("text")).as("tc"))
-      .withColumn("dl", aggregate(map_values(col("tc")), lit(0L), (a, v) => a + v))
-      .filter(col("dl") > 0)
+    val perDoc = perDocTerms(spark, dir)
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))

@@ -87,12 +87,19 @@ object TextOps {
     * oracle (int/int divisions are IEEE-exact; final score rounded 6dp).
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val nTok = size(toks).cast("long")
+    // One fused kernel pass produces [n_tok, punct, stops, sum_wlen].
+    // It enters the plan through explode(array(..)) — a Generate node —
+    // because projection collapse would otherwise inline the kernel call
+    // into every one of its six downstream references (memory: the 16-sig
+    // minhash pipeline recomputed 32×); a Generator output is materialized
+    // once per row. Ratio/score arithmetic is unchanged (IEEE-identical
+    // to the oracle).
+    val st = graft.functions.TextStats.column(col("text"), Profiles.toMap.apply("en"))
+    val nTok = col("st").getItem(0)
     val nChars = length(col("text")).cast("long")
-    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
-    val stops = stopHits(toks, Profiles.toMap.apply("en"))
-    val sumWl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val punct = col("st").getItem(1)
+    val stops = col("st").getItem(2)
+    val sumWl = col("st").getItem(3)
     val punctRatio = punct.cast("double") / nChars.cast("double")
     val stopRatio = stops.cast("double") / nTok.cast("double")
     val avgWlen = sumWl.cast("double") / nTok.cast("double")
@@ -101,6 +108,7 @@ object TextOps {
       lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) +
       lit(0.3) * least(lit(1.0), stopRatio * 5.0)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), explode(array(st)).as("st"))
       .filter(nTok > 0)
       .select(
         col("doc_id"),
@@ -131,9 +139,10 @@ object TextOps {
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
     // TermCounts pre-aggregates per doc, so exploding yields one row per
     // distinct (doc, term) — no corpus-sized shuffle before the term agg.
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.TermCounts.column(col("text"))).as(Seq("term", "f")))
+    // The per-doc maps come from the shared materialized stats
+    // (Search.perDocTerms), so vocab/BM25/hybrid build them once.
+    val perDoc = Search.perDocTerms(spark, dir)
+      .select(col("doc_id"), explode(col("tc")).as(Seq("term", "f")))
     val vocab = perDoc.groupBy(col("term"))
       .agg(sum(col("f")).as("tf"), count(lit(1)).as("df"))
     graft.functions.Ranking.topK(vocab, 100, col("tf").desc, col("term"))
