@@ -434,6 +434,13 @@ object SparkEntry {
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
 
+    // IVF family: centroids are fitted deterministically (bounded sample,
+    // canonical Lloyd's) and embedded as literals, so these are exact
+    // oracles, not rows-only checks.
+    "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql,
+    "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql,
+    "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql,
+
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 
     "dedup_embedding" ->

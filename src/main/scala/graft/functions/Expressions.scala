@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash (Rabin–Karp): fold over code points of
@@ -391,6 +391,78 @@ object TextStats {
 
   def column(c: Column, stopWords: Seq[String]): Column =
     Bridge.column(TextStats(Bridge.expression(c), stopWords))
+}
+
+/** The `nprobe` nearest IVF cells of an `array<float>` embedding against a
+  * fixed centroid table (reference `backends/faiss_ivf.py` probe step), as
+  * one narrow kernel: squared-L2 to each centroid (floats promoted to
+  * double, sequential accumulation — the same op order as the DuckDB
+  * oracle's `list_sum`), distance rounded to 6 dp, cells ranked by
+  * (d2, cell) so near-tie float noise can never flip a probe across
+  * engines. Returns `array<struct<cell:long, d2:double>>`, nearest first.
+  *
+  * With nprobe=1 this IS the cell assignment (a narrow map — at 100 TB the
+  * corpus never shuffles to get its cells); with nprobe=r it is multi-probe
+  * assignment/search. Centroids ride inside the expression (a few KB), so
+  * the kernel needs no join. CodegenFallback: one JVM call per row around
+  * two tight loops — the surrounding stage stays codegen'd.
+  */
+case class IvfProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("d2", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_ivf_probes"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val k = cents.length
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var acc = 0.0
+      var j = 0
+      val dim = cent.length
+      while (j < dim) {
+        val t = a.getFloat(j).toDouble - cent(j)
+        acc += t * t
+        j += 1
+      }
+      d2(c) = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c += 1
+    }
+    val order = (0 until k).sortBy(c => (d2(c), c))
+    val out = new Array[Any](math.min(nprobe, k))
+    var i = 0
+    while (i < out.length) {
+      val cell = order(i)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(cell.toLong, d2(cell))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}
+
+object IvfProbes {
+  def column(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    Bridge.column(IvfProbes(Bridge.expression(c),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 }
 
 object PolyHash {

@@ -81,9 +81,14 @@ object IndexStore {
     val spark = vectors.sparkSession
     val assigned = backend match {
       case "ivf" =>
-        val (a, _) = VectorOps.fitIvfOn(
-          vectors.select(col("id").as("vec_id"), col("vec").as("embedding")), params.nlist)
-        a.select(col("vec_id").as("id"), col("embedding").as("vec"), col("cell"))
+        // Deterministic bounded-sample fit (IvfModel), then a narrow
+        // broadcast assignment pass — the corpus is never shuffled or
+        // iterated over to get its cells.
+        val cents = graft.operators.IvfModel.fitFromDf(
+          vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
+        VectorOps.assignCells(
+            vectors.select(col("id"), col("vec").as("embedding")), cents)
+          .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
       case _ =>
         vectors.select(col("id"), col("vec"), lit(0).as("cell"))
     }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic IVF coarse quantizer (reference `backends/faiss_ivf.py:6-22`:
+  * train once on the corpus, `nlist` cells, probe `nprobe`).
+  *
+  * The fit is a bounded, canonical computation so the SAME centroids can be
+  * embedded as literals into a DuckDB oracle (the minhashOracleSql pattern):
+  *  - sample = first [[SampleSize]] vectors ordered by id (a TakeOrdered —
+  *    never a full pass over the corpus, which is the 100 TB requirement;
+  *    faiss likewise trains on a bounded training set);
+  *  - fixed [[Iters]]-iteration Lloyd's loop on the driver, init = the first
+  *    k sample vectors in id order, ties broken toward the lower cell id,
+  *    empty cells keep their previous centroid;
+  *  - centroids rounded to 6 dp at the end, making them short exact decimal
+  *    literals both engines parse to the identical double.
+  *
+  * Everything downstream (assignment, probing) is a narrow broadcast map via
+  * [[graft.functions.IvfProbes]] — the fit result is a few KB of doubles.
+  */
+object IvfModel {
+
+  val SampleSize = 4096
+  val Iters = 10
+
+  private val cache =
+    scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]()
+  @volatile private var lastKey: Option[(String, Int)] = None
+
+  /** Centroids for the embeddings table under `dir` (cached per (dir, k) —
+    * plain doubles, no session reference, so ivf_build / ivf_search /
+    * ann_ivf in one run share one fit).
+    */
+  def centroids(spark: SparkSession, dir: String,
+                k: Int = VectorOps.NumCells): Array[Array[Double]] = {
+    val key = (dir, k)
+    val cs = cache.getOrElseUpdate(key,
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", k))
+    lastKey = Some(key)
+    cs
+  }
+
+  /** Fit on the deterministic bounded sample of any (id, array<float>) frame:
+    * TakeOrdered(SampleSize) by id, then driver-side Lloyd's.
+    */
+  def fitFromDf(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(SampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    fit(sample, k)
+  }
+
+  /** Canonical Lloyd's: init = first k sample rows, [[Iters]] iterations,
+    * argmin ties to the lower cell, empty cells keep their centroid,
+    * output rounded to 6 dp. Pure function of (sample, k).
+    */
+  def fit(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF fit needs a non-empty sample")
+    val dim = sample.head.length
+    val n = sample.length
+    var cents = Array.tabulate(k)(i => sample(i % n).clone())
+    var it = 0
+    while (it < Iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val x = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = x(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)))
+      it += 1
+    }
+    cents.map(_.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  /** Centroids for oracle-SQL generation. Verify runs every query before
+    * dumping oracle SQL, so the last fit is the verify dir's fit; standalone
+    * callers fall back to fitting sf0.01 on the active session.
+    */
+  def oracleCentroids: Array[Array[Double]] =
+    lastKey.flatMap(cache.get).getOrElse(
+      centroids(SparkSession.active, "/root/testdata/sf0.01"))
+
+  /** DuckDB CTE `cents(cell, centroid)` embedding the fitted centroids as
+    * literals — the oracle replays assignment/probing as exact arithmetic on
+    * the identical doubles.
+    */
+  def centsCte(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"(CAST($i AS BIGINT), [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString("cents(cell, centroid) AS (SELECT * FROM (VALUES\n    ",
+      ",\n    ", ") AS t(cell, centroid))")
+}

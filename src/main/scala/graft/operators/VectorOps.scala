@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +24,6 @@ object VectorOps {
   val DefaultK = 5
   val NumCells = 16
   val NProbe = 4
-  val Seed = 42L
 
   /** Embeddings with precomputed L2 norms (computed once, reused in joins). */
   def embWithNorm(spark: SparkSession, dir: String): DataFrame =
@@ -68,84 +65,45 @@ object VectorOps {
     topK(e, e.filter(col("vec_id") < 10), DefaultK, "dot")
   }
 
-  /** Fit seeded k-means on any (vec_id, embedding) frame and return
-    * (assignments, centroids). The fit runs on the full set here; at
-    * 100 TB fit on a ≤1M-row sample — the assignment pass (broadcast
-    * centroids, narrow map) is unchanged.
+  /** Cell assignment as a narrow broadcast map: the fitted centroids
+    * (deterministic bounded-sample Lloyd's, [[IvfModel]]) ride inside the
+    * [[graft.functions.IvfProbes]] kernel, so at 100 TB the corpus gets its
+    * cells without shuffling or joining anything.
     */
-  def fitIvfOn(vectors: DataFrame, k: Int = NumCells): (DataFrame, DataFrame) = {
-    val e = vectors
-      .withColumn("features",
-        array_to_vector(transform(col("embedding"), x => x.cast("double"))))
-    val model = new KMeans()
-      .setK(k).setSeed(Seed).setMaxIter(20).setFeaturesCol("features")
-      .fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val cdf = vectors.sparkSession.createDataFrame(centroids.toIndexedSeq)
-      .toDF("cell", "centroid")
-    (assigned, cdf)
-  }
+  def assignCells(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    vectors
+      .withColumn("p", element_at(
+        graft.functions.IvfProbes.column(col("embedding"), cents, 1), 1))
+      .withColumn("cell", col("p.cell"))
+      .withColumn("d2", col("p.d2"))
+      .drop("p")
 
-  // The fit is deterministic (fixed seed) and eager, so memoize it per
-  // (session, dir): ivf_build / ivf_search / ann_ivf in one run share one
-  // k-means fit instead of three. Keyed weakly on the session itself so
-  // entries (and the DataFrames bound to them) die with the session —
-  // an identity-hash key could collide after a session is GC'd.
-  private val ivfCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
-
-  def fitIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val perSession = ivfCache.synchronized {
-      var m = ivfCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        ivfCache.put(spark, m)
-      }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir,
-        fitIvfOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))))
-    }
-  }
-
-  /** SURVEY §2 `ivf_build` (rows-only): cell assignment for every vector,
-    * plus squared L2 distance to its centroid. Written partitioned-by-cell
-    * in [[graft.index.IndexStore]].
+  /** SURVEY §2 `ivf_build`: cell assignment for every vector, plus squared
+    * L2 distance (6dp) to its centroid. Written partitioned-by-cell in
+    * [[graft.index.IndexStore]]. Oracle-exact: the DuckDB side replays the
+    * argmin over the same centroid literals ([[IvfModel.centsCte]]).
     */
-  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, cdf) = fitIvf(spark, dir)
-    assigned.join(broadcast(cdf), Seq("cell"))
-      .withColumn("d2",
-        aggregate(
-          zip_with(col("embedding"), col("centroid"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v))
-      .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        round(col("d2"), 6).as("d2"))
-  }
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame =
+    assignCells(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        IvfModel.centroids(spark, dir))
+      .select(col("vec_id"), col("cell"), col("d2"))
 
-  /** SURVEY §2 `ivf_search` (rows-only): probe the `nprobe` nearest cells
-    * per query (by centroid L2), exact cosine top-k within probed cells.
-    * With a cell-partitioned index this scans nprobe/nlist of the corpus.
+  /** SURVEY §2 `ivf_search`: probe the `nprobe` nearest cells per query
+    * (by centroid L2), exact cosine top-k within probed cells. With a
+    * cell-partitioned index this scans nprobe/nlist of the corpus; the
+    * query side (cells included) is tiny and broadcast.
     */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, cdf) = fitIvf(spark, dir)
-    val queries = embWithNorm(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val qCells = queries.crossJoin(broadcast(cdf))
-      .withColumn("d2",
-        aggregate(
-          zip_with(col("q_emb"), col("centroid"), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("crk") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
-    val corpus = assigned.withColumn("nrm", norm(col("embedding")))
+    val cents = IvfModel.centroids(spark, dir)
+    val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents, NProbe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").as("cell"))
+    val corpus = assignCells(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
+      .withColumn("nrm", norm(col("embedding")))
     corpus.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
@@ -171,18 +129,11 @@ object VectorOps {
     * construction — that's the ANN trade. Same τ as dedup_embedding.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned0, cdf) = fitIvf(spark, dir)
-    val multi = assigned0.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("d2",
-        aggregate(
-          zip_with(col("embedding"), col("centroid"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("crk") <= AssignProbes)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = IvfModel.centroids(spark, dir)
+    val multi = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
     val e = multi.withColumn("nrm", norm(col("embedding")))
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -196,4 +147,72 @@ object VectorOps {
       .filter(col("c") >= Dedup.EmbeddingCosThreshold)
       .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos_sim"))
   }
+
+  // ---- Generated DuckDB oracles -----------------------------------------
+  // The fitted centroids are embedded as literals (IvfModel.centsCte), so
+  // assignment, probe ranking, and cell-local scoring are the same exact
+  // double programs on both engines — the minhashOracleSql pattern.
+
+  private def d2Sql(emb: String): String =
+    s"round(list_sum(list_transform(list_zip($emb, c.centroid), " +
+      "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+
+  private def normCte: String =
+    """nn AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** `asg(vec_id, cell, d2)`: argmin cell per vector — mirrors [[assignCells]]. */
+  private def assignCtes: String =
+    s"""ad AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
+       |       FROM embeddings e CROSS JOIN cents c),
+       |ar AS (SELECT vec_id, cell, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+       |       FROM ad),
+       |asg AS (SELECT vec_id, cell, d2 FROM ar WHERE crk = 1)""".stripMargin
+
+  def ivfBuildOracleSql: String =
+    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+       |$assignCtes
+       |SELECT vec_id, cell, d2 FROM asg""".stripMargin
+
+  def ivfSearchOracleSql: String =
+    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+       |$assignCtes,
+       |$normCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
+       |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
+       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= $NProbe),
+       |p AS (SELECT q.q_id, nn.vec_id AS neighbor_id,
+       |        round(${dotSql("q.q_emb", "nn.embedding")} / (q.q_nrm * nn.nrm), 6) AS score
+       |      FROM qc JOIN q ON q.q_id = qc.q_id
+       |              JOIN asg ON asg.cell = qc.cell
+       |              JOIN nn ON nn.vec_id = asg.vec_id
+       |      WHERE nn.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM p)
+       |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
+
+  def annIvfOracleSql: String =
+    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+       |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
+       |       FROM embeddings e CROSS JOIN cents c),
+       |mr AS (SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+       |       FROM md),
+       |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $AssignProbes),
+       |$normCte,
+       |pr AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |       FROM mp a JOIN mp b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |sc AS (SELECT vec_id_a, vec_id_b,
+       |         ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cv
+       |       FROM pr JOIN nn na ON pr.vec_id_a = na.vec_id
+       |               JOIN nn nb ON pr.vec_id_b = nb.vec_id)
+       |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
+       |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
 }
