@@ -21,7 +21,7 @@ object Bench {
     "q1_agg", "q3_top_orders", "q5_nation_revenue", "q6_filter_agg",
     "q_window_topk", "q_events_window", "q_events_sessionize",
     "chunk_fixed", "text_fingerprint", "text_quality",
-    "dedup_exact", "dedup_minhash",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
     "knn_bruteforce", "bm25_topk", "hybrid_rrf")
 
   val WarmupDir = "/root/testdata/sf0.001"

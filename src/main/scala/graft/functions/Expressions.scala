@@ -9,6 +9,36 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared whitespace tokenizer for every native text kernel, with
+  * EXACTLY the semantics of the Spark column program
+  * `split(lower(trim(text)), "\\s+")` and the DuckDB oracle
+  * `string_split_regex(lower(trim(text)), '\s+')`:
+  *  - trim strips SPACES only (Java `String.trim` strips every codepoint
+  *    <= 0x20 — \t \n \r included — which silently diverges on docs with
+  *    leading/trailing control whitespace);
+  *  - the split keeps leading AND trailing empty tokens (Java
+  *    `Pattern.split` with the default limit drops trailing empties);
+  *  - empty trimmed text → empty array (both engines' guard branch).
+  */
+object GraftText {
+  private val Ws = "\\s+".r.pattern
+
+  /** Space-only trim — Spark/DuckDB `trim` semantics, NOT Java trim. */
+  def spaceTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** `lower(trim(text))` split on `\s+`, keeping empty edge tokens. */
+  def wsTokens(s: String): Array[String] = {
+    val t = spaceTrim(s).toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty) Array.empty[String] else Ws.split(t, -1)
+  }
+}
+
 /** Polynomial rolling hash (Rabin–Karp): fold over code points of
   * `acc = (acc * base + cp) mod m`. Native Catalyst expression with
   * `doGenCode`, so it runs as a single O(len) loop inside whole-stage
@@ -164,12 +194,8 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
-  private val Ws = "\\s+".r.pattern
-
   def shingles(text: String, n: Int): Array[String] = {
-    val t = text.trim
-    if (t.isEmpty) return Array.empty
-    val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT))
+    val toks = GraftText.wsTokens(text)
     if (toks.length < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -228,17 +254,15 @@ case class TermCounts(child: Expression)
 }
 
 object TermCounts {
-  private val Ws = "\\s+".r.pattern
-
   def counts(text: String): java.util.LinkedHashMap[String, java.lang.Long] = {
     val out = new java.util.LinkedHashMap[String, java.lang.Long]()
-    val t = text.trim
-    if (t.isEmpty) return out
-    val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT))
+    // Empty edge tokens (text starting/ending with \t \n \r) count like the
+    // oracle's unnest(string_split_regex(...)) rows do — they contribute to
+    // dl/avgdl; query terms are never empty, so scoring sees no '' term.
+    val toks = GraftText.wsTokens(text)
     var i = 0
     while (i < toks.length) {
-      val w = toks(i)
-      if (w.nonEmpty) out.merge(w, 1L, (a, b) => a + b)
+      out.merge(toks(i), 1L, (a, b) => a + b)
       i += 1
     }
     out
@@ -328,7 +352,9 @@ object MinHashConf {
   *
   * Semantics are bit-identical to the column program it replaces (and so
   * to the DuckDB oracle):
-  * - tokens = `lower(trim(text)).split("\\s+")`, empty text → 0 tokens;
+  * - tokens = [[GraftText.wsTokens]] (space-only trim, edge empties kept —
+  *   exactly Spark `split(lower(trim(text)), "\\s+")` / DuckDB
+  *   `string_split_regex`, including on docs with leading/trailing \t \n \r);
   * - punct counts code points of the RAW text outside [a-zA-Z0-9] and
   *   outside Java-regex `\s` (space, \t, \n, \x0B, \f, \r);
   * - stop hits = tokens ∈ `stopWords`;
@@ -367,17 +393,14 @@ case class TextStats(child: Expression, stopWords: Seq[String])
     var nTok = 0L
     var stops = 0L
     var sumWl = 0L
-    val t = text.trim
-    if (t.nonEmpty) {
-      val toks = TextStats.Ws.split(t.toLowerCase(java.util.Locale.ROOT))
-      var j = 0
-      while (j < toks.length) {
-        val w = toks(j)
-        nTok += 1
-        sumWl += w.codePointCount(0, w.length)
-        if (stopSet.contains(w)) stops += 1
-        j += 1
-      }
+    val toks = GraftText.wsTokens(text)
+    var j = 0
+    while (j < toks.length) {
+      val w = toks(j)
+      nTok += 1
+      sumWl += w.codePointCount(0, w.length)
+      if (stopSet.contains(w)) stops += 1
+      j += 1
     }
     new GenericArrayData(Array[Any](nTok, punct, stops, sumWl))
   }
@@ -387,10 +410,79 @@ case class TextStats(child: Expression, stopWords: Seq[String])
 }
 
 object TextStats {
-  private val Ws = "\\s+".r.pattern
-
   def column(c: Column, stopWords: Seq[String]): Column =
     Bridge.column(TextStats(Bridge.expression(c), stopWords))
+}
+
+/** SimHash constants + kernel — shared by the Spark expression and the
+  * generated DuckDB oracle SQL so they cannot drift. The per-token hash is
+  * two independent rolling polyhashes packed into one 60-bit value
+  * (p1·(1e9+9) + p2 < 2^60): BIGINT-exact in both engines, unlike xxhash64.
+  */
+object SimHashConf {
+  val Bits = 60
+  val Chunks = 4
+  val ChunkBits: Int = Bits / Chunks
+  val MaxHamming = 15 // same budget/width ratio as 16-of-64
+  val Base1 = 31L;  val Mod1 = 1000000007L
+  val Base2 = 131L; val Mod2 = 1000000009L
+
+  /** The 4 packed 15-bit chunks of the 60-bit SimHash, one pass over the
+    * document: tokens → per-token 60-bit hash → ±1 votes per bit → chunk
+    * bits from vote signs. Empty-token hash is 0 (votes −1 on every bit) —
+    * mirrored by the oracle's empty-token CASE. No tokens → empty array
+    * (the doc drops out, as it does from the oracle's unnest).
+    */
+  def chunks(text: String): Array[Long] = {
+    val toks = GraftText.wsTokens(text)
+    if (toks.isEmpty) return Array.emptyLongArray
+    val votes = new Array[Int](Bits)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      val h = PolyHash.hash(tok, Base1, Mod1) * Mod2 + PolyHash.hash(tok, Base2, Mod2)
+      var k = 0
+      while (k < Bits) {
+        votes(k) += (if (((h >> k) & 1L) == 1L) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    Array.tabulate(Chunks) { j =>
+      var c = 0L
+      var r = 0
+      while (r < ChunkBits) {
+        if (votes(j * ChunkBits + r) > 0) c |= (1L << r)
+        r += 1
+      }
+      c
+    }
+  }
+
+  def column(c: Column): Column =
+    Bridge.column(SimHashChunks(Bridge.expression(c)))
+}
+
+/** Fused SimHash kernel: text → 4 packed chunk values in one JVM pass
+  * (see [[SimHashConf.chunks]]). Replaces an explode(tokens) + 60-column
+  * vote aggregation — i.e. a corpus-sized shuffle — with a narrow map,
+  * the same fusion that made MinHashBandKeys the fast path.
+  */
+case class SimHashChunks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SimHashConf.chunks(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
 }
 
 /** The `nprobe` nearest IVF cells of an `array<float>` embedding against a

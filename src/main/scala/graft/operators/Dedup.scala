@@ -164,51 +164,53 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  val SimhashBits = 60
-  val SimhashChunks = 4
-  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
-  val SimhashMaxHamming = 15 // same budget/width ratio as 16-of-64
-  // Token hash = two independent rolling polyhashes packed into one
-  // 60-bit value: p1 * (1e9+9) + p2 < 2^60. Both factors are exactly
-  // computable in DuckDB (BIGINT never overflows), so unlike xxhash64
-  // this hash admits an exact cross-engine oracle.
-  val SimhashBase1 = 31L;  val SimhashMod1 = 1000000007L
-  val SimhashBase2 = 131L; val SimhashMod2 = 1000000009L
+  // Constants live in functions.SimHashConf, shared by the native kernel
+  // and the generated DuckDB oracle.
+  val SimhashBits: Int = graft.functions.SimHashConf.Bits
+  val SimhashChunks: Int = graft.functions.SimHashConf.Chunks
+  val SimhashChunkBits: Int = graft.functions.SimHashConf.ChunkBits
+  val SimhashMaxHamming: Int = graft.functions.SimHashConf.MaxHamming
+  val SimhashBase1: Long = graft.functions.SimHashConf.Base1
+  val SimhashMod1: Long = graft.functions.SimHashConf.Mod1
+  val SimhashBase2: Long = graft.functions.SimHashConf.Base2
+  val SimhashMod2: Long = graft.functions.SimHashConf.Mod2
 
   /** SURVEY §2 `dedup_simhash`: 60-bit SimHash from per-bit token-hash
     * votes; candidate pairs share ≥1 of 4 15-bit chunks; emit pairs with
-    * hamming ≤ [[SimhashMaxHamming]]. One shuffle for the per-doc vote agg,
-    * one keyed on (chunk_idx, chunk).
+    * hamming ≤ [[SimhashMaxHamming]].
+    *
+    * Scale shape = the minhash one: signatures come from ONE narrow kernel
+    * (functions.SimHashChunks — no token explode, no 60-column vote
+    * shuffle), candidates are generated per (chunk_idx, chunk) BUCKET
+    * (never a banded self-join, which would re-execute the signature
+    * pipeline once per side), and 15-bit chunks have only 32 768 possible
+    * values — so bucket size grows ~N/32k and an uncapped candidate join is
+    * Θ(N²/32k) pairs. The [[MaxBucketSize]] stop-bucket cap (mirrored in
+    * the oracle) bounds that; the chunk values ride inside the bucket rows,
+    * so hamming is computed in-bucket with no join back.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
-      .withColumn("h",
-        graft.functions.PolyHash.column(col("tok"), SimhashBase1, SimhashMod1) * SimhashMod2 +
-          graft.functions.PolyHash.column(col("tok"), SimhashBase2, SimhashMod2))
-    val voteCols = (0 until SimhashBits).map(k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"v$k"))
-    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val chunks = votes.select(
-      col("doc_id") +:
-        (0 until SimhashChunks).map { j =>
-          (0 until SimhashChunkBits).map(r =>
-            when(col(s"v${j * SimhashChunkBits + r}") > 0, lit(1L << r)).otherwise(lit(0L)))
-            .reduce(_ + _).as(s"c$j")
-        }: _*)
-    val banded = chunks.select(col("doc_id"),
-      posexplode(array((0 until SimhashChunks).map(j => col(s"c$j")): _*)).as(Seq("j", "chunk")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.SimHashConf.column(col("text")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    val banded = chunks.select(col("doc_id"), col("cs"),
+      posexplode(col("cs")).as(Seq("j", "chunk")))
+    val buckets = banded.groupBy(col("j"), col("chunk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("cs")))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucketSize)
     val ham = (0 until SimhashChunks).map(j =>
-      bit_count(col(s"ca.c$j").bitwiseXOR(col(s"cb.c$j")))).reduce(_ + _)
-    cand.join(chunks.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(chunks.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("hamming", ham.cast("long"))
+      bit_count(element_at(col("p.a.cs"), j + 1)
+        .bitwiseXOR(element_at(col("p.b.cs"), j + 1)))).reduce(_ + _)
+    buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
+            struct(element_at(col("ids"), (i + 1).cast("int")).as("a"),
+              y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      // a pair can share several chunks; hamming is identical on each copy
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** DuckDB oracle for dedup_simhash, generated from the same constants so
@@ -218,10 +220,14 @@ object Dedup {
     * integer programs on both sides.
     */
   def simhashOracleSql: String = {
+    // Empty edge tokens (leading \t/\n survives the space-only trim and
+    // splits to '') hash to 0 on the Spark side; list_reduce over an empty
+    // list errors in DuckDB, so guard with CASE.
     def poly(base: Long, mod: Long): String =
-      s"""list_reduce(list_transform(range(1, length(tok) + 1),
+      s"""CASE WHEN length(tok) = 0 THEN 0
+         |    ELSE list_reduce(list_transform(range(1, length(tok) + 1),
          |      c -> CAST(ord(substr(tok, CAST(c AS INT), 1)) AS BIGINT)),
-         |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
+         |      (a, b) -> (a * $base + b) % $mod) END""".stripMargin
     val voteCols = (0 until SimhashBits).map(k =>
       s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k")
       .mkString(",\n    ")
@@ -255,9 +261,13 @@ object Dedup {
        |  FROM v),
        |b AS (
        |  $bandSelects),
+       |bcnt AS (SELECT j, chunk, count(*) AS n FROM b GROUP BY 1, 2),
+       |bf AS (SELECT b.j, b.chunk, b.doc_id FROM b JOIN bcnt
+       |         ON b.j = bcnt.j AND b.chunk = bcnt.chunk
+       |       WHERE bcnt.n BETWEEN 2 AND $MaxBucketSize),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM b a JOIN b b2 ON a.j = b2.j AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+       |  FROM bf a JOIN bf b2 ON a.j = b2.j AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
        |scored AS (
        |  SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
        |  FROM cand JOIN c ca ON cand.doc_a = ca.doc_id JOIN c cb ON cand.doc_b = cb.doc_id)

@@ -44,21 +44,26 @@ object Search {
   // stats, df, idf, tf). Spark re-executes a shared subtree once per
   // branch, so materialize it once per (session, dir) — the classic
   // "build the inverted stats, then query them" shape; at 100 TB this is
-  // a persisted dataset, locally a localCheckpoint. Keyed weakly on the
-  // session so entries die with it.
+  // a persisted dataset, locally a localCheckpoint.
+  //
+  // Lifecycle: the checkpoint blocks live in the CONTEXT's block manager,
+  // so eviction is tied to context shutdown via a SparkListener (a weak
+  // map would never collect here: the cached DataFrame strongly references
+  // its session, i.e. the value reaches its own key).
   private val perDocCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
   private[operators] def perDocTerms(spark: SparkSession, dir: String): DataFrame = {
-    val m = perDocCache.synchronized {
-      var mm = perDocCache.get(spark)
-      if (mm == null) {
-        mm = scala.collection.mutable.Map.empty
-        perDocCache.put(spark, mm)
-      }
-      mm
-    }
+    val m = perDocCache.computeIfAbsent(spark, s => {
+      val sc = s.sparkContext
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          perDocCache.keySet.removeIf(k => k.sparkContext eq sc)
+      })
+      scala.collection.mutable.Map.empty
+    })
     m.synchronized {
       m.getOrElseUpdate(dir,
         Tables.documents(spark, dir)
