@@ -53,9 +53,11 @@ object SparkEntry {
     "hybrid_rrf"          -> Search.hybridRrf _,
     "eval_recall"         -> Search.evalRecall _,
     "eval_compare"        -> Search.evalCompare _,
+    "search_compare"      -> Search.searchCompare _,
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
+    "search_highlights"   -> Search.searchHighlights _,
     "pipeline_filter"     -> Curation.pipelineFilter _,
   )
 
@@ -515,6 +517,16 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN delta IS NOT NULL AND delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS changed_count
          |FROM j""".stripMargin,
 
+    "search_compare" ->
+      s"""WITH ${rankedCtes("l", "vec_id = 0", "cos")},
+         |${rankedCtes("rt", "vec_id = 0", "dot")},
+         |lt AS (SELECT rk, neighbor_id AS left_id, score AS left_score FROM lr WHERE rk <= 10),
+         |rtt AS (SELECT rk, neighbor_id AS right_id, score AS right_score FROM rtr WHERE rk <= 10),
+         |ov AS (SELECT count(*) AS overlap FROM
+         |         (SELECT left_id FROM lt INTERSECT SELECT right_id FROM rtt))
+         |SELECT lt.rk, left_id, left_score, right_id, right_score, ov.overlap
+         |FROM lt JOIN rtt ON lt.rk = rtt.rk CROSS JOIN ov""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -539,6 +551,8 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "search_preview" -> graft.operators.Search.searchPreviewOracleSql(bm25Ctes),
+
+    "search_highlights" -> graft.operators.Search.searchHighlightsOracleSql(bm25Ctes),
 
     "pipeline_filter" ->
       s"""WITH RECURSIVE $ngramCtes,

@@ -414,6 +414,62 @@ object TextStats {
     Bridge.column(TextStats(Bridge.expression(c), stopWords))
 }
 
+/** Case-insensitive word-boundary highlight spans of a literal term inside
+  * a text column (reference `answerless_search.py:144-159 _find_spans`:
+  * `re.finditer(rf"\b{escaped}\b", text, IGNORECASE)`, first `cap` spans,
+  * char offsets, end exclusive). Returns `array<struct<start:long,
+  * end:long>>`, matches in order, non-overlapping.
+  *
+  * Word chars are ASCII `[A-Za-z0-9_]` — the explicit common subset of
+  * Java's default `\b`, RE2's, and Python's — so the DuckDB oracle can
+  * replay the boundary test exactly. One linear scan per (row, term), no
+  * regex machinery.
+  */
+case class HighlightSpans(child: Expression, term: String, cap: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start", LongType, nullable = false),
+      StructField("end", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_highlight_spans"
+
+  private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    val m = term.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (m > 0) {
+      var i = 0
+      while (i + m <= n && out.length < cap) {
+        if (text.regionMatches(true, i, term, 0, m) &&
+            (i == 0 || !isWord(text.charAt(i - 1))) &&
+            (i + m == n || !isWord(text.charAt(i + m)))) {
+          out += org.apache.spark.sql.catalyst.InternalRow(i.toLong, (i + m).toLong)
+          i += m
+        } else i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HighlightSpans =
+    copy(child = newChild)
+}
+
+object HighlightSpans {
+  def column(c: Column, term: String, cap: Int = 8): Column =
+    Bridge.column(HighlightSpans(Bridge.expression(c), term, cap))
+}
+
 /** SimHash constants + kernel — shared by the Spark expression and the
   * generated DuckDB oracle SQL so they cannot drift. The per-token hash is
   * two independent rolling polyhashes packed into one 60-bit value

@@ -70,14 +70,21 @@ object IndexStore {
   }
 
   /** Build + persist an index over `vectors` (`id`, `vec array<float>`).
-    * backend: "flat" (single cell, unpartitioned) or "ivf" (seeded k-means
-    * cells, partitioned by cell). Writes latest + a timestamped version.
+    * backend: "flat" (single cell, unpartitioned) or "ivf" (deterministic
+    * sampled k-means cells, partitioned by cell). Writes latest + a
+    * timestamped version.
+    *
+    * `docs` is the chunk-text sidecar (`id`, `text`) — the reference
+    * persists the same map as `.docs.json` + `.ids.json` beside the index
+    * (`pipeline.py:65-69,136-139`, copied per version at `:124`) so search
+    * and eval can show previews; here it is a parquet dataset that scales
+    * with splits instead of a driver-side JSON blob.
     */
   def build(vectors: DataFrame, root: String, name: String, backend: String,
             params: Params = Params(VectorOps.NumCells, VectorOps.NProbe),
             chunking: Chunking = Chunking("fixed", 100, 20),
             model: String = "none", normalize: Boolean = false,
-            metric: String = "ip"): Manifest = {
+            metric: String = "ip", docs: Option[DataFrame] = None): Manifest = {
     val spark = vectors.sparkSession
     val assigned = backend match {
       case "ivf" =>
@@ -103,6 +110,8 @@ object IndexStore {
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
       val w = assigned.write.mode("overwrite")
       (if (backend == "ivf") w.partitionBy("cell") else w).parquet(s"$dir/vectors")
+      docs.foreach(_.select(col("id"), col("text"))
+        .write.mode("overwrite").parquet(s"$dir/docs"))
       writeString(s"$dir/manifest.json", manifest.toJson)
     }
     val meta =
@@ -123,6 +132,17 @@ object IndexStore {
            version: Option[String] = None): DataFrame = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
     spark.read.parquet(s"$dir/vectors")
+  }
+
+  /** The chunk-text sidecar written at build time, if any — the lazy scan
+    * search joins back against for previews.
+    */
+  def loadDocs(spark: SparkSession, root: String, name: String,
+               version: Option[String] = None): Option[DataFrame] = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    val p = new HPath(s"$dir/docs")
+    if (p.getFileSystem(hadoopConf).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
   }
 
   def manifestJson(root: String, name: String, version: Option[String] = None): String = {

@@ -123,19 +123,48 @@ object Search {
     * word-boundary highlight hit counts inside the preview, capped at 8
     * per term. Narrow join of the tiny top-k against the docs scan.
     */
-  def searchPreview(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 top-k joined back to documents with the reference's preview
+    * slice — the shared base of search_preview and search_highlights.
+    */
+  private def previewBase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val preview = when(length(col("text")) > PreviewLen,
         concat(substring(col("text"), 1, PreviewLen), lit("…")))
       .otherwise(col("text"))
-    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
-    val hitCols = qTerms.map(t =>
-      least(lit(MaxHitsPerTerm.toLong),
-        regexp_count(col("preview"), lit(s"(?i)\\b$t\\b")).cast("long")).as(s"hits_$t"))
     bm25TopK(spark, dir)
       .join(docs, Seq("doc_id"))
       .withColumn("preview", preview)
+  }
+
+  def searchPreview(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
+    // counts = size of the span kernel's output, so the (SQL-expressible)
+    // hit-count oracle also validates the span finder
+    val hitCols = qTerms.map(t =>
+      size(graft.functions.HighlightSpans.column(col("preview"), t, MaxHitsPerTerm))
+        .cast("long").as(s"hits_$t"))
+    previewBase(spark, dir)
       .select(Seq(col("rk"), col("doc_id"), col("score"), col("preview")) ++ hitCols: _*)
+  }
+
+  /** `search_highlights` (reference `answerless_search.py:144-159
+    * _find_spans`, used by search at :263 and /chunk at :200-207): per-term
+    * case-insensitive word-boundary highlight spans inside each top-k
+    * preview — one row per (rk, doc_id, term, span), char offsets 0-based
+    * end-exclusive, capped at [[MaxHitsPerTerm]] per term. Narrow explode
+    * over the tiny top-k frame.
+    */
+  def searchHighlights(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
+    val perTerm = qTerms.map(t => struct(lit(t).as("term"),
+      graft.functions.HighlightSpans.column(col("preview"), t, MaxHitsPerTerm).as("spans")))
+    previewBase(spark, dir)
+      .select(col("rk"), col("doc_id"), explode(array(perTerm: _*)).as("ts"))
+      .select(col("rk"), col("doc_id"), col("ts.term").as("term"),
+        posexplode(col("ts.spans")).as(Seq("i", "sp")))
+      .select(col("rk"), col("doc_id"), col("term"),
+        (col("i") + 1).cast("long").as("span_idx"),
+        col("sp.start").as("span_start"), col("sp.end").as("span_end"))
   }
 
   /** DuckDB oracle for search_preview, generated from the same constants. */
@@ -153,6 +182,40 @@ object Search {
        |SELECT rk, doc_id, score, preview,
        |  $hitExprs
        |FROM pv""".stripMargin
+  }
+
+  /** DuckDB oracle for search_highlights: replays the word-boundary scan as
+    * a position comprehension — a candidate start p matches iff the
+    * term-length slice at p equals the term case-insensitively and the
+    * chars before/after are not ASCII word chars. Non-overlap falls out for
+    * free because the query terms are all-word-char. Generated from the
+    * same constants as the Spark side.
+    */
+  def searchHighlightsOracleSql(bm25Ctes: String): String = {
+    val terms = QueryText.toLowerCase.split("\\s+")
+      .map(t => s"('$t')").mkString(", ")
+    s"""WITH $bm25Ctes,
+       |topd AS (SELECT rk, bmr.doc_id, text
+       |         FROM bmr JOIN documents d ON bmr.doc_id = d.doc_id WHERE rk <= $BmK),
+       |pv AS (SELECT rk, doc_id,
+       |         CASE WHEN length(text) > $PreviewLen THEN substr(text, 1, $PreviewLen) || '…'
+       |              ELSE text END AS preview
+       |       FROM topd),
+       |terms(term) AS (VALUES $terms),
+       |pos AS (
+       |  SELECT pv.rk, pv.doc_id, t.term, p.p AS p
+       |  FROM pv CROSS JOIN terms t,
+       |       UNNEST(range(1, length(pv.preview) - length(t.term) + 2)) AS p(p)
+       |  WHERE lower(substr(pv.preview, CAST(p.p AS INT), length(t.term))) = t.term
+       |    AND (p.p = 1 OR NOT regexp_matches(substr(pv.preview, CAST(p.p - 1 AS INT), 1), '[A-Za-z0-9_]'))
+       |    AND (p.p + length(t.term) > length(pv.preview)
+       |         OR NOT regexp_matches(substr(pv.preview, CAST(p.p + length(t.term) AS INT), 1), '[A-Za-z0-9_]'))),
+       |sp AS (SELECT rk, doc_id, term, p,
+       |         row_number() OVER (PARTITION BY rk, doc_id, term ORDER BY p) AS span_idx
+       |       FROM pos)
+       |SELECT rk, doc_id, term, span_idx,
+       |  p - 1 AS span_start, p - 1 + length(term) AS span_end
+       |FROM sp WHERE span_idx <= $MaxHitsPerTerm""".stripMargin
   }
 
   val RrfK = 60
@@ -177,6 +240,31 @@ object Search {
       .groupBy(col("id")).agg(sum(col("contrib")).as("rrf"))
     graft.functions.Ranking.topK(fused, RrfOut, col("rrf").desc, col("id"))
       .select(col("rk"), col("id"), round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  val CompareK = 10
+
+  /** SURVEY §2 `search_compare` (reference `answerless_search.py:281-315`
+    * compare_api: one query against two indexes, side-by-side hits + the
+    * id overlap): left = cosine retriever, right = inner-product retriever,
+    * top-[[CompareK]] each for query vector [[RrfQueryVec]], aligned by
+    * rank, plus the shared-id count. Both lists are tiny broadcast frames;
+    * the corpus is scanned once per retriever and never shuffled.
+    */
+  def searchCompare(spark: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.embWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") === RrfQueryVec)
+    val l = VectorOps.topK(e, q, CompareK, "cos")
+      .select(col("rk"), col("neighbor_id").as("left_id"), col("score").as("left_score"))
+    val r = VectorOps.topK(e, q, CompareK, "dot")
+      .select(col("rk"), col("neighbor_id").as("right_id"), col("score").as("right_score"))
+    val overlap = l.select(col("left_id").as("id"))
+      .intersect(r.select(col("right_id").as("id")))
+      .agg(count(lit(1)).as("overlap"))
+    l.join(r, Seq("rk"))
+      .crossJoin(broadcast(overlap))
+      .select(col("rk"), col("left_id"), col("left_score"),
+        col("right_id"), col("right_score"), col("overlap"))
   }
 
   val EvalK = 5

@@ -31,25 +31,30 @@ object IndexPipeline {
       nlist: Int = graft.operators.VectorOps.NumCells,
       nprobe: Int = graft.operators.VectorOps.NProbe)
 
-  /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors with the
-    * reference's `{doc}#{j}` chunk ids.
+  /** Chunked text with the reference's `{doc}#{j}` chunk ids — both the
+    * embedder input and the docs sidecar (`pipeline.py:65-69`).
     */
-  def vectorize(docs: DataFrame, cfg: Config): DataFrame = {
-    val chunks = Chunking.chunkFixedDf(
+  def chunked(docs: DataFrame, cfg: Config): DataFrame =
+    Chunking.chunkFixedDf(
         docs.select(col("doc_id"), col("text")), cfg.chunkSize, cfg.chunkOverlap)
       .select(col("chunk_id").as("id"), col("chunk").as("text"))
-    Embedder.embed(chunks, cfg.dim, cfg.normalize)
-      .toDF().select(col("id"), col("vec"))
-  }
 
-  /** Full build: docs frame → persisted, versioned index. */
+  /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors. */
+  def vectorize(docs: DataFrame, cfg: Config): DataFrame =
+    Embedder.embed(chunked(docs, cfg), cfg.dim, cfg.normalize)
+      .toDF().select(col("id"), col("vec"))
+
+  /** Full build: docs frame → persisted, versioned index + chunk-text
+    * sidecar (so search can return previews, like the reference's
+    * `.docs.json`).
+    */
   def build(docs: DataFrame, root: String, cfg: Config): IndexStore.Manifest =
     IndexStore.build(
       vectorize(docs, cfg), root, cfg.name, cfg.backend,
       params = IndexStore.Params(cfg.nlist, cfg.nprobe),
       chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
       model = "stub-hash-projection", normalize = cfg.normalize,
-      metric = "ip")
+      metric = "ip", docs = Some(chunked(docs, cfg)))
 
   /** Build straight from a file (reference upload path): csv/json/parquet/
     * text with a `text` column (and optional `doc_id`).
@@ -65,9 +70,15 @@ object IndexPipeline {
 
   /** Search a persisted index with a text query: embed the query with the
     * same stub encoder, score by inner product (the reference's faiss
-    * metric), return top-k (id, score). The query vector is a one-row
-    * broadcast; a flat index scans fully (exact), an IVF index is probed
-    * cell-locally by the caller via [[IndexStore.probe]].
+    * metric), return top-k (rk, id, score, preview). The query vector is a
+    * one-row broadcast; a flat index scans fully (exact), an IVF index is
+    * probed cell-locally by the caller via [[IndexStore.probe]].
+    *
+    * `preview` is the reference's slice (first [[graft.operators.Search
+    * .PreviewLen]] chars + '…', `answerless_search.py:139-163`) joined
+    * back from the docs sidecar — the tiny top-k is broadcast against the
+    * sidecar scan, so the corpus-side never shuffles. Indexes built
+    * without a sidecar get a null preview.
     */
   def search(spark: SparkSession, root: String, name: String,
              query: String, k: Int, cfg: Config = Config("q"),
@@ -77,7 +88,17 @@ object IndexPipeline {
     val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
     val scored = index
       .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
-    graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
+    val hits = graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
       .select(col("rk"), col("id"), col("score"))
+    IndexStore.loadDocs(spark, root, name, version) match {
+      case Some(docs) =>
+        val preview = when(length(col("text")) > graft.operators.Search.PreviewLen,
+            concat(substring(col("text"), 1, graft.operators.Search.PreviewLen), lit("…")))
+          .otherwise(col("text"))
+        docs.join(broadcast(hits), Seq("id"))
+          .select(col("rk"), col("id"), col("score"), preview.as("preview"))
+      case None =>
+        hits.withColumn("preview", lit(null).cast("string"))
+    }
   }
 }

@@ -33,6 +33,9 @@ class IndexPipelineSpec extends SparkSpec {
     assert(hits.head.getAs[String]("id") == someChunk.getString(0))
     // normalized stub vectors: self inner product == 1 (6dp)
     assert(math.abs(hits.head.getAs[Double]("score") - 1.0) < 1e-6)
+    // docs sidecar: the hit carries its chunk text as the preview
+    // (chunks are 100 chars < PreviewLen, so preview == full chunk)
+    assert(hits.head.getAs[String]("preview") == someChunk.getString(1))
   }
 
   test("ivf pipeline writes cell partitions and versions; search still works") {

@@ -167,4 +167,30 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("mrr") - mrr) < 1e-6)
     assert(math.abs(row.getAs[Double]("ndcg") - ndcg) < 1e-6)
   }
+
+  test("search_compare aligns two retrievers and counts the id overlap") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def score(a: Array[Float], b: Array[Float], dot: Boolean): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (dot) d else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = emb.find(_._1 == Search.RrfQueryVec).get._2
+    def top(dot: Boolean): Seq[Long] = emb.filter(_._1 != Search.RrfQueryVec)
+      .map(o => (o._1, BigDecimal(score(qv, o._2, dot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, sc) => (-sc, id) }.take(Search.CompareK).map(_._1).toSeq
+    val (wantL, wantR) = (top(dot = false), top(dot = true))
+    val rows = Search.searchCompare(spark, dir).collect().sortBy(_.getAs[Long]("rk"))
+    assert(rows.map(_.getAs[Long]("left_id")).toSeq == wantL)
+    assert(rows.map(_.getAs[Long]("right_id")).toSeq == wantR)
+    val wantOverlap = wantL.toSet.intersect(wantR.toSet).size.toLong
+    assert(rows.forall(_.getAs[Long]("overlap") == wantOverlap))
+  }
+
 }
