@@ -26,6 +26,36 @@ class ReadersSpec extends SparkSpec {
     assert(txt.columns.toSeq == Seq("text") && txt.count() == 3)
   }
 
+  test("html ingest strips tags/script/style, decodes entities, one row per file") {
+    val dir = Files.createTempDirectory("graft-readers")
+    val h = dir.resolve("page.html")
+    Files.writeString(h,
+      """<html><head><title>T</title>
+        |<style>body { color: red; }</style>
+        |<script type="text/javascript">var x = "<ignored>";</script>
+        |</head><body>
+        |<!-- a comment -->
+        |<h1 class="big">Hello &amp; welcome</h1>
+        |<p>1 &lt; 2, x&nbsp;y, it&#39;s fine</p>
+        |</body></html>""".stripMargin)
+    val df = Readers.read(spark, h.toString, "html")
+    assert(df.columns.toSeq == Seq("text"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val text = rows(0).getString(0)
+    assert(text.contains("Hello & welcome"))
+    assert(text.contains("1 < 2, x y, it's fine"))
+    assert(text.contains("T")) // title text survives
+    assert(!text.contains("color: red") && !text.contains("var x"))
+    assert(!text.contains("<") || text.contains("1 < 2")) // no tags left
+    assert(!text.contains("comment"))
+    // double-escaped entity decodes one level only, like html.unescape-once
+    val h2 = dir.resolve("esc.html")
+    Files.writeString(h2, "<p>&amp;lt;tag&amp;gt;</p>")
+    assert(Readers.readHtml(spark, h2.toString).collect()(0).getString(0)
+      == "&lt;tag&gt;")
+  }
+
   test("office formats fail fast with a clear message") {
     val e = intercept[UnsupportedOperationException] {
       Readers.read(spark, "/tmp/x.xlsx", "xlsx")

@@ -38,4 +38,31 @@ class SaltingSpec extends SparkSpec {
       .select(Salting.salt(col("row_id"), 8).as("b")).distinct().count()
     assert(nBuckets > 4, s"expected the hot key spread over >4 of 8 buckets, got $nBuckets")
   }
+
+  test("salted stop-bucket pre-filter equals the direct size cap (simhash path)") {
+    val s = spark
+    import s.implicits._
+    // one structurally hot bucket (5000 rows) + small legitimate buckets —
+    // the dedup_simhash shape: blacklist-then-collect must equal cap-after
+    val rows = ((1 to 5000).map(i => (i.toLong, 0, 7L)) ++
+      Seq((9001L, 1, 1L), (9002L, 1, 1L), (9003L, 2, 2L), (9004L, 2, 2L),
+        (9005L, 3, 3L))).toDF("doc_id", "j", "chunk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    val direct = canon(rows.groupBy(col("j"), col("chunk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= 100)
+      .select(col("j"), col("chunk"), col("ids")))
+    val hot = Salting.saltedCount(rows, struct(col("j"), col("chunk")), col("doc_id"))
+      .filter(col("n") > 100)
+      .select(col("key.j").as("j"), col("key.chunk").as("chunk"))
+    val pre = canon(rows.join(broadcast(hot), Seq("j", "chunk"), "left_anti")
+      .groupBy(col("j"), col("chunk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("j"), col("chunk"), col("ids")))
+    assert(pre == direct)
+    assert(!pre.contains((0, 7L)) && pre.contains((1, 1L)) && pre.contains((2, 2L)))
+  }
+
 }

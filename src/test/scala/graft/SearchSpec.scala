@@ -193,4 +193,27 @@ class SearchSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("overlap") == wantOverlap))
   }
 
+
+  test("evalFromFile reproduces eval_recall from an uploaded CSV gold set") {
+    // derive the same label-based gold the synthetic eval uses, as a CSV
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val gold = emb.filter(_._1 < Search.NGold).map { case (qid, lab) =>
+      qid -> emb.filter(o => o._2 == lab && o._1 != qid).map(_._1).min
+    }
+    val f = java.nio.file.Files.createTempFile("gold", ".csv")
+    java.nio.file.Files.writeString(f,
+      "q_id,expected_id\n" + gold.map { case (q, e) => s"$q,$e" }.mkString("\n") + "\n")
+    val e = graft.operators.VectorOps.embWithNorm(spark, dir)
+    val hits = graft.operators.VectorOps.topK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < Search.NGold),
+      Search.EvalK, "cos")
+    val fromFile = Search.evalFromFile(spark, f.toString, "csv", hits).collect()(0)
+    val builtin = Search.evalRecall(spark, dir).collect()(0)
+    Seq("k", "total").foreach(c =>
+      assert(fromFile.getAs[Long](c) == builtin.getAs[Long](c)))
+    Seq("recall_at_k", "mrr", "ndcg").foreach(c =>
+      assert(fromFile.getAs[Double](c) == builtin.getAs[Double](c), c))
+  }
+
 }
