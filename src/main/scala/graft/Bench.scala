@@ -22,7 +22,7 @@ object Bench {
     "q_window_topk", "q_events_window", "q_events_sessionize",
     "chunk_fixed", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "knn_bruteforce", "bm25_topk", "hybrid_rrf")
+    "knn_bruteforce", "ann_ivf", "bm25_topk", "hybrid_rrf")
 
   val WarmupDir = "/root/testdata/sf0.001"
 
@@ -61,6 +61,9 @@ object Bench {
     // first, making per-query attribution order-dependent (it moved
     // hybrid_rrf by ±0.5 s between rounds).
     graft.operators.Search.prewarm(spark, sfDir)
+    // Same for the IVF centroid fit (a build-time artifact shared by the
+    // ivf_* family; queries probe a built index).
+    graft.operators.IvfModel.centroids(spark, sfDir)
     val results = names.map(n => n -> runOnce(n, sfDir))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -150,6 +150,14 @@ object IndexStore {
     readString(s"$dir/manifest.json")
   }
 
+  /** Per-version meta.json payloads, newest first — the reference's
+    * versioning listing (`versions.py:25-52` reads each version dir's
+    * meta.json and sorts by created_at desc).
+    */
+  def versionsMeta(root: String, name: String): Seq[String] =
+    versions(root, name).reverse
+      .map(v => readString(s"$root/$name/versions/$v/meta.json"))
+
   /** Version ids, newest last (lexicographic == chronological). */
   def versions(root: String, name: String): Seq[String] = {
     val p = new HPath(s"$root/$name/versions")

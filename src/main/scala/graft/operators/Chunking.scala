@@ -221,9 +221,17 @@ object Chunking {
     * Global min/max is a 2-value broadcastable agg; the bin count is one
     * shuffle keyed on bin (≤20 groups).
     */
-  def chunkHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("chunk_len").as("len"))
+  def chunkHistogram(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogram(
+      chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("chunk_len").as("len")))
+
+  /** The reference's 20-bin histogram over any single `len` column —
+    * shared by chunk_histogram and the index-sidecar analytics
+    * ([[graft.index.IndexStats]]).
+    */
+  def lengthHistogram(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
     val ext = chunks.agg(min(col("len")).as("vmin"), max(col("len")).as("vmax"))
     val counts = chunks.crossJoin(broadcast(ext))
       .withColumn("step", greatest(lit(1L), (col("vmax") - col("vmin") + 19) / 20 cast "long"))

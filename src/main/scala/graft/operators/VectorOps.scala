@@ -135,17 +135,19 @@ object VectorOps {
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
     val e = multi.withColumn("nrm", norm(col("embedding")))
+    // Score INSIDE the bucket join and threshold before any dedup: the
+    // cell-local pair stream is large (Σ |cell|²/2) and each row drags two
+    // embeddings, so the pair-dedup shuffle must only ever see the tiny
+    // ≥ τ survivor set as (id, id, scalar) rows. A pair that shares both
+    // probed cells is scored twice (identical value) and collapsed here.
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      // a pair can share both probed cells; duplicate rows carry identical
-      // payloads, so key the dedup on the pair ids only
-      .dropDuplicates("vec_id_a", "vec_id_b")
-      .withColumn("c", cosinePre(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .withColumn("c", cosinePre(dot(col("a.embedding"), col("b.embedding")),
+        col("a.nrm"), col("b.nrm")))
       .filter(col("c") >= Dedup.EmbeddingCosThreshold)
-      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos_sim"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        round(col("c"), 6).as("cos_sim"))
+      .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
   // ---- Generated DuckDB oracles -----------------------------------------

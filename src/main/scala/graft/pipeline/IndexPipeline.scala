@@ -68,6 +68,29 @@ object IndexPipeline {
     build(docs.select(col("doc_id"), col("text")), root, cfg)
   }
 
+  /** The reference's `/chunk` endpoint (`answerless_search.py:168-220`):
+    * the FULL raw chunk text for one chunk id from the docs sidecar, plus
+    * per-term highlight spans when a query is given (same `_find_spans`
+    * semantics as [[graft.operators.Search.searchHighlights]], over the
+    * full text instead of the preview). The id predicate pushes down to
+    * the sidecar scan.
+    */
+  def getChunk(spark: SparkSession, root: String, name: String,
+               chunkId: String, query: Option[String] = None,
+               version: Option[String] = None): DataFrame = {
+    val docs = IndexStore.loadDocs(spark, root, name, version)
+      .getOrElse(throw new IllegalStateException(
+        s"index '$name' has no docs sidecar — build it with docs to fetch chunks"))
+    val base = docs.filter(col("id") === chunkId)
+      .select(col("id").as("doc_id"), col("text"))
+    val terms = query.toSeq
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct
+    if (terms.isEmpty) base
+    else base.select(col("doc_id") +: col("text") +: terms.map(t =>
+      graft.functions.HighlightSpans.column(col("text"), t,
+        graft.operators.Search.MaxHitsPerTerm).as(s"spans_$t")): _*)
+  }
+
   /** Search a persisted index with a text query: embed the query with the
     * same stub encoder, score by inner product (the reference's faiss
     * metric), return top-k (rk, id, score, preview). The query vector is a

@@ -77,6 +77,32 @@ class IndexPipelineSpec extends SparkSpec {
     assert(m.getAs[Double]("mrr") == 1.0) // every self-query ranks itself #1
   }
 
+  test("getChunk returns the full raw chunk text with highlight spans") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(20)
+    val cfg = IndexPipeline.Config(name = "e2e_chunk", backend = "flat")
+    IndexPipeline.build(docs, root, cfg)
+    val someChunk = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect()(3)
+    val (cid, ctext) = (someChunk.getString(0), someChunk.getString(1))
+    // no query: just the raw text
+    val plain = IndexPipeline.getChunk(spark, root, "e2e_chunk", cid).collect()
+    assert(plain.length == 1 && plain(0).getAs[String]("text") == ctext)
+    // with query: per-term span columns over the FULL text
+    val word = ctext.split("\\W+").filter(_.length > 2).head.toLowerCase
+    val hl = IndexPipeline.getChunk(spark, root, "e2e_chunk", cid,
+      Some(s"$word zzznotfound")).collect()(0)
+    val spans = hl.getSeq[org.apache.spark.sql.Row](
+      hl.fieldIndex(s"spans_$word"))
+    assert(spans.nonEmpty)
+    val (s0, e0) = (spans.head.getLong(0).toInt, spans.head.getLong(1).toInt)
+    assert(ctext.substring(s0, e0).equalsIgnoreCase(word))
+    assert(hl.getSeq[org.apache.spark.sql.Row](
+      hl.fieldIndex("spans_zzznotfound")).isEmpty)
+  }
+
   test("buildFromFile ingests a csv upload like the reference") {
     val root = Files.createTempDirectory("graft-pipe").toString
     val f = Files.createTempFile("docs", ".csv")
