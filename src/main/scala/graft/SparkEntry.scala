@@ -55,6 +55,8 @@ object SparkEntry {
     "eval_compare"        -> Search.evalCompare _,
     "search_compare"      -> Search.searchCompare _,
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
+    "multimodal_resize"   -> Multimodal.multimodalResize _,
+    "multimodal_framesample" -> Multimodal.multimodalFramesample _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
     "search_highlights"   -> Search.searchHighlights _,
@@ -539,6 +541,32 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0
         |       THEN round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) END AS duration_s
         |FROM documents""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT doc_id, width, width // 4 * 3 AS height,
+        |        round(least(1.0, 256.0 / CAST(greatest(width, width // 4 * 3) AS DOUBLE)), 6) AS scale
+        |      FROM m)
+        |SELECT doc_id, width, height, scale,
+        |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+        |  CAST(floor(height * scale) AS BIGINT) AS out_height,
+        |  CAST(floor(width * scale) AS BIGINT) * CAST(floor(height * scale) AS BIGINT) * 3 AS out_bytes
+        |FROM r""".stripMargin,
+
+    "multimodal_framesample" ->
+      """WITH v AS (SELECT doc_id,
+        |             round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) AS dur
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, CAST(floor(dur * 25) AS BIGINT) AS n_frames FROM v WHERE floor(dur * 25) > 0),
+        |g AS (SELECT doc_id, n_frames,
+        |        greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS step
+        |      FROM f),
+        |e AS (SELECT doc_id, n_frames, step, t.k AS k
+        |      FROM g, UNNEST(range(0, ((n_frames - 1) // step) + 1)) AS t(k))
+        |SELECT doc_id, n_frames, k + 1 AS sample_idx, k * step AS frame_idx,
+        |  round(CAST(k * step AS DOUBLE) / 25.0, 6) AS t_offset_s
+        |FROM e""".stripMargin,
 
     "chunk_preview" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 5),

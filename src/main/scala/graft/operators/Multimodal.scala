@@ -72,6 +72,70 @@ object Multimodal {
     }
   }
 
+  val ResizeMaxDim = 256L
+  val VideoFps = 25L
+  val MaxSampledFrames = 8L
+
+  /** SURVEY §2 `multimodal_resize` (SQL oracle): aspect-preserving resize
+    * plan for the image rows — scale = min(1, 256/max(w,h)), output dims
+    * floored, output byte size = w'·h'·3 (RGB stub). The arithmetic a real
+    * thumbnailer performs on decoded headers, as a narrow column program;
+    * the pixel work would live in the per-partition decode step.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val images = multimodalMeta(spark, dir).filter(col("media_type") === "image")
+    val scale = least(lit(1.0),
+      lit(ResizeMaxDim).cast("double") /
+        greatest(col("width"), col("height")).cast("double"))
+    images
+      .withColumn("scale", round(scale, 6))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("long"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("long"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale"),
+        col("out_width"), col("out_height"),
+        (col("out_width") * col("out_height") * 3).as("out_bytes"))
+  }
+
+  /** SURVEY §2 `multimodal_framesample` (SQL oracle): uniform frame
+    * sampling for the video rows — n_frames = floor(duration·fps), step
+    * chosen so ≤ [[MaxSampledFrames]] frames survive, one row per sampled
+    * frame with its time offset. posexplode keeps it a narrow map; a real
+    * pipeline hands (doc_id, frame_idx) to the per-partition decoder.
+    */
+  def multimodalFramesample(spark: SparkSession, dir: String): DataFrame = {
+    val videos = multimodalMeta(spark, dir).filter(col("media_type") === "video")
+      .withColumn("n_frames",
+        floor(col("duration_s") * VideoFps).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("step",
+        greatest(lit(1L), ceil(col("n_frames").cast("double") / MaxSampledFrames).cast("long")))
+    videos
+      .select(col("doc_id"), col("n_frames"), col("step"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as(Seq("k", "frame_idx")))
+      .select(col("doc_id"), col("n_frames"),
+        (col("k") + 1).cast("long").as("sample_idx"), col("frame_idx"),
+        round(col("frame_idx").cast("double") / VideoFps, 6).as("t_offset_s"))
+  }
+
+  /** Feature-extract for media payloads: the stub encoder over the payload
+    * bytes (a real system swaps in CLIP/wav2vec per modality — loaded once
+    * per partition, exactly this mapPartitions shape).
+    */
+  case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Float])
+
+  def extractFeatures(files: Dataset[MediaFile],
+                      dim: Int = graft.functions.Embedder.DefaultDim): Dataset[MediaFeatures] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { iter =>
+      // (real impl: load the per-modality encoder here, once per partition)
+      iter.map(f => MediaFeatures(f.doc_id, f.media_type,
+        graft.functions.Embedder.encodeStub(
+          new String(f.payload, java.nio.charset.StandardCharsets.UTF_8), dim,
+          normalize = true)))
+    }
+  }
+
   /** documents → MediaFile dataset (payload = utf-8 text bytes). */
   def mediaFiles(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._

@@ -4,6 +4,7 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaFile, MediaMeta}
 
 class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
 
   test("extractMeta runs the decode stub per partition with typed rows") {
     val s = spark
@@ -17,6 +18,53 @@ class MultimodalSpec extends SparkSpec {
       MediaMeta(0, "image", 4, Some(320), Some(240), None),
       MediaMeta(1, "audio", 6, None, None, Some(0.006)),
       MediaMeta(2, "video", 2, None, None, Some(0.002))))
+  }
+
+  test("resize plan preserves aspect ratio within the 256 cap") {
+    val rows = graft.operators.Multimodal.multimodalResize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))
+      assert(math.max(ow, oh) <= graft.operators.Multimodal.ResizeMaxDim)
+      assert(ow <= w && oh <= h)
+      // aspect preserved within 1px of the float plan
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05)
+      assert(r.getAs[Long]("out_bytes") == ow * oh * 3)
+    }
+  }
+
+  test("frame sampling emits <= 8 uniformly-stepped frames per video") {
+    val rows = graft.operators.Multimodal.multimodalFramesample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("sample_idx"))
+      assert(sorted.length <= graft.operators.Multimodal.MaxSampledFrames)
+      val idxs = sorted.map(_.getAs[Long]("frame_idx"))
+      val n = sorted.head.getAs[Long]("n_frames")
+      assert(idxs.forall(i => i >= 0 && i < n))
+      if (idxs.length > 1) {
+        val steps = idxs.sliding(2).map(p => p(1) - p(0)).toSeq
+        assert(steps.distinct.length == 1, "uniform step")
+      }
+    }
+  }
+
+  test("extractFeatures runs the stub encoder per partition with stable output") {
+    val files = graft.operators.Multimodal.mediaFiles(spark, dir)
+    val f1 = graft.operators.Multimodal.extractFeatures(files).collect()
+      .map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(f1.nonEmpty)
+    assert(f1.values.forall(_.length == graft.functions.Embedder.DefaultDim))
+    // deterministic: same payload -> same features
+    val f2 = graft.operators.Multimodal.extractFeatures(files).collect()
+      .map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(f1 == f2)
+    // normalized
+    f1.values.take(5).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
   }
 
   test("mediaFiles payload round-trips the utf-8 text") {
