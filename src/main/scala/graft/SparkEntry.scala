@@ -33,6 +33,7 @@ object SparkEntry {
     "text_quality"        -> TextOps.textQuality _,
     "text_fingerprint"    -> TextOps.textFingerprint _,
     "text_vocab"          -> TextOps.textVocab _,
+    "text_repetition"     -> TextOps.textRepetition _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
@@ -353,6 +354,24 @@ object SparkEntry {
         |r AS (SELECT term, CAST(tf AS BIGINT) AS tf, df,
         |        row_number() OVER (ORDER BY tf DESC, term) AS rk FROM v)
         |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(0, len(toks) - 2) AS BIGINT) AS n_ngrams,
+        |    CAST(len(list_distinct(
+        |      CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(toks) - 1), i ->
+        |             toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END)) AS BIGINT) AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS rep_ratio
+        |FROM g WHERE n_ngrams > 0""".stripMargin,
 
     "chunk_fixed" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),

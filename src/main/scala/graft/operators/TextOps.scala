@@ -119,6 +119,23 @@ object TextOps {
         round(score, 6).as("quality"))
   }
 
+  /** SURVEY §2 `text_repetition`: duplicate word-3-gram ratio — the
+    * Gopher-style repetition filter for LLM training data (a doc whose
+    * n-grams are mostly repeats is boilerplate/spam). total 3-grams is
+    * n_tokens−2; distinct comes from the WordShingles kernel; ratio
+    * = 1 − distinct/total. Narrow map, one kernel pass per doc.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Dedup.wsTokens(col("text"))
+    val total = greatest(lit(0), size(toks) - 2).cast("long")
+    val distinctN = size(Dedup.shingles(col("text"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), total.as("n_ngrams"), distinctN.as("n_distinct"))
+      .filter(col("n_ngrams") > 0)
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
+  }
+
   val FpMod = 1000000007L
   val FpBase = 31L
 

@@ -72,4 +72,24 @@ class TextOpsSpec extends SparkSpec {
       assert(got(id) == want)
     }
   }
+
+  test("text_repetition equals a distinct/total shingle replica") {
+    val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.textRepetition(spark, dir).collect()
+    rows.foreach { r =>
+      val toks = graft.functions.GraftText.wsTokens(texts(r.getAs[Long]("doc_id")))
+      val total = math.max(0, toks.length - 2)
+      val distinct = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
+      assert(r.getAs[Long]("n_ngrams") == total)
+      assert(r.getAs[Long]("n_distinct") == distinct)
+      val want = BigDecimal(1.0 - distinct.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rep_ratio") == want)
+    }
+    // every doc with >= 3 tokens appears
+    val expected = texts.count { case (_, t) => graft.functions.GraftText.wsTokens(t).length >= 3 }
+    assert(rows.length == expected)
+  }
+
 }
