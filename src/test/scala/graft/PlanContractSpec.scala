@@ -62,4 +62,25 @@ class PlanContractSpec extends SparkSpec {
     val q = executedPlan(Dedup.dedupNgram(spark, dir))
     assert(q.contains("graft_word_shingles"))
   }
+
+  test("ann_ivf: pairs form inside cells via an equi-join; no cartesian") {
+    val plan = executedPlan(VectorOps.annIvf(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "candidate join degraded to cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate join must be cell-keyed")
+    // the pair dedup must shuffle only (id, id, score) rows, no embeddings
+    plan.linesIterator.filter(_.contains("hashpartitioning(vec_id_a")).foreach(l =>
+      assert(!l.contains("embedding"), "pair-dedup shuffle carries embeddings"))
+  }
+
+  test("ivf_build is a narrow assignment: no shuffle at all") {
+    val plan = executedPlan(VectorOps.ivfBuild(spark, dir))
+    assert(!plan.contains("Exchange"), "cell assignment must not shuffle")
+  }
+
+  test("multimodal resize/framesample and text_repetition are narrow: zero exchanges") {
+    assert(!executedPlan(Multimodal.multimodalResize(spark, dir)).contains("Exchange"))
+    assert(!executedPlan(Multimodal.multimodalFramesample(spark, dir)).contains("Exchange"))
+    assert(!executedPlan(TextOps.textRepetition(spark, dir)).contains("Exchange"))
+  }
+
 }
