@@ -470,6 +470,41 @@ object HighlightSpans {
     Bridge.column(HighlightSpans(Bridge.expression(c), term, cap))
 }
 
+/** Sentence-pack / heading-split chunking as a native expression around
+  * the [[TextChunk]] kernels (reference `chunker.py` semantics) — replaces
+  * a Scala UDF, so there is no UDF serialization boundary and the operator
+  * follows the same shape as every other text kernel: CodegenFallback,
+  * one JVM call per row, surrounding stage stays codegen'd.
+  */
+case class ChunkText(child: Expression, mode: String, size: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"graft_chunk_$mode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val chunks = mode match {
+      case "sentences" => TextChunk.chunkSentences(text, size, overlap)
+      case "headings"  => TextChunk.chunkByHeadings(text, size, overlap)
+      case _           => TextChunk.chunkFixed(text, size, overlap)
+    }
+    new GenericArrayData(chunks.map(UTF8String.fromString(_)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkText =
+    copy(child = newChild)
+}
+
+object ChunkText {
+  def column(c: Column, mode: String, size: Int, overlap: Int): Column =
+    Bridge.column(ChunkText(Bridge.expression(c), mode, size, overlap))
+}
+
 /** SimHash constants + kernel — shared by the Spark expression and the
   * generated DuckDB oracle SQL so they cannot drift. The per-token hash is
   * two independent rolling polyhashes packed into one 60-bit value

@@ -63,24 +63,26 @@ object Chunking {
       PreviewSize, PreviewOverlap)
       .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
 
-  private def chunkUdfQuery(spark: SparkSession, dir: String,
-                            kernel: String => Seq[String]): DataFrame = {
-    val chunker = udf(kernel)
+  private def chunkKernelQuery(spark: SparkSession, dir: String,
+                               mode: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(chunker(col("text"))).as(Seq("j", "chunk")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.ChunkText.column(col("text"), mode, Size, Overlap))
+          .as(Seq("j", "chunk")))
       .select(
         concat_ws("#", col("doc_id").cast("string"), col("j").cast("string")).as("chunk_id"),
         col("doc_id"), col("j").cast("long").as("j"), col("chunk"),
         length(col("chunk")).cast("long").as("chunk_len"))
-  }
 
-  /** SURVEY §2 `chunk_sentences`. */
+  /** SURVEY §2 `chunk_sentences` — native [[graft.functions.ChunkText]]
+    * kernel (no UDF boundary).
+    */
   def chunkSentences(spark: SparkSession, dir: String): DataFrame =
-    chunkUdfQuery(spark, dir, TextChunk.chunkSentences(_, Size, Overlap))
+    chunkKernelQuery(spark, dir, "sentences")
 
-  /** SURVEY §2 `chunk_headings`. */
+  /** SURVEY §2 `chunk_headings` — same kernel, heading mode. */
   def chunkHeadings(spark: SparkSession, dir: String): DataFrame =
-    chunkUdfQuery(spark, dir, TextChunk.chunkByHeadings(_, Size, Overlap))
+    chunkKernelQuery(spark, dir, "headings")
 
   // ---- DuckDB oracles for the regex chunkers -----------------------------
   // Both replicate the Java kernels exactly for the testdata charset
