@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{MinHashBandKeys, PolyHash, TermCounts, WordShingles}
+import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, TermCounts, WordShingles}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -29,6 +29,11 @@ object GraftExtensions {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
   }
 
   private val polyHashBuilder: Seq[Expression] => Expression = {
@@ -61,7 +66,24 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "graft_minhash_bands"),
       { case Seq(s) => MinHashBandKeys(s)
         case args => throw new IllegalArgumentException(
-          s"graft_minhash_bands expects 1 argument, got ${args.length}") }))
+          s"graft_minhash_bands expects 1 argument, got ${args.length}") }),
+    ("graft_simhash_chunks",
+      new ExpressionInfo(classOf[SimHashChunks].getName, "graft_simhash_chunks"),
+      { case Seq(s) => SimHashChunks(s)
+        case args => throw new IllegalArgumentException(
+          s"graft_simhash_chunks expects 1 argument, got ${args.length}") }),
+    ("graft_highlight_spans",
+      new ExpressionInfo(classOf[HighlightSpans].getName, "graft_highlight_spans"),
+      { case Seq(s, t) => HighlightSpans(s, litStr(t, "term"), 8)
+        case Seq(s, t, cap) => HighlightSpans(s, litStr(t, "term"), litLong(cap, "cap").toInt)
+        case args => throw new IllegalArgumentException(
+          s"graft_highlight_spans expects 2 or 3 arguments, got ${args.length}") }),
+    ("graft_chunk_text",
+      new ExpressionInfo(classOf[ChunkText].getName, "graft_chunk_text"),
+      { case Seq(s, m, sz, ov) =>
+          ChunkText(s, litStr(m, "mode"), litLong(sz, "size").toInt, litLong(ov, "overlap").toInt)
+        case args => throw new IllegalArgumentException(
+          s"graft_chunk_text expects 4 arguments, got ${args.length}") }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -31,4 +31,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT text, graft_polyhash(text) AS fp FROM docs_ext WHERE doc_id = 0").collect()(0)
     assert(one.getAs[Long]("fp") == PolyHash.hash(one.getString(0), 31, 1000000007L))
   }
+
+  test("round-3 kernels resolve through SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash_chunks('a b c d e') AS sh,
+        |  graft_highlight_spans('Spark loves spark', 'spark') AS hl,
+        |  graft_chunk_text('abcdefghij', 'fixed', 5, 2) AS ck""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[Long](0).length == 4)
+    val spans = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(spans.map(s => (s.getLong(0), s.getLong(1))) == Seq((0L, 5L), (12L, 17L)))
+    assert(r.getSeq[String](2) == graft.functions.TextChunk.chunkFixed("abcdefghij", 5, 2))
+  }
+
 }
