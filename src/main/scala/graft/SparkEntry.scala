@@ -62,6 +62,8 @@ object SparkEntry {
     "search_preview"      -> Search.searchPreview _,
     "search_highlights"   -> Search.searchHighlights _,
     "pipeline_filter"     -> Curation.pipelineFilter _,
+    "curation_sample"     -> Curation.curationSample _,
+    "curation_budget"     -> Curation.curationBudget _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -560,6 +562,63 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0
         |       THEN round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) END AS duration_s
         |FROM documents""".stripMargin,
+
+    "curation_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS score_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS score_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','de','es','y','un'], x))) AS score_es,
+        |    len(list_filter(toks, x -> list_contains(['le','les','et','est','un','une','de'], x))) AS score_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+        |         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM s),
+        |h AS (
+        |  SELECT doc_id, pred_lang,
+        |    CAST(CASE pred_lang WHEN 'en' THEN 40 WHEN 'de' THEN 100 WHEN 'es' THEN 100
+        |         WHEN 'fr' THEN 100 WHEN 'unknown' THEN 25 ELSE 0 END AS BIGINT) AS rate,
+        |    list_reduce(list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      c -> CAST(ord(substr(CAST(doc_id AS VARCHAR), CAST(c AS INT), 1)) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+        |  FROM l)
+        |SELECT doc_id, pred_lang, rate, bucket, bucket < rate AS keep FROM h""".stripMargin,
+
+    "curation_budget" ->
+      """WITH qt AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |qf AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stops
+        |  FROM qt),
+        |q AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+        |        + 0.3 * (1.0 - least(1.0, CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0))
+        |        + 0.3 * least(1.0, CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0), 6) AS quality
+        |  FROM qf WHERE n_tokens > 0),
+        |bands AS (SELECT quality, sum(n_tokens) AS band_tokens FROM q GROUP BY 1),
+        |cum AS (SELECT quality, band_tokens,
+        |          CAST(sum(band_tokens) OVER (ORDER BY quality DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |        FROM bands),
+        |k AS (SELECT quality, cum_tokens,
+        |        (cum_tokens - band_tokens) < 20000 AS band_keep FROM cum)
+        |SELECT q.doc_id, q.quality, q.n_tokens, k.cum_tokens, k.band_keep AS keep
+        |FROM q JOIN k ON q.quality = k.quality""".stripMargin,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation_sample keeps iff the doc's hash bucket clears its language rate") {
+    val rows = Curation.curationSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val rates = Curation.SampleRates.toMap
+    rows.foreach { r =>
+      val rate = rates(r.getAs[String]("pred_lang")).toLong
+      assert(r.getAs[Long]("rate") == rate)
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 100)
+      assert(r.getAs[Boolean]("keep") == (b < rate))
+    }
+    // deterministic: the same doc decides the same way on a second run
+    val again = Curation.curationSample(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("keep")))
+    // the dominant language is actually downsampled
+    val en = rows.filter(_.getAs[String]("pred_lang") == "en")
+    if (en.length > 50) {
+      val frac = en.count(_.getAs[Boolean]("keep")).toDouble / en.length
+      assert(frac > 0.2 && frac < 0.6, s"en keep fraction $frac far from 40%")
+    }
+  }
+
+  test("curation_budget admits whole quality bands top-down until the budget") {
+    val rows = Curation.curationBudget(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // keep is monotone in quality: any kept doc has quality >= any dropped doc
+    val keptQ = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Double]("quality"))
+    val dropQ = rows.filterNot(_.getAs[Boolean]("keep")).map(_.getAs[Double]("quality"))
+    if (keptQ.nonEmpty && dropQ.nonEmpty)
+      assert(keptQ.min >= dropQ.max)
+    // budget respected up to the straddling band: tokens BEFORE the last
+    // kept band are under budget
+    val bands = rows.groupBy(_.getAs[Double]("quality")).map { case (q, rs) =>
+      (q, rs.map(_.getAs[Long]("n_tokens")).sum, rs.head.getAs[Boolean]("keep"))
+    }.toSeq.sortBy(-_._1)
+    val kept = bands.takeWhile(_._3)
+    assert(kept.map(_._2).sum - kept.lastOption.map(_._2).getOrElse(0L)
+      < Curation.TokenBudget)
+    assert(bands.dropWhile(_._3).forall(!_._3), "keep must be a prefix of bands")
+  }
+}
