@@ -150,6 +150,28 @@ object IndexStore {
     readString(s"$dir/manifest.json")
   }
 
+  /** Index names under `root`, sorted — the reference's `/indexes`
+    * listing (`indexes.py:34-62`: any directory holding a `versions/`
+    * tree is an index).
+    */
+  def list(root: String): Seq[String] = {
+    val p = new HPath(root)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(s => s.isDirectory && fs.exists(new HPath(s"${s.getPath}/versions")))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Delete an index (latest + all versions) — the reference's index
+    * delete endpoint. No-op if absent.
+    */
+  def delete(root: String, name: String): Boolean = {
+    val p = new HPath(s"$root/$name")
+    val fs = p.getFileSystem(hadoopConf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   /** Per-version meta.json payloads, newest first — the reference's
     * versioning listing (`versions.py:25-52` reads each version dir's
     * meta.json and sorts by created_at desc).

@@ -55,4 +55,15 @@ class IndexStoreSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
+
+  test("list and delete manage indexes like the reference endpoints") {
+    val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors, root, "ix_a", "flat")
+    IndexStore.build(vectors, root, "ix_b", "flat")
+    assert(IndexStore.list(root) == Seq("ix_a", "ix_b"))
+    assert(IndexStore.delete(root, "ix_a"))
+    assert(IndexStore.list(root) == Seq("ix_b"))
+    assert(!IndexStore.delete(root, "ix_a")) // already gone -> no-op
+  }
+
 }
