@@ -199,19 +199,31 @@ object Chunking {
   def chunkStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
     val chunks = chunkFixedDf(docs).select(col("source"), col("chunk_len").as("len"))
-    val bySrc = Window.partitionBy(col("source"))
-    val ranked = chunks
-      .withColumn("rn", row_number().over(bySrc.orderBy(col("len"))))
-      .withColumn("cnt", count(lit(1)).over(bySrc))
+    // Rank positions come from CUMULATIVE COUNTS over (source, DISTINCT
+    // len) — chunk lengths are bounded by the chunk size, so the windowed
+    // frame stays constant-sized however many chunks a source holds (a
+    // row-level rank would sort each source's whole chunk set in one
+    // task). Same interpolation arithmetic as the oracle.
+    val byLen = chunks.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"), sum(col("len")).as("len_sum"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLen
+      .withColumn("cum_end", sum(col("c")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    cum
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("source"))))
       .withColumn("k", (col("cnt") - 1).cast("double") * 0.95)
-    ranked.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_chunks"),
+        max(col("cnt")).as("n_chunks"),
         min(col("len")).cast("long").as("len_min"),
         max(col("len")).cast("long").as("len_max"),
-        (sum(col("len")).cast("double") / count(lit(1))).as("len_avg"),
-        max(when((col("rn") - 1).cast("double") === floor(col("k")), col("len"))).as("lo"),
-        max(when((col("rn") - 1).cast("double") === ceil(col("k")), col("len"))).as("hi"),
+        (sum(col("len_sum")).cast("double") / max(col("cnt"))).as("len_avg"),
+        max(when(col("cum_start") <= floor(col("k")) &&
+          floor(col("k")) < col("cum_end"), col("len"))).as("lo"),
+        max(when(col("cum_start") <= ceil(col("k")) &&
+          ceil(col("k")) < col("cum_end"), col("len"))).as("hi"),
         max(col("k")).as("kk"))
       .select(col("source"), col("n_chunks"), col("len_min"), col("len_max"), col("len_avg"),
         (col("lo") + (col("hi") - col("lo")) * (col("kk") - floor(col("kk")))).as("len_p95"))
