@@ -84,7 +84,8 @@ object IndexStore {
             params: Params = Params(VectorOps.NumCells, VectorOps.NProbe),
             chunking: Chunking = Chunking("fixed", 100, 20),
             model: String = "none", normalize: Boolean = false,
-            metric: String = "ip", docs: Option[DataFrame] = None): Manifest = {
+            metric: String = "ip", docs: Option[DataFrame] = None,
+            sources: Option[DataFrame] = None): Manifest = {
     val spark = vectors.sparkSession
     val assigned = backend match {
       case "ivf" =>
@@ -112,6 +113,9 @@ object IndexStore {
       (if (backend == "ivf") w.partitionBy("cell") else w).parquet(s"$dir/vectors")
       docs.foreach(_.select(col("id"), col("text"))
         .write.mode("overwrite").parquet(s"$dir/docs"))
+      // per-doc provenance, the reference's `<index>.sources.json`
+      // (answerless_search.py:60-71,104-111): (doc_id, origin_*, ...)
+      sources.foreach(_.write.mode("overwrite").parquet(s"$dir/sources"))
       writeString(s"$dir/manifest.json", manifest.toJson)
     }
     val meta =
@@ -141,6 +145,15 @@ object IndexStore {
                version: Option[String] = None): Option[DataFrame] = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
     val p = new HPath(s"$dir/docs")
+    if (p.getFileSystem(hadoopConf).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** The per-doc provenance sidecar, if present. */
+  def loadSources(spark: SparkSession, root: String, name: String,
+                  version: Option[String] = None): Option[DataFrame] = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    val p = new HPath(s"$dir/sources")
     if (p.getFileSystem(hadoopConf).exists(p)) Some(spark.read.parquet(p.toString))
     else None
   }

@@ -325,6 +325,32 @@ object Search {
                    retrieved: DataFrame, k: Int = EvalK): DataFrame =
     evalMetrics(goldRanksFor(goldFromFile(spark, path, format), retrieved), k)
 
+  /** Per-question eval detail (reference `eval_api.py:211-263 _eval_once`
+    * with `include_hits`): each gold question's found/rank verdict joined
+    * with its top-`show` hits, enriched with a 180-char preview from a
+    * `(neighbor_id, text)` docs frame — the reference's
+    * `_preview_from_docs` slice. One row per (question, hit); questions
+    * whose retriever returned nothing still emit one row (null hit).
+    * Gold and the hit lists are tiny; the docs join broadcasts them.
+    */
+  def evalHits(gold: DataFrame, retrieved: DataFrame, docs: DataFrame,
+               k: Int = EvalK, show: Int = 3): DataFrame = {
+    val ranks = goldRanksFor(gold, retrieved.filter(col("rk") <= k))
+      .select(col("q_id"), col("expected_id"),
+        col("rank").isNotNull.as("found"), col("rank"))
+    val preview = when(length(col("text")) > 180,
+        concat(substring(col("text"), 1, 180), lit("…")))
+      .otherwise(col("text"))
+    val hits = retrieved.filter(col("rk") <= math.min(show, k))
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("score"))
+    val withPreview = docs
+      .select(col("neighbor_id"), preview.as("preview"))
+      .join(broadcast(hits), Seq("neighbor_id"))
+    ranks.join(withPreview, Seq("q_id"), "left")
+      .select(col("q_id"), col("expected_id"), col("found"), col("rank"),
+        col("rk"), col("neighbor_id"), col("score"), col("preview"))
+  }
+
   /** recall@k / MRR / binary NDCG over a (q_id, expected_id, rank|null)
     * frame — the reference's metric block (eval_api.py:206-263) as one
     * aggregation.

@@ -57,7 +57,9 @@ object IndexPipeline {
       metric = "ip", docs = Some(chunked(docs, cfg)))
 
   /** Build straight from a file (reference upload path): csv/json/parquet/
-    * text with a `text` column (and optional `doc_id`).
+    * text/html with a `text` column (and optional `doc_id`). Records
+    * per-doc provenance (origin path/format — the reference's
+    * `<index>.sources.json`) beside the index.
     */
   def buildFromFile(spark: SparkSession, path: String, format: String,
                     root: String, cfg: Config): IndexStore.Manifest = {
@@ -65,7 +67,39 @@ object IndexPipeline {
     val docs =
       if (raw.columns.contains("doc_id")) raw
       else raw.withColumn("doc_id", monotonically_increasing_id())
-    build(docs.select(col("doc_id"), col("text")), root, cfg)
+    val sources = docs.select(col("doc_id"),
+      lit(path).as("origin_path"), lit(format).as("content_type"))
+    IndexStore.build(
+      vectorize(docs.select(col("doc_id"), col("text")), cfg), root, cfg.name,
+      cfg.backend,
+      params = IndexStore.Params(cfg.nlist, cfg.nprobe),
+      chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+      model = "stub-hash-projection", normalize = cfg.normalize,
+      metric = "ip", docs = Some(chunked(docs.select(col("doc_id"), col("text")), cfg)),
+      sources = Some(sources))
+  }
+
+  /** Search plus the reference's `source` enrichment
+    * (`answerless_search.py:73-111 _build_source`): each hit carries its
+    * parsed (doc, chunk) key and the doc's provenance from the sources
+    * sidecar when present. Hit lists are tiny — the provenance join
+    * broadcasts them against the sidecar scan.
+    */
+  def searchWithSource(spark: SparkSession, root: String, name: String,
+                       query: String, k: Int, cfg: Config = Config("q"),
+                       version: Option[String] = None): DataFrame = {
+    val hits = search(spark, root, name, query, k, cfg, version)
+      .withColumn("doc", split(col("id"), "#").getItem(0).cast("long"))
+      .withColumn("chunk", split(col("id"), "#").getItem(1).cast("long"))
+    IndexStore.loadSources(spark, root, name, version) match {
+      case Some(src) =>
+        src.withColumnRenamed("doc_id", "doc").join(broadcast(hits), Seq("doc"))
+          .select(hits.columns.filter(_ != "doc").map(col) :+ col("doc") :+
+            col("origin_path") :+ col("content_type"): _*)
+      case None =>
+        hits.withColumn("origin_path", lit(null).cast("string"))
+          .withColumn("content_type", lit(null).cast("string"))
+    }
   }
 
   /** The reference's `/chunk` endpoint (`answerless_search.py:168-220`):

@@ -114,5 +114,11 @@ class IndexPipelineSpec extends SparkSpec {
     val hits = IndexPipeline.search(spark, root, "e2e_csv",
       "the quick brown fox jumps", 1).collect()
     assert(hits.head.getAs[Double]("score") > 0.999999)
+    // provenance sidecar: hits can be enriched with their origin
+    val src = IndexPipeline.searchWithSource(spark, root, "e2e_csv",
+      "the quick brown fox jumps", 1).collect()
+    assert(src.head.getAs[String]("origin_path") == f.toString)
+    assert(src.head.getAs[String]("content_type") == "csv")
+    assert(src.head.getAs[Long]("chunk") >= 0L)
   }
 }

@@ -216,4 +216,28 @@ class SearchSpec extends SparkSpec {
       assert(fromFile.getAs[Double](c) == builtin.getAs[Double](c), c))
   }
 
+
+  test("evalHits returns per-question verdicts with previewed top hits") {
+    val s = spark
+    import s.implicits._
+    val gold = Seq((1L, 10L), (2L, 99L)).toDF("q_id", "expected_id")
+    val retrieved = Seq(
+      (1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8),
+      (2L, 1L, 20L, 0.7)).toDF("q_id", "rk", "neighbor_id", "score")
+    val docs = Seq(
+      (10L, "ten " * 100), (11L, "eleven"), (20L, "twenty"))
+      .toDF("neighbor_id", "text")
+    val rows = Search.evalHits(gold, retrieved, docs, k = 5, show = 2).collect()
+    val q1 = rows.filter(_.getAs[Long]("q_id") == 1L).sortBy(_.getAs[Long]("rk"))
+    assert(q1.forall(_.getAs[Boolean]("found")))
+    assert(q1.forall(_.getAs[Long]("rank") == 1L))
+    assert(q1.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    // long doc preview is sliced at 180 + ellipsis
+    assert(q1.head.getAs[String]("preview").length == 181)
+    assert(q1.head.getAs[String]("preview").endsWith("\u2026"))
+    val q2 = rows.filter(_.getAs[Long]("q_id") == 2L)
+    assert(q2.forall(!_.getAs[Boolean]("found")))
+    assert(q2.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L))
+  }
+
 }
