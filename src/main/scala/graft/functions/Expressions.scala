@@ -470,6 +470,57 @@ object HighlightSpans {
     Bridge.column(HighlightSpans(Bridge.expression(c), term, cap))
 }
 
+/** Per-profile stopword hit counts in ONE tokenization pass:
+  * `array<long>` with one count per profile, each = |tokens ∈ profile|.
+  * Replaces N interpreted `filter(split(...), isInCollection)` passes —
+  * each of which re-split the document (projection collapse inlines the
+  * token array into every reference) — with a single scan and N hash-set
+  * probes per token. Tokenization is [[GraftText.wsTokens]], identical to
+  * the column program and the DuckDB oracle.
+  */
+case class ProfileHits(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_profile_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = GraftText.wsTokens(input.asInstanceOf[UTF8String].toString)
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var p = 0
+      while (p < sets.length) {
+        if (sets(p).contains(w)) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProfileHits =
+    copy(child = newChild)
+}
+
+object ProfileHits {
+  def column(c: Column, profiles: Seq[Seq[String]]): Column =
+    Bridge.column(ProfileHits(Bridge.expression(c),
+      profiles.map(_.toIndexedSeq).toIndexedSeq))
+}
+
 /** Sentence-pack / heading-split chunking as a native expression around
   * the [[TextChunk]] kernels (reference `chunker.py` semantics) — replaces
   * a Scala UDF, so there is no UDF serialization boundary and the operator

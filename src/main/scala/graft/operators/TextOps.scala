@@ -60,19 +60,22 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "de", "es", "y", "un"),
     "fr" -> Seq("le", "les", "et", "est", "un", "une", "de"))
 
-  private def stopHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words))).cast("long")
-
   /** SURVEY §2 `text_langid`: stopword-profile scores per language; winner =
     * highest hit count, alphabetical tiebreak, `unknown` when all zero.
     * A real system swaps the profiles for char-n-gram models; the Spark
     * shape (narrow scored map + argmax CASE) is identical.
+    *
+    * All four profile scores come from ONE ProfileHits kernel pass
+    * (entering via a Generate so projection collapse can't inline the
+    * call per score column — the TextStats pattern).
     */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(col("text"))
+    val ph = graft.functions.ProfileHits.column(col("text"), Profiles.map(_._2))
     val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(ph)).as("ph"))
       .select(Seq(col("doc_id")) ++
-        Profiles.map { case (l, ws) => stopHits(toks, ws).as(s"score_$l") }: _*)
+        Profiles.zipWithIndex.map { case ((l, _), i) =>
+          col("ph").getItem(i).as(s"score_$l") }: _*)
     val best = greatest(Profiles.map(p => col(s"score_${p._1}")): _*)
     val pred = Profiles.foldRight(lit("unknown")) { case ((l, _), acc) =>
       when(col(s"score_$l") === best, lit(l)).otherwise(acc)
