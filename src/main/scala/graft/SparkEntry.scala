@@ -50,6 +50,7 @@ object SparkEntry {
     "ivf_build"           -> VectorOps.ivfBuild _,
     "ivf_search"          -> VectorOps.ivfSearch _,
     "ann_ivf"             -> VectorOps.annIvf _,
+    "vec_quantize"        -> VectorOps.vecQuantize _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
     "eval_recall"         -> Search.evalRecall _,
@@ -488,6 +489,23 @@ object SparkEntry {
     "ann_bruteforce" ->
       s"""WITH ${rankedCtes("", "vec_id < 10", "dot")}
          |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "vec_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    UNNEST(range(len(embedding))) AS dim,
+        |    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1),
+        |q AS (SELECT vec_id, x,
+        |        CASE WHEN hi = lo THEN lo
+        |             ELSE round((x - lo) / (hi - lo) * 255, 0) / 255 * (hi - lo) + lo
+        |        END AS deq
+        |      FROM d JOIN r ON d.dim = r.dim)
+        |SELECT vec_id,
+        |  round(sqrt(sum((x - deq) * (x - deq))), 6) AS err_l2,
+        |  round(max(abs(x - deq)), 6) AS max_abs_err
+        |FROM q GROUP BY vec_id""".stripMargin,
 
     "bm25_topk" ->
       s"""WITH $bm25Ctes

@@ -150,6 +150,39 @@ object VectorOps {
       .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
+  /** SURVEY §2 `vec_quantize`: per-vector reconstruction error of int8
+    * scalar quantization (the standard 4× storage reduction for an
+    * embedding store — faiss SQ8) — per-dim [lo, hi] ranges, 255-level
+    * codes, dequantize, L2 + max-abs error per vector.
+    *
+    * Two passes, both scale-shaped: (1) per-dim range agg (64 rows out,
+    * map-side combined), collected and re-broadcast as LITERALS — min/max
+    * involve no arithmetic, so Spark's and the oracle's ranges are
+    * identical; (2) a NARROW per-vector map computing codes and errors
+    * with a sequential fold over dims (no 64×N shuffle — the exploded
+    * groupBy(vec_id) alternative would shuffle the corpus 64-fold).
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val rng = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .orderBy(col("dim")).collect()
+    val loA = array(rng.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val hiA = array(rng.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val diffs = transform(sequence(lit(0), lit(rng.length - 1)), i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val l = element_at(loA, i + 1)
+      val h = element_at(hiA, i + 1)
+      val deq = when(h === l, l)
+        .otherwise(round((x - l) / (h - l) * 255, 0) / 255 * (h - l) + l)
+      x - deq
+    })
+    e.select(col("vec_id"),
+      round(sqrt(aggregate(diffs, lit(0.0), (a, v) => a + v * v)), 6).as("err_l2"),
+      round(array_max(transform(diffs, v => abs(v))), 6).as("max_abs_err"))
+  }
+
   // ---- Generated DuckDB oracles -----------------------------------------
   // The fitted centroids are embedded as literals (IvfModel.centsCte), so
   // assignment, probe ranking, and cell-local scoring are the same exact

@@ -70,4 +70,35 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
     assert(approx.subsetOf(exact))
   }
+
+  test("vec_quantize error matches an int8 scalar-quantization replica") {
+    val rows = VectorOps.vecQuantize(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("err_l2"), r.getAs[Double]("max_abs_err"))).toMap
+    assert(rows.size == emb.length)
+    val dims = emb.head._2.length
+    val lo = (0 until dims).map(d => emb.map(_._2(d).toDouble).min)
+    val hi = (0 until dims).map(d => emb.map(_._2(d).toDouble).max)
+    emb.take(20).foreach { case (id, v) =>
+      var sum = 0.0
+      var mx = 0.0
+      for (d <- 0 until dims) {
+        val x = v(d).toDouble
+        val deq =
+          if (hi(d) == lo(d)) lo(d)
+          else BigDecimal((x - lo(d)) / (hi(d) - lo(d)) * 255)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 255 *
+            (hi(d) - lo(d)) + lo(d)
+        val e = x - deq
+        sum += e * e
+        mx = math.max(mx, math.abs(e))
+      }
+      val (gotL2, gotMax) = rows(id)
+      assert(math.abs(gotL2 - math.sqrt(sum)) < 1e-5, s"vec $id l2")
+      assert(math.abs(gotMax - mx) < 1e-5, s"vec $id max")
+      // int8 quantization error per dim is bounded by half a step
+      assert(mx <= (0 until dims).map(d => (hi(d) - lo(d)) / 255 / 2).max + 1e-9)
+    }
+  }
+
 }
