@@ -27,6 +27,7 @@ object SparkEntry {
     "q_events_sessionize" -> Relational.qEventsSessionize _,
     "q_events_enrich"     -> Relational.qEventsEnrich _,
     "q_events_sliding"    -> Relational.qEventsSliding _,
+    "q_events_asof"       -> Relational.qEventsAsof _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -262,6 +263,19 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
         |FROM w
         |GROUP BY win_start, event_type""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.ts,
+        |        r.event_id AS match_event_id, r.ts AS m_ts, r.value AS match_value,
+        |        row_number() OVER (PARTITION BY l.event_id
+        |          ORDER BY epoch_us(r.ts) DESC NULLS LAST, r.event_id DESC NULLS LAST) AS rk
+        |      FROM l LEFT JOIN r
+        |        ON r.user_id = l.user_id AND epoch_us(r.ts) <= epoch_us(l.ts))
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  match_event_id, strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS match_ts_s, match_value
+        |FROM j WHERE rk = 1""".stripMargin,
 
     "q_events_enrich" ->
       """SELECT event_type,

@@ -153,6 +153,45 @@ object Relational {
     * `window(ts, '1 hour', '30 minutes')` replicates rows per window;
     * one shuffle on (window, event_type).
     */
+  /** SURVEY §2 `q_events_asof`: AS-OF JOIN — for every click, the user's
+    * latest purchase at-or-before the click (the time-series join Spark
+    * has no native operator for; the brief's canonical custom-operator
+    * example). Expressed Spark-first as UNION + carry-forward window:
+    * tag both sides, sort per user by (ts, side, id), carry the last
+    * right-side row forward with `last(..., ignoreNulls)`, keep left
+    * rows. ONE shuffle keyed on user_id, no per-key quadratic join —
+    * the scale-correct shape (a join `r.ts <= l.ts` explodes as L×R per
+    * user; the oracle uses that form, this never does). Ties: same-ts
+    * purchase counts (side orders right before left); among equal-ts
+    * purchases the max event_id wins — mirrored in the oracle's rank.
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit(1).as("side"), lit(null).cast("double").as("r_value"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit(0).as("side"), col("value").as("r_value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("match_event_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("m_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("match_value",
+        last(when(col("side") === 0, col("r_value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("match_event_id"),
+        date_format(col("m_ts"), "yyyy-MM-dd HH:mm:ss").as("match_ts_s"),
+        col("match_value"))
+  }
+
   def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))

@@ -53,4 +53,26 @@ class RelationalSpec extends SparkSpec {
     val n = Relational.qEventsWindow(spark, dir).collect().map(_.getAs[Long]("n_events")).sum
     assert(n == graft.sources.Tables.events(spark, dir).count())
   }
+
+  test("q_events_asof matches a brute-force latest-purchase replica") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase")
+    val got = graft.operators.Relational.qEventsAsof(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("match_event_id")).map(_.toLong)).toMap
+    val clicks = ev.filter(_._4 == "click")
+    assert(got.size == clicks.length)
+    clicks.take(200).foreach { case (id, ts, uid, _, _) =>
+      val cand = purchases.filter(p => p._3 == uid && p._2 <= ts)
+      val want =
+        if (cand.isEmpty) None
+        else Some(cand.maxBy(p => (p._2, p._1))._1)
+      assert(got(id) == want, s"click $id")
+    }
+  }
+
 }
