@@ -28,6 +28,7 @@ object SparkEntry {
     "q_events_enrich"     -> Relational.qEventsEnrich _,
     "q_events_sliding"    -> Relational.qEventsSliding _,
     "q_events_asof"       -> Relational.qEventsAsof _,
+    "q_events_range_join" -> Relational.qEventsRangeJoin _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -276,6 +277,20 @@ object SparkEntry {
         |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  match_event_id, strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS match_ts_s, match_value
         |FROM j WHERE rk = 1""".stripMargin,
+
+    "q_events_range_join" ->
+      """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |r AS (SELECT ts, user_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.ts,
+        |        count(r.value) AS n_recent_purchases,
+        |        sum(r.value) AS sv
+        |      FROM l LEFT JOIN r
+        |        ON r.user_id = l.user_id
+        |       AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 3600000000 AND epoch_us(l.ts)
+        |      GROUP BY 1, 2, 3)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  n_recent_purchases, round(COALESCE(sv, 0.0), 6) AS sum_recent_value
+        |FROM j""".stripMargin,
 
     "q_events_enrich" ->
       """SELECT event_type,

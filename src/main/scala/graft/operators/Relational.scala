@@ -192,6 +192,40 @@ object Relational {
         col("match_value"))
   }
 
+  val RangeJoinWindowUs: Long = 3600L * 1000000L // trailing hour, micros
+
+  /** SURVEY §2 `q_events_range_join`: RANGE JOIN — per click, count/sum of
+    * the same user's purchases inside the trailing hour [ts−1h, ts]. The
+    * naive form is an inequality join (L×R rows per user before
+    * filtering); here both sides union into ONE user-keyed stream and a
+    * RANGE window (`rangeBetween(−1h, 0)` over epoch-micros) aggregates
+    * the right side per left row — one shuffle, state bounded by the
+    * window width. Same-timestamp purchases are inside the range by
+    * definition (range frames ignore row order).
+    */
+  def qEventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit(1).as("side"), lit(null).cast("double").as("r_value"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit(0).as("side"), col("value").as("r_value")))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-RangeJoinWindowUs, 0)
+    tagged
+      .withColumn("n_recent_purchases",
+        sum(when(col("side") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("sum_recent_value",
+        round(coalesce(sum(when(col("side") === 0, col("r_value"))).over(w), lit(0.0)), 6))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_recent_purchases"), col("sum_recent_value"))
+  }
+
   def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))

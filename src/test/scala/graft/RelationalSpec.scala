@@ -75,4 +75,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+
+  test("q_events_range_join matches a brute-force trailing-hour replica") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase")
+    val got = graft.operators.Relational.qEventsRangeJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_recent_purchases"), r.getAs[Double]("sum_recent_value"))).toMap
+    val clicks = ev.filter(_._4 == "click")
+    assert(got.size == clicks.length)
+    clicks.take(200).foreach { case (id, ts, uid, _, _) =>
+      val in = purchases.filter(p =>
+        p._3 == uid && p._2 >= ts - 3600L * 1000000L && p._2 <= ts)
+      val (n, sv) = got(id)
+      assert(n == in.length, s"click $id count")
+      assert(math.abs(sv - in.map(_._5).sum) < 1e-5, s"click $id sum")
+    }
+  }
+
 }
