@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_ngram"         -> Dedup.dedupNgram _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash"       -> Dedup.dedupMinhash _,
+    "dedup_verified"      -> Dedup.dedupVerified _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
@@ -488,6 +489,8 @@ object SparkEntry {
          |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
+
+    "dedup_verified" -> graft.operators.Dedup.verifiedOracleSql,
 
     // IVF family: centroids are fitted deterministically (bounded sample,
     // canonical Lloyd's) and embedded as literals, so these are exact

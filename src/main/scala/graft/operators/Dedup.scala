@@ -120,10 +120,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** DuckDB oracle for dedup_minhash, generated from the same constants so
-    * Spark and the oracle can never drift.
+  /** SURVEY §2 `dedup_verified`: the 100 TB two-stage near-dup pipeline as
+    * ONE operator — MinHash+LSH proposes candidate pairs (bucket-grouped,
+    * stop-bucket-capped, [[dedupMinhash]]), then exact word-3-gram Jaccard
+    * verifies ONLY those pairs. This is the documented scale form of
+    * [[dedupNgram]]: the exact scorer never sees the corpus-sized shingle
+    * join, just the (tiny, broadcast) candidate list joined back to
+    * per-doc shingle sets.
     */
-  def minhashOracleSql: String = {
+  def dedupVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cand = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    docs.as("da").join(broadcast(cand), col("da.doc_id") === col("doc_a"))
+      .join(docs.as("db"), col("db.doc_id") === col("doc_b"))
+      .withColumn("m", size(array_intersect(col("da.sh"), col("db.sh"))).cast("long"))
+      .withColumn("jaccard",
+        col("m").cast("double") /
+          (size(col("da.sh")) + size(col("db.sh")) - col("m")).cast("double"))
+      .filter(col("jaccard") >= NgramJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** DuckDB oracle for dedup_verified: the minhash candidate CTEs plus
+    * exact Jaccard on candidates only — generated from the same constants.
+    */
+  def verifiedOracleSql: String =
+    s"""${minhashCtes},
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
+       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |            JOIN sh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+       |FROM sc WHERE j >= $NgramJaccardThreshold""".stripMargin
+
+  /** The shared minhash CTE chain (`WITH t … bf`): tokenize → shingle →
+    * hash → signatures → band keys → capped buckets. Reused by the
+    * minhash oracle and the verified-pipeline oracle.
+    */
+  private def minhashCtes: String = {
     val sigExprs = (0 until NumHashes).map(i =>
       s"list_min(list_transform(hs, h -> (h * ${HashA(i)} + ${HashB(i)}) % $MinhashP)) AS sig$i")
       .mkString(",\n    ")
@@ -158,11 +200,17 @@ object Dedup {
        |bc AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
        |bf AS (SELECT b.band, b.key, b.doc_id FROM b JOIN bc
        |         ON b.band = bc.band AND b.key = bc.key
-       |       WHERE bc.n BETWEEN 2 AND $MaxBucketSize)
+       |       WHERE bc.n BETWEEN 2 AND $MaxBucketSize)""".stripMargin
+  }
+
+  /** DuckDB oracle for dedup_minhash, generated from the same constants so
+    * Spark and the oracle can never drift.
+    */
+  def minhashOracleSql: String =
+    s"""$minhashCtes
        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
        |FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
        |GROUP BY 1, 2""".stripMargin
-  }
 
   // Constants live in functions.SimHashConf, shared by the native kernel
   // and the generated DuckDB oracle.

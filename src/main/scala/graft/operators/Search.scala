@@ -84,13 +84,26 @@ object Search {
     ()
   }
 
-  /** Per-doc BM25 scores for the fixed query (unranked). The native
+  /** Per-doc BM25 scores for the fixed query (unranked). */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredFor(spark, dir, QueryText)
+
+  /** Ranked BM25 top-k for ANY query text — the reference's search box as
+    * a library call (the fixed-query variants are the oracle-checked
+    * entries; this is the general surface).
+    */
+  def bm25TopFor(spark: SparkSession, dir: String, query: String, k: Int): DataFrame =
+    graft.functions.Ranking.topK(
+        bm25ScoredFor(spark, dir, query), k, col("score").desc, col("doc_id"))
+      .select(col("rk"), col("doc_id"), col("score"))
+
+  /** Per-doc BM25 scores for an arbitrary query (unranked). The native
     * [[graft.functions.TermCounts]] kernel pre-aggregates term frequencies
     * per document, so the corpus-sized (doc, term) shuffle disappears:
     * the only shuffles left are the per-term df agg (vocabulary-sized) and
     * the per-doc score agg over query-matching rows only.
     */
-  def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  def bm25ScoredFor(spark: SparkSession, dir: String, queryText: String): DataFrame = {
     val perDoc = perDocTerms(spark, dir)
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
@@ -107,7 +120,7 @@ object Search {
             (col("df").cast("double") + 0.5)))
     val avgIdf = idfRaw.agg(
       (sum(col("idf_raw")) / count(lit(1)).cast("double")).as("avg_idf"))
-    val qTerms = QueryText.toLowerCase.split("\\s+").toSeq
+    val qTerms = queryText.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val idf = idfRaw.filter(col("term").isInCollection(qTerms))
       .crossJoin(broadcast(avgIdf))
       .withColumn("idf",

@@ -111,4 +111,25 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
     assert(got == want)
   }
+
+  test("dedup_verified = exact jaccard restricted to minhash candidates") {
+    val cand = graft.operators.Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = graft.operators.Dedup.dedupNgram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val got = graft.operators.Dedup.dedupVerified(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // verified pairs = candidate pairs whose exact jaccard clears tau
+    got.keys.foreach(p => assert(cand.contains(p), s"$p not a candidate"))
+    got.foreach { case (p, j) =>
+      val want = BigDecimal(exact(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == want, s"$p jaccard")
+    }
+    val expected = cand.filter(p => exact.contains(p))
+    assert(got.keySet == expected)
+  }
+
 }

@@ -240,4 +240,16 @@ class SearchSpec extends SparkSpec {
     assert(q2.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L))
   }
 
+
+  test("bm25TopFor generalizes the fixed-query surface") {
+    val fixed = Search.bm25TopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"))).toSeq
+    val general = Search.bm25TopFor(spark, dir, Search.QueryText, Search.BmK)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"))).toSeq
+    assert(general == fixed)
+    val other = Search.bm25TopFor(spark, dir, "merge", 5).collect()
+    assert(other.nonEmpty && other.length <= 5)
+    assert(other.map(_.getAs[Long]("rk")).toSeq == (1L to other.length).toSeq)
+  }
+
 }
