@@ -252,18 +252,8 @@ object Search {
     * reference's 0-based r with +1). Both input lists are tiny (k=20), so
     * fusion is a trivial union+agg; ids unify the doc/vec id spaces.
     */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val e = VectorOps.embWithNorm(spark, dir)
-    val vec = VectorOps.topK(e, e.filter(col("vec_id") === RrfQueryVec), RrfListLen, "cos")
-      .select(col("neighbor_id").as("id"), col("rk"))
-    val bm = bm25Top(spark, dir, RrfListLen)
-      .select(col("doc_id").as("id"), col("rk"))
-    val fused = vec.unionByName(bm)
-      .withColumn("contrib", lit(1.0) / (lit(RrfK).cast("double") + col("rk").cast("double")))
-      .groupBy(col("id")).agg(sum(col("contrib")).as("rrf"))
-    graft.functions.Ranking.topK(fused, RrfOut, col("rrf").desc, col("id"))
-      .select(col("rk"), col("id"), round(col("rrf"), 6).as("rrf_score"))
-  }
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfFor(spark, dir, QueryText, RrfQueryVec)
 
   val CompareK = 10
 
@@ -288,6 +278,26 @@ object Search {
       .crossJoin(broadcast(overlap))
       .select(col("rk"), col("left_id"), col("left_score"),
         col("right_id"), col("right_score"), col("overlap"))
+  }
+
+  /** General hybrid retrieval: RRF-fuse the cosine ranking of ANY query
+    * vector with the BM25 ranking of ANY query text (the reference's
+    * hybrid search box; the fixed-input `hybrid_rrf` is the oracle-checked
+    * form of this).
+    */
+  def hybridRrfFor(spark: SparkSession, dir: String, queryText: String,
+                   queryVecId: Long, listLen: Int = RrfListLen,
+                   out: Int = RrfOut): DataFrame = {
+    val e = VectorOps.embWithNorm(spark, dir)
+    val vec = VectorOps.topK(e, e.filter(col("vec_id") === queryVecId), listLen, "cos")
+      .select(col("neighbor_id").as("id"), col("rk"))
+    val bm = bm25TopFor(spark, dir, queryText, listLen)
+      .select(col("doc_id").as("id"), col("rk"))
+    val fused = vec.unionByName(bm)
+      .withColumn("contrib", lit(1.0) / (lit(RrfK).cast("double") + col("rk").cast("double")))
+      .groupBy(col("id")).agg(sum(col("contrib")).as("rrf"))
+    graft.functions.Ranking.topK(fused, out, col("rrf").desc, col("id"))
+      .select(col("rk"), col("id"), round(col("rrf"), 6).as("rrf_score"))
   }
 
   val EvalK = 5

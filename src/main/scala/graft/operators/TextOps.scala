@@ -122,6 +122,28 @@ object TextOps {
         round(score, 6).as("quality"))
   }
 
+  /** The text_quality scoring as a reusable transform over ANY frame with
+    * a `text` column — batch or STREAMING (the kernel is an ordinary
+    * expression; the map is stateless, so it runs unchanged under
+    * Structured Streaming in append mode). Adds `n_tokens` and `quality`;
+    * rows with zero tokens are dropped, other columns pass through.
+    */
+  def withQuality(df: DataFrame): DataFrame = {
+    val st = graft.functions.TextStats.column(col("text"), Profiles.toMap.apply("en"))
+    val nTok = col("st").getItem(0)
+    val nChars = length(col("text")).cast("long")
+    val punctRatio = col("st").getItem(1).cast("double") / nChars.cast("double")
+    val stopRatio = col("st").getItem(2).cast("double") / nTok.cast("double")
+    val score =
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5.0)
+    val passthrough = df.columns.map(col).toSeq
+    df.select(passthrough :+ explode(array(st)).as("st"): _*)
+      .filter(nTok > 0)
+      .select(passthrough :+ nTok.as("n_tokens") :+ round(score, 6).as("quality"): _*)
+  }
+
   /** SURVEY §2 `text_repetition`: duplicate word-3-gram ratio — the
     * Gopher-style repetition filter for LLM training data (a doc whose
     * n-grams are mostly repeats is boilerplate/spam). total 3-grams is

@@ -252,4 +252,13 @@ class SearchSpec extends SparkSpec {
     assert(other.map(_.getAs[Long]("rk")).toSeq == (1L to other.length).toSeq)
   }
 
+
+  test("hybridRrfFor with the fixed inputs equals hybrid_rrf") {
+    val fixed = Search.hybridRrf(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("id"))).toSeq
+    val general = Search.hybridRrfFor(spark, dir, Search.QueryText, Search.RrfQueryVec)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("id"))).toSeq
+    assert(general == fixed)
+  }
+
 }
