@@ -36,6 +36,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextOps.textFingerprint _,
     "text_vocab"          -> TextOps.textVocab _,
     "text_repetition"     -> TextOps.textRepetition _,
+    "text_redact"         -> TextOps.textRedact _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
@@ -387,6 +388,15 @@ object SparkEntry {
         |r AS (SELECT term, CAST(tf AS BIGINT) AS tf, df,
         |        row_number() OVER (ORDER BY tf DESC, term) AS rk FROM v)
         |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

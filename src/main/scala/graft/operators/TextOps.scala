@@ -161,6 +161,24 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
   }
 
+  // Redaction patterns: the RE2/Java-common subset (no lookaround, no
+  // backrefs) so Spark and DuckDB match identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** SURVEY §2 `text_redact`: PII-style scrubbing — count and replace
+    * email addresses and URLs with placeholder tokens (the standard
+    * pre-training redaction pass). Pure narrow map; patterns restricted
+    * to the regex subset both engines implement identically.
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>").as("redacted"))
+
   val FpMod = 1000000007L
   val FpBase = 31L
 

