@@ -37,6 +37,7 @@ object SparkEntry {
     "text_vocab"          -> TextOps.textVocab _,
     "text_repetition"     -> TextOps.textRepetition _,
     "text_redact"         -> TextOps.textRedact _,
+    "text_entropy"        -> TextOps.textEntropy _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
@@ -388,6 +389,21 @@ object SparkEntry {
         |r AS (SELECT term, CAST(tf AS BIGINT) AS tf, df,
         |        row_number() OVER (ORDER BY tf DESC, term) AS rk FROM v)
         |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
+
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, substr(text, CAST(t.i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+        |f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_chars
+        |      FROM f GROUP BY 1),
+        |h AS (SELECT f.doc_id,
+        |        log2(any_value(n.n)) - sum(CAST(f.c AS DOUBLE) * log2(CAST(f.c AS DOUBLE))) / any_value(n.n) AS ent
+        |      FROM f JOIN n ON f.doc_id = n.doc_id
+        |      GROUP BY 1)
+        |SELECT h.doc_id, n.n_distinct_chars, round(h.ent, 6) AS entropy_bits
+        |FROM h JOIN n ON h.doc_id = n.doc_id""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,

@@ -470,6 +470,55 @@ object HighlightSpans {
     Bridge.column(HighlightSpans(Bridge.expression(c), term, cap))
 }
 
+/** Character-distribution Shannon entropy in one pass: codepoint
+  * frequencies → `H = log2(n) − Σ c·log2(c) / n` (bits/char) — the classic
+  * gibberish/boilerplate detector for training-data quality. Returns
+  * `[n_distinct, H]` as array<double>; empty text → empty array. The
+  * count-based formula (not −Σ p·log2 p) is the exact expression the
+  * DuckDB oracle evaluates, so both engines run the same float program;
+  * keys are summed in codepoint order for determinism.
+  */
+case class TextEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_text_entropy"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    if (text.isEmpty) return new GenericArrayData(Array.emptyDoubleArray)
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * (math.log(c) / ln2)
+    }
+    val h = math.log(n.toDouble) / ln2 - acc / n
+    new GenericArrayData(Array(counts.size.toDouble, h))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextEntropy =
+    copy(child = newChild)
+}
+
+object TextEntropy {
+  def column(c: Column): Column = Bridge.column(TextEntropy(Bridge.expression(c)))
+}
+
 /** Per-profile stopword hit counts in ONE tokenization pass:
   * `array<long>` with one count per profile, each = |tokens ∈ profile|.
   * Replaces N interpreted `filter(split(...), isInCollection)` passes —

@@ -161,6 +161,22 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
   }
 
+  /** SURVEY §2 `text_entropy`: character-distribution Shannon entropy
+    * (bits/char) + distinct-char count — low entropy flags repeated
+    * boilerplate, high entropy flags binary junk. One kernel pass
+    * ([[graft.functions.TextEntropy]]), no shuffle; the oracle replays
+    * the identical count-based formula over an exploded char table.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val te = graft.functions.TextEntropy.column(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(te)).as("te"))
+      .filter(size(col("te")) > 0)
+      .select(col("doc_id"),
+        col("te").getItem(0).cast("long").as("n_distinct_chars"),
+        round(col("te").getItem(1), 6).as("entropy_bits"))
+  }
+
   // Redaction patterns: the RE2/Java-common subset (no lookaround, no
   // backrefs) so Spark and DuckDB match identically.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -118,4 +118,25 @@ class TextOpsSpec extends SparkSpec {
     assert(real.length == 500 || real.nonEmpty)
   }
 
+
+  test("text_entropy matches a frequency-table replica") {
+    val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.textEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_distinct_chars"), r.getAs[Double]("entropy_bits"))).toMap
+    assert(got.size == texts.count(_._2.nonEmpty))
+    texts.filter(_._2.nonEmpty).take(50).foreach { case (id, t) =>
+      val freq = t.codePoints().toArray.groupBy(identity).view.mapValues(_.length).toMap
+      val n = t.codePointCount(0, t.length).toDouble
+      val ln2 = math.log(2.0)
+      val h = math.log(n) / ln2 -
+        freq.values.map(c => c * (math.log(c.toDouble) / ln2)).sum / n
+      val (nd, ent) = got(id)
+      assert(nd == freq.size, s"doc $id distinct")
+      assert(math.abs(ent - h) < 1e-5, s"doc $id entropy")
+      assert(ent >= 0.0 && ent <= math.log(n) / ln2 + 1e-9)
+    }
+  }
+
 }
