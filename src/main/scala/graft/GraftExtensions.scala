@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, TermCounts, WordShingles}
+import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, TermCounts, TextEntropy, WordShingles}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -78,6 +78,11 @@ object GraftExtensions {
         case Seq(s, t, cap) => HighlightSpans(s, litStr(t, "term"), litLong(cap, "cap").toInt)
         case args => throw new IllegalArgumentException(
           s"graft_highlight_spans expects 2 or 3 arguments, got ${args.length}") }),
+    ("graft_text_entropy",
+      new ExpressionInfo(classOf[TextEntropy].getName, "graft_text_entropy"),
+      { case Seq(s) => TextEntropy(s)
+        case args => throw new IllegalArgumentException(
+          s"graft_text_entropy expects 1 argument, got ${args.length}") }),
     ("graft_chunk_text",
       new ExpressionInfo(classOf[ChunkText].getName, "graft_chunk_text"),
       { case Seq(s, m, sz, ov) =>

@@ -37,12 +37,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_simhash_chunks('a b c d e') AS sh,
         |  graft_highlight_spans('Spark loves spark', 'spark') AS hl,
-        |  graft_chunk_text('abcdefghij', 'fixed', 5, 2) AS ck""".stripMargin)
+        |  graft_chunk_text('abcdefghij', 'fixed', 5, 2) AS ck,
+        |  graft_text_entropy('aabb') AS te""".stripMargin)
       .collect()(0)
     assert(r.getSeq[Long](0).length == 4)
     val spans = r.getSeq[org.apache.spark.sql.Row](1)
     assert(spans.map(s => (s.getLong(0), s.getLong(1))) == Seq((0L, 5L), (12L, 17L)))
     assert(r.getSeq[String](2) == graft.functions.TextChunk.chunkFixed("abcdefghij", 5, 2))
+    val te = r.getSeq[Double](3)
+    assert(te == Seq(2.0, 1.0)) // 2 distinct chars, uniform -> 1 bit
   }
 
 }
