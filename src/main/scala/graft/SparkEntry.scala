@@ -164,10 +164,23 @@ object SparkEntry {
       |        ON o.label = q.label AND o.vec_id <> q.vec_id
       |      WHERE q.vec_id < 50 GROUP BY 1)""".stripMargin
 
-  /** DuckDB-dialect oracle SQL per query (same table names as the parquet
-    * files; same output column names as the Spark result).
+  /** Driver-contract surface: DuckDB-dialect oracle SQL per query at the
+    * default verify scale. The IVF oracles embed fitted centroid literals
+    * (data-dependent), so Verify threads its actual (session, dir) through
+    * [[oracleSqlFor]] explicitly; this no-arg form exists for the contract
+    * and uses the active session + the driver's verify dir.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(SparkSession.active, "/root/testdata/sf0.01")
+
+  /** DuckDB-dialect oracle SQL per query (same table names as the parquet
+    * files; same output column names as the Spark result), for the
+    * embeddings fit under `dir` — the centroid literals in the IVF oracles
+    * come from the same cached fit the queries ran with.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
+    val ivfCents = IvfModel.centroids(spark, dir)
+    Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -521,9 +534,9 @@ object SparkEntry {
     // IVF family: centroids are fitted deterministically (bounded sample,
     // canonical Lloyd's) and embedded as literals, so these are exact
     // oracles, not rows-only checks.
-    "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql,
-    "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql,
-    "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql,
+    "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql(ivfCents),
+    "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
+    "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 
@@ -775,5 +788,6 @@ object SparkEntry {
          |  (s.quality >= 0.75 AND s.pred_lang = 'en' AND COALESCE(clus.dup_keep, TRUE)) AS keep
          |FROM scored s LEFT JOIN clus ON s.doc_id = clus.doc_id
          |WHERE s.n_tokens > 0""".stripMargin,
-  )
+    )
+  }
 }

@@ -125,15 +125,19 @@ object Dedup {
     * stop-bucket-capped, [[dedupMinhash]]), then exact word-3-gram Jaccard
     * verifies ONLY those pairs. This is the documented scale form of
     * [[dedupNgram]]: the exact scorer never sees the corpus-sized shingle
-    * join, just the (tiny, broadcast) candidate list joined back to
-    * per-doc shingle sets.
+    * join, just the candidate pairs joined back to per-doc shingle sets.
+    *
+    * The candidate set is O(corpus) rows at 100 TB, so it is NOT forced
+    * broadcast: both verify joins are plain equi-joins keyed on doc id
+    * (shuffle when big, and AQE still picks broadcast when the candidate
+    * frame is genuinely small at runtime).
     */
   def dedupVerified(spark: SparkSession, dir: String): DataFrame = {
     val cand = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    docs.as("da").join(broadcast(cand), col("da.doc_id") === col("doc_a"))
+    cand.join(docs.as("da"), col("da.doc_id") === col("doc_a"))
       .join(docs.as("db"), col("db.doc_id") === col("doc_b"))
       .withColumn("m", size(array_intersect(col("da.sh"), col("db.sh"))).cast("long"))
       .withColumn("jaccard",

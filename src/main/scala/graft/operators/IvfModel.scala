@@ -29,20 +29,19 @@ object IvfModel {
 
   private val cache =
     scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]()
-  @volatile private var lastKey: Option[(String, Int)] = None
 
   /** Centroids for the embeddings table under `dir` (cached per (dir, k) —
     * plain doubles, no session reference, so ivf_build / ivf_search /
-    * ann_ivf in one run share one fit).
+    * ann_ivf in one run share one fit). Oracle-SQL generation calls this
+    * with the SAME (session, dir) threaded explicitly from Verify
+    * ([[graft.SparkEntry.oracleSqlFor]]), so the literals in the generated
+    * SQL are the fit the queries actually ran with — no global ordering
+    * assumptions.
     */
   def centroids(spark: SparkSession, dir: String,
-                k: Int = VectorOps.NumCells): Array[Array[Double]] = {
-    val key = (dir, k)
-    val cs = cache.getOrElseUpdate(key,
+                k: Int = VectorOps.NumCells): Array[Array[Double]] =
+    cache.getOrElseUpdate((dir, k),
       fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", k))
-    lastKey = Some(key)
-    cs
-  }
 
   /** Fit on the deterministic bounded sample of any (id, array<float>) frame:
     * TakeOrdered(SampleSize) by id, then driver-side Lloyd's.
@@ -94,14 +93,6 @@ object IvfModel {
     cents.map(_.map(v =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
-
-  /** Centroids for oracle-SQL generation. Verify runs every query before
-    * dumping oracle SQL, so the last fit is the verify dir's fit; standalone
-    * callers fall back to fitting sf0.01 on the active session.
-    */
-  def oracleCentroids: Array[Array[Double]] =
-    lastKey.flatMap(cache.get).getOrElse(
-      centroids(SparkSession.active, "/root/testdata/sf0.01"))
 
   /** DuckDB CTE `cents(cell, centroid)` embedding the fitted centroids as
     * literals — the oracle replays assignment/probing as exact arithmetic on

@@ -54,6 +54,28 @@ object Search {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
+  /** Config: how the shared per-doc term-stats frame is materialized.
+    * `local` (default) = `localCheckpoint(true)` — fastest, but the blocks
+    * live in executor memory with TRUNCATED lineage, so on a real cluster
+    * they die unrecoverably with their executor (fine in local mode, fragile
+    * under dynamic allocation). `parquet` = write/read a scratch parquet
+    * dataset — survives executor loss; the 100 TB setting. Scratch location
+    * comes from [[ScratchDirKey]] (default: java tmpdir).
+    */
+  val MaterializeKey = "spark.graft.search.materialize"
+  val ScratchDirKey = "spark.graft.search.scratchDir"
+
+  private[graft] def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    spark.conf.getOption(MaterializeKey).getOrElse("local") match {
+      case "parquet" =>
+        val base = spark.conf.getOption(ScratchDirKey).getOrElse(
+          sys.props("java.io.tmpdir") + "/graft-scratch")
+        val path = s"$base/$name"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case _ => df.localCheckpoint(true)
+    }
+
   private[operators] def perDocTerms(spark: SparkSession, dir: String): DataFrame = {
     val m = perDocCache.computeIfAbsent(spark, s => {
       val sc = s.sparkContext
@@ -66,11 +88,12 @@ object Search {
     })
     m.synchronized {
       m.getOrElseUpdate(dir,
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), graft.functions.TermCounts.column(col("text")).as("tc"))
-          .withColumn("dl", aggregate(map_values(col("tc")), lit(0L), (a, v) => a + v))
-          .filter(col("dl") > 0)
-          .localCheckpoint(true))
+        materialize(spark,
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), graft.functions.TermCounts.column(col("text")).as("tc"))
+            .withColumn("dl", aggregate(map_values(col("tc")), lit(0L), (a, v) => a + v))
+            .filter(col("dl") > 0),
+          "perdoc_" + Integer.toHexString(dir.hashCode)))
     }
   }
 

@@ -122,11 +122,23 @@ object VectorOps {
     */
   val AssignProbes = 2
 
-  /** SURVEY §2 `ann_ivf` (rows-only): the 100 TB scale path for
+  /** Hot-cell cap: in-cell pair generation is Θ(|cell|²), so one dominant
+    * cell (the norm for near-duplicate-heavy corpora at 100 TB) reproduces
+    * the quadratic blowup the simhash stop-bucket guard exists for. A cell
+    * holding more than [[MaxCellFactor]]× the MEAN multi-probe assignment
+    * count is degenerate clustering, not neighborhood structure — drop it
+    * (the LSH stop-bucket answer, mirrored exactly in the oracle). The
+    * threshold is adaptive (scales with corpus size) and integer-exact on
+    * both engines: `n_cell * NumCells > MaxCellFactor * n_total`.
+    */
+  val MaxCellFactor = 4
+
+  /** SURVEY §2 `ann_ivf`: the 100 TB scale path for
     * embedding near-dup — pairs meet only inside a shared IVF cell, so
     * the join is cell-local (shuffle keyed on cell), never n². Multi-probe
     * assignment (r=2) recovers near-boundary pairs; recall < 1 remains by
     * construction — that's the ANN trade. Same τ as dedup_embedding.
+    * Skew-guarded by the [[MaxCellFactor]] hot-cell cap.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
@@ -134,7 +146,20 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
-    val e = multi.withColumn("nrm", norm(col("embedding")))
+    // Cell ids are bounded by NumCells, so the count table is ≤ NumCells
+    // rows and the count agg is map-side combined — flat even when one cell
+    // dominates (no salting needed, unlike simhash's 32k-value buckets).
+    // Materialized once (tiny) because it feeds both the total and the
+    // blacklist; the total is a single bounded driver scalar (the
+    // vec_quantize range-collect pattern), which keeps the threshold out of
+    // the join graph entirely.
+    val cc = multi.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = cc.agg(sum(col("n"))).collect()(0).getLong(0)
+    val hot = cc.filter(col("n") * NumCells > lit(MaxCellFactor.toLong * total))
+      .select(col("cell"))
+    val e = multi.join(broadcast(hot), Seq("cell"), "left_anti")
+      .withColumn("nrm", norm(col("embedding")))
     // Score INSIDE the bucket join and threshold before any dedup: the
     // cell-local pair stream is large (Σ |cell|²/2) and each row drags two
     // embeddings, so the pair-dedup shuffle must only ever see the tiny
@@ -186,7 +211,9 @@ object VectorOps {
   // ---- Generated DuckDB oracles -----------------------------------------
   // The fitted centroids are embedded as literals (IvfModel.centsCte), so
   // assignment, probe ranking, and cell-local scoring are the same exact
-  // double programs on both engines — the minhashOracleSql pattern.
+  // double programs on both engines — the minhashOracleSql pattern. The
+  // centroids are a PARAMETER: the caller (SparkEntry.oracleSqlFor, fed by
+  // Verify) passes the fit for the dir it actually verified.
 
   private def d2Sql(emb: String): String =
     s"round(list_sum(list_transform(list_zip($emb, c.centroid), " +
@@ -209,13 +236,13 @@ object VectorOps {
        |       FROM ad),
        |asg AS (SELECT vec_id, cell, d2 FROM ar WHERE crk = 1)""".stripMargin
 
-  def ivfBuildOracleSql: String =
-    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+  def ivfBuildOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
        |$assignCtes
        |SELECT vec_id, cell, d2 FROM asg""".stripMargin
 
-  def ivfSearchOracleSql: String =
-    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+  def ivfSearchOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
        |$assignCtes,
        |$normCte,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
@@ -233,17 +260,21 @@ object VectorOps {
        |      FROM p)
        |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
 
-  def annIvfOracleSql: String =
-    s"""WITH ${IvfModel.centsCte(IvfModel.oracleCentroids)},
+  def annIvfOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
        |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e CROSS JOIN cents c),
        |mr AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |       FROM md),
        |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $AssignProbes),
+       |cc AS (SELECT cell, count(*) AS n FROM mp GROUP BY 1),
+       |tot AS (SELECT sum(n) AS t FROM cc),
+       |hot AS (SELECT cell FROM cc, tot WHERE n * $NumCells > $MaxCellFactor * t),
+       |mpf AS (SELECT vec_id, cell FROM mp WHERE cell NOT IN (SELECT cell FROM hot)),
        |$normCte,
        |pr AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-       |       FROM mp a JOIN mp b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |       FROM mpf a JOIN mpf b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |sc AS (SELECT vec_id_a, vec_id_b,
        |         ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cv
        |       FROM pr JOIN nn na ON pr.vec_id_a = na.vec_id

@@ -1,15 +1,17 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Tabular ingest + normalization (reference `app/ingest/reader.py` +
   * `normalize.py:3-7`): read a file into a DataFrame, strip/clean column
   * names, drop all-null rows. CSV/JSON/parquet/text are Spark-native
-  * distributed readers; the office formats (xlsx/docx/html) need codec
-  * libraries this container doesn't ship, so they fail fast with a clear
-  * message (the reference parses them driver-side with pandas — at 100 TB
-  * they'd be converted to a splittable format upstream anyway).
+  * distributed readers; xlsx/docx/html parse dependency-free (zip + JDK
+  * SAX, [[OfficeParsers]]) over `binaryFile` rows, so a DIRECTORY of
+  * office files fans out one file per task — a single file is inherently
+  * unsplittable (it's one zip), which is also true of the reference's
+  * driver-side pandas read.
   */
 object Readers {
 
@@ -60,6 +62,52 @@ object Readers {
       .filter(length(col("text")) > 0))
   }
 
+  /** File bytes, one row per file — the distribution unit for the office
+    * formats (each file parses inside one task; a directory scales out).
+    */
+  private def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path).select(col("path"), col("content"))
+
+  /** XLSX ingest (reference `reader.py:153-154`: `pd.read_excel` — first
+    * sheet, first row = header). Schema discovery is bounded driver work:
+    * the header row comes from the lexicographically-first file; every
+    * file's data rows then parse distributed and are fitted to that header
+    * (extra cells dropped, missing cells null — the multi-shard contract).
+    * All columns are strings (csv-without-inferSchema convention).
+    */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    val bin = binaryFiles(spark, path)
+    val firstBytes = bin.orderBy(col("path")).limit(1).collect()
+    require(firstBytes.nonEmpty, s"no files under $path")
+    val header = OfficeParsers.parseXlsx(firstBytes(0).getAs[Array[Byte]]("content"))
+      .headOption.getOrElse(Seq.empty)
+    require(header.nonEmpty, s"first xlsx under $path has no header row")
+    val names = header.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.trim.isEmpty) s"col$i" else h
+    }
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val n = names.length
+    val parsed = bin.select(col("content")).as(Encoders.BINARY)
+      .flatMap { bytes =>
+        OfficeParsers.parseXlsx(bytes).drop(1).map { cells =>
+          Row.fromSeq(cells.padTo(n, null).take(n))
+        }
+      }(Encoders.row(schema))
+    normalize(parsed.toDF())
+  }
+
+  /** DOCX ingest: `word/document.xml` → visible text, one row per file
+    * (the reference's one-document-one-text convention for txt/md), parsed
+    * distributed per file.
+    */
+  def readDocx(spark: SparkSession, path: String): DataFrame = {
+    val parsed = binaryFiles(spark, path).select(col("content")).as(Encoders.BINARY)
+      .map(bytes => OfficeParsers.parseDocx(bytes))(Encoders.STRING)
+      .toDF("text")
+      .filter(length(trim(col("text"))) > 0)
+    normalize(parsed)
+  }
+
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     format.toLowerCase match {
       case "csv" => readCsv(spark, path)
@@ -67,10 +115,8 @@ object Readers {
       case "parquet" => readParquet(spark, path)
       case "text" | "txt" => readText(spark, path)
       case "html" | "htm" => readHtml(spark, path)
-      case f @ ("xlsx" | "docx") =>
-        throw new UnsupportedOperationException(
-          s"$f ingestion requires a parser dependency not present in this build; " +
-            "convert to csv/json/parquet upstream")
+      case "xlsx" => readXlsx(spark, path)
+      case "docx" => readDocx(spark, path)
       case f => throw new IllegalArgumentException(s"unknown format: $f")
     }
 }

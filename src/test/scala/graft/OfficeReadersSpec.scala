@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.{OfficeParsers, Readers}
+
+/** XLSX/DOCX ingest (reference `reader.py:153-154` reads xlsx via pandas;
+  * docx gets the same zip+XML treatment): fixtures are generated in-test
+  * with java.util.zip — no binary blobs in the repo, and the parser can't
+  * accidentally depend on a particular writer's quirks.
+  */
+class OfficeReadersSpec extends SparkSpec {
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def writeTo(dir: Path, name: String, bytes: Array[Byte]): Unit =
+    Files.write(dir.resolve(name), bytes)
+
+  private val sharedStringsXml =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<sst count="4" uniqueCount="4">
+      |  <si><t>name</t></si>
+      |  <si><t>city</t></si>
+      |  <si><t>alice</t></si>
+      |  <si><r><t>ber</t></r><r><t>lin</t></r></si>
+      |</sst>""".stripMargin
+
+  private val sheet1Xml =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<worksheet><sheetData>
+      |  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>n</t></is></c></row>
+      |  <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>42</v></c></row>
+      |  <row r="3"><c r="A3" t="inlineStr"><is><t>bob</t></is></c><c r="C3" t="b"><v>1</v></c></row>
+      |</sheetData></worksheet>""".stripMargin
+
+  private def xlsxBytes: Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "xl/workbook.xml" -> "<workbook/>",
+    "xl/sharedStrings.xml" -> sharedStringsXml,
+    "xl/worksheets/sheet1.xml" -> sheet1Xml)
+
+  private val documentXml =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<w:document><w:body>
+      |  <w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>
+      |  <w:p/>
+      |  <w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+
+  private def docxBytes: Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "word/document.xml" -> documentXml)
+
+  test("parseXlsx: shared strings (incl. rich-text runs), inline, numeric, bool, gaps") {
+    val rows = OfficeParsers.parseXlsx(xlsxBytes)
+    assert(rows === Seq(
+      Seq("name", "city", "n"),
+      Seq("alice", "berlin", "42"),
+      Seq("bob", null, "true")))
+  }
+
+  test("colIndex handles multi-letter refs") {
+    assert(OfficeParsers.colIndex("A1") === 0)
+    assert(OfficeParsers.colIndex("Z9") === 25)
+    assert(OfficeParsers.colIndex("AA7") === 26)
+    assert(OfficeParsers.colIndex("AB12") === 27)
+  }
+
+  test("readXlsx: header row becomes columns; data distributed; nulls for gaps") {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    writeTo(dir, "a.xlsx", xlsxBytes)
+    val df = Readers.read(spark, dir.toString, "xlsx")
+    assert(df.columns.toSeq === Seq("name", "city", "n"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("alice", "berlin", "42"), ("bob", null, "true")))
+  }
+
+  test("readXlsx: a directory of shards unions data rows under one header") {
+    val dir = Files.createTempDirectory("graft-xlsx-many")
+    writeTo(dir, "a.xlsx", xlsxBytes)
+    writeTo(dir, "b.xlsx", xlsxBytes)
+    val df = Readers.readXlsx(spark, dir.toString)
+    assert(df.count() === 4)
+    assert(df.columns.toSeq === Seq("name", "city", "n"))
+  }
+
+  test("parseDocx: paragraphs joined by newlines, runs concatenated, breaks kept") {
+    assert(OfficeParsers.parseDocx(docxBytes) === "Hello world\nline one\nline two")
+  }
+
+  test("readDocx: one text row per file") {
+    val dir = Files.createTempDirectory("graft-docx")
+    writeTo(dir, "a.docx", docxBytes)
+    writeTo(dir, "b.docx", docxBytes)
+    val df = Readers.read(spark, dir.toString, "docx")
+    val texts = df.collect().map(_.getString(0)).toSeq
+    assert(texts === Seq("Hello world\nline one\nline two", "Hello world\nline one\nline two"))
+  }
+
+  test("parseDocx rejects a zip without word/document.xml") {
+    intercept[IllegalArgumentException] {
+      OfficeParsers.parseDocx(zip("other.xml" -> "<x/>"))
+    }
+  }
+}

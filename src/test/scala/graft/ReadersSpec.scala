@@ -56,10 +56,12 @@ class ReadersSpec extends SparkSpec {
       == "&lt;tag&gt;")
   }
 
-  test("office formats fail fast with a clear message") {
-    val e = intercept[UnsupportedOperationException] {
-      Readers.read(spark, "/tmp/x.xlsx", "xlsx")
+  test("unknown formats fail fast with a clear message") {
+    // xlsx/docx now parse dependency-free (OfficeReadersSpec); anything
+    // else still fails fast rather than guessing.
+    val e = intercept[IllegalArgumentException] {
+      Readers.read(spark, "/tmp/x.pdf", "pdf")
     }
-    assert(e.getMessage.contains("convert to csv/json/parquet"))
+    assert(e.getMessage.contains("unknown format"))
   }
 }
