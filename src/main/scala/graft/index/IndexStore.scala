@@ -207,4 +207,76 @@ object IndexStore {
     */
   def probe(index: DataFrame, cells: Seq[Int]): DataFrame =
     index.filter(col("cell").isin(cells: _*))
+
+  /** Export an index version (or latest) as a single zip archive — the
+    * reference's download endpoint (`app/api/download_api.py:27-55`: zip
+    * the version dir's files under a `{name}_v{version}/` /
+    * `{name}_latest/` prefix). Everything goes through the Hadoop FS API,
+    * so source artifacts and the destination archive can live on any store
+    * (HDFS/S3/local); entries are sorted for a deterministic archive.
+    * Returns the entry names written.
+    *
+    * Scale note: the archive is a sequential driver-side stream by design —
+    * this is the "ship an index to a serving host" surface, not a data-path
+    * operator; index artifacts for one version are MBs-to-GBs, not the
+    * corpus.
+    */
+  def export(root: String, name: String, outPath: String,
+             version: Option[String] = None): Seq[String] = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    val prefix = version.fold(s"${name}_latest")(v => s"${name}_v$v")
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    require(fs.exists(p), s"no such index dir: $dir")
+    val qdir = fs.makeQualified(p).toString
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) files += s.getPath.toString.stripPrefix(qdir).stripPrefix("/")
+    }
+    val outP = new HPath(outPath)
+    val outFs = outP.getFileSystem(hadoopConf)
+    val zos = new java.util.zip.ZipOutputStream(outFs.create(outP, true))
+    val entries = files.sorted.map { rel =>
+      val entry = s"$prefix/$rel"
+      zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+      val in = fs.open(new HPath(s"$dir/$rel"))
+      try in.transferTo(zos) finally in.close()
+      zos.closeEntry()
+      entry
+    }.toSeq
+    zos.close()
+    entries
+  }
+
+  /** Unpack an archive written by [[export]] into `destDir`, stripping the
+    * archive's `{name}_…/` prefix — the receiving side of the ship-an-index
+    * surface: extract a flat/IVF version dir anywhere and [[load]] it.
+    * Rejects entries that would escape `destDir` (zip-slip guard).
+    */
+  def extractArchive(archivePath: String, destDir: String): Seq[String] = {
+    val aP = new HPath(archivePath)
+    val aFs = aP.getFileSystem(hadoopConf)
+    val dP = new HPath(destDir)
+    val dFs = dP.getFileSystem(hadoopConf)
+    val zin = new java.util.zip.ZipInputStream(aFs.open(aP))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+        if (!e.isDirectory) {
+          val rel = e.getName.split("/", 2) match {
+            case Array(_, rest) => rest
+            case Array(only)    => only
+          }
+          require(!rel.split("/").contains(".."), s"unsafe archive entry: ${e.getName}")
+          val target = new HPath(s"$destDir/$rel")
+          val os = dFs.create(target, true)
+          try zin.transferTo(os) finally os.close()
+          out += rel
+        }
+      }
+    } finally zin.close()
+    out.toSeq
+  }
 }

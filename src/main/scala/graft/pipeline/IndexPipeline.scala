@@ -56,6 +56,35 @@ object IndexPipeline {
       model = "stub-hash-projection", normalize = cfg.normalize,
       metric = "ip", docs = Some(chunked(docs, cfg)))
 
+  /** [[build]] with progress events (reference `pipeline.py:46-66,174-185`:
+    * named stage markers, DONE on success, "ERROR: …" then failure) plus
+    * scheduler-level job/stage events via [[BuildProgress]]. Same result
+    * as [[build]]; `onEvent` is the SSE-bus seam.
+    */
+  def buildWithProgress(docs: DataFrame, root: String, cfg: Config,
+                        onEvent: String => Unit,
+                        jobId: String = "graft-build"): IndexStore.Manifest =
+    BuildProgress.withProgress(docs.sparkSession, jobId, onEvent) {
+      try {
+        onEvent("Chunking")
+        val ch = chunked(docs, cfg)
+        onEvent(s"Embedding with stub-hash-projection (dim=${cfg.dim})")
+        val vecs = Embedder.embed(ch, cfg.dim, cfg.normalize)
+          .toDF().select(col("id"), col("vec"))
+        onEvent(s"Building index [${cfg.backend}]")
+        val manifest = IndexStore.build(
+          vecs, root, cfg.name, cfg.backend,
+          params = IndexStore.Params(cfg.nlist, cfg.nprobe),
+          chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+          model = "stub-hash-projection", normalize = cfg.normalize,
+          metric = "ip", docs = Some(ch))
+        onEvent("DONE")
+        manifest
+      } catch {
+        case e: Throwable => onEvent(s"ERROR: ${e.getMessage}"); throw e
+      }
+    }
+
   /** Build straight from a file (reference upload path): csv/json/parquet/
     * text/html with a `text` column (and optional `doc_id`). Records
     * per-doc provenance (origin path/format — the reference's
