@@ -367,14 +367,17 @@ object Dedup {
     while (!converged && rounds < 50) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id2")).agg(min(col("rep")).as("nrep"))
+      // Carry the previous rep through the checkpoint so the convergence
+      // check is a filter-count on the already-materialized frame — a
+      // second labels-join per round (the old shape) doubled the loop's
+      // join work just to count changes.
       val updated = labels.join(viaNeighbors, labels("doc_id") === col("doc_id2"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("prev_rep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("l"), Seq("doc_id"))
-        .filter(col("u.rep") =!= col("l.rep")).count()
+      val changed = updated.filter(col("rep") =!= col("prev_rep")).count()
       labels.unpersist(blocking = false)
-      labels = updated
+      labels = updated.select(col("doc_id"), col("rep"))
       converged = changed == 0
       rounds += 1
     }

@@ -146,19 +146,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
-    // Cell ids are bounded by NumCells, so the count table is ≤ NumCells
-    // rows and the count agg is map-side combined — flat even when one cell
-    // dominates (no salting needed, unlike simhash's 32k-value buckets).
-    // Materialized once (tiny) because it feeds both the total and the
-    // blacklist; the total is a single bounded driver scalar (the
-    // vec_quantize range-collect pattern), which keeps the threshold out of
-    // the join graph entirely.
-    val cc = multi.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val total = cc.agg(sum(col("n"))).collect()(0).getLong(0)
-    val hot = cc.filter(col("n") * NumCells > lit(MaxCellFactor.toLong * total))
-      .select(col("cell"))
-    val e = multi.join(broadcast(hot), Seq("cell"), "left_anti")
+    val e = capHotCells(multi, NumCells, MaxCellFactor)
       .withColumn("nrm", norm(col("embedding")))
     // Score INSIDE the bucket join and threshold before any dedup: the
     // cell-local pair stream is large (Σ |cell|²/2) and each row drags two
@@ -173,6 +161,26 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
         round(col("c"), 6).as("cos_sim"))
       .dropDuplicates("vec_id_a", "vec_id_b")
+  }
+
+  /** Drop assignments in cells holding more than `factor`× the mean —
+    * the [[MaxCellFactor]] stop-cell guard, factored out so the skew
+    * behavior is testable on synthetic frames. Cell ids are bounded by
+    * `nCells`, so the count table is ≤ nCells rows and the count agg is
+    * map-side combined — flat even when one cell dominates (no salting
+    * needed, unlike simhash's 32k-value buckets). It is materialized once
+    * (tiny) and the total is a single bounded driver scalar (the
+    * vec_quantize range-collect pattern), which keeps the threshold out
+    * of the join graph entirely. The comparison is integer-exact:
+    * `n_cell * nCells > factor * n_total`, mirrored in the oracle.
+    */
+  private[graft] def capHotCells(multi: DataFrame, nCells: Int, factor: Int): DataFrame = {
+    val cc = multi.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = cc.agg(sum(col("n"))).collect()(0).getLong(0)
+    val hot = cc.filter(col("n") * nCells > lit(factor.toLong * total))
+      .select(col("cell"))
+    multi.join(broadcast(hot), Seq("cell"), "left_anti")
   }
 
   /** SURVEY §2 `vec_quantize`: per-vector reconstruction error of int8

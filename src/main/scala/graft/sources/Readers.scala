@@ -108,6 +108,18 @@ object Readers {
     normalize(parsed)
   }
 
+  /** The reference's `read_any` (`reader.py:140-161`): dispatch on the
+    * file suffix. `.md` rides the plain-text handler, as there.
+    */
+  def readAny(spark: SparkSession, path: String): DataFrame = {
+    val dot = path.lastIndexOf('.')
+    require(dot >= 0 && dot < path.length - 1, s"no file suffix to dispatch on: $path")
+    read(spark, path, path.substring(dot + 1).toLowerCase match {
+      case "md" => "text"
+      case e    => e
+    })
+  }
+
   def read(spark: SparkSession, path: String, format: String): DataFrame =
     format.toLowerCase match {
       case "csv" => readCsv(spark, path)

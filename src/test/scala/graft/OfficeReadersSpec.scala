@@ -113,4 +113,36 @@ class OfficeReadersSpec extends SparkSpec {
       OfficeParsers.parseDocx(zip("other.xml" -> "<x/>"))
     }
   }
+
+  test("readAny dispatches on the file suffix (reference read_any)") {
+    val dir = Files.createTempDirectory("graft-any")
+    writeTo(dir, "a.docx", docxBytes)
+    assert(Readers.readAny(spark, dir.resolve("a.docx").toString)
+      .collect()(0).getString(0).startsWith("Hello world"))
+    Files.writeString(dir.resolve("n.md"), "plain markdown line")
+    assert(Readers.readAny(spark, dir.resolve("n.md").toString)
+      .collect()(0).getString(0) === "plain markdown line")
+    intercept[IllegalArgumentException] {
+      Readers.readAny(spark, dir.resolve("x.weird").toString)
+    }
+  }
+
+  test("an xlsx gold set feeds the eval surface (reference eval_api.py:31-32)") {
+    // gold uploads arrive as spreadsheets with q_id / expected_id columns
+    val goldSheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet><sheetData>
+        |  <row r="1"><c r="A1" t="inlineStr"><is><t>q_id</t></is></c><c r="B1" t="inlineStr"><is><t>expected_id</t></is></c></row>
+        |  <row r="2"><c r="A2"><v>0</v></c><c r="B2"><v>7</v></c></row>
+        |  <row r="3"><c r="A3"><v>1</v></c><c r="B3"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zip(
+      "[Content_Types].xml" -> "<Types/>",
+      "xl/worksheets/sheet1.xml" -> goldSheet)
+    val dir = Files.createTempDirectory("graft-gold")
+    writeTo(dir, "gold.xlsx", bytes)
+    val gold = graft.operators.Search.goldFromFile(spark, dir.toString, "xlsx")
+    assert(gold.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 7L), (1L, 9L)))
+  }
 }

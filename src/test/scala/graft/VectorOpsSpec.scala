@@ -101,4 +101,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("capHotCells drops a dominant cell and keeps balanced ones") {
+    val s = spark
+    import s.implicits._
+    // cell 0 holds 60 of 70 assignments (86% > 4/16 of the mean threshold
+    // with 16 cells); cells 1 and 2 are balanced.
+    val multi = ((0L until 60L).map(i => (i, 0)) ++
+      (60L until 65L).map(i => (i, 1)) ++ (65L until 70L).map(i => (i, 2)))
+      .toDF("vec_id", "cell")
+    val kept = VectorOps.capHotCells(multi, 16, 4)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(!kept.contains(0), "dominant cell must be dropped")
+    assert(kept.count(_ == 1) === 5 && kept.count(_ == 2) === 5)
+  }
+
+  test("capHotCells is a no-op on a uniform assignment") {
+    val s = spark
+    import s.implicits._
+    val multi = (0L until 64L).map(i => (i, (i % 16).toInt)).toDF("vec_id", "cell")
+    assert(VectorOps.capHotCells(multi, 16, 4).count() === 64)
+  }
+
 }
