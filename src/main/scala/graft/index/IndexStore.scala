@@ -176,6 +176,19 @@ object IndexStore {
       .map(_.getPath.getName).toSeq.sorted
   }
 
+  /** Per-index manifest summaries, sorted by name — the reference's rich
+    * `/indexes` listing (`sources.py:95-114`: each latest manifest's
+    * count/model/backend/created_at/chunking plus a sources-presence
+    * flag). Returned as (name, manifestJson, hasSources) so callers render
+    * the same payload.
+    */
+  def listDetailed(root: String): Seq[(String, String, Boolean)] =
+    list(root).map { name =>
+      val fs = new HPath(root).getFileSystem(hadoopConf)
+      (name, manifestJson(root, name),
+        fs.exists(new HPath(s"$root/$name/latest/sources")))
+    }
+
   /** Delete an index (latest + all versions) — the reference's index
     * delete endpoint. No-op if absent.
     */

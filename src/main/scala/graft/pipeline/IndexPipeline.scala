@@ -85,17 +85,38 @@ object IndexPipeline {
       }
     }
 
-  /** Build straight from a file (reference upload path): csv/json/parquet/
-    * text/html with a `text` column (and optional `doc_id`). Records
-    * per-doc provenance (origin path/format — the reference's
-    * `<index>.sources.json`) beside the index.
+  /** Build straight from a file (reference upload path, `files.py:12-54` →
+    * `pipeline.py:52 iter_rows`): any Readers-supported format; the text
+    * per row is `textColumn` when given and present, else the reference's
+    * `concat_row` (chunker.py:5-6: join the row's non-blank string/numeric
+    * cells with " | ") — so a tabular upload without a text column still
+    * indexes. Default `Some("text")` keeps the common text-frame path on
+    * the named column. Records per-doc provenance (origin path/format —
+    * the reference's `<index>.sources.json`) beside the index.
     */
   def buildFromFile(spark: SparkSession, path: String, format: String,
-                    root: String, cfg: Config): IndexStore.Manifest = {
+                    root: String, cfg: Config,
+                    textColumn: Option[String] = Some("text")): IndexStore.Manifest = {
     val raw = Readers.read(spark, path, format)
-    val docs =
-      if (raw.columns.contains("doc_id")) raw
+    val hadId = raw.columns.contains("doc_id")
+    val withId =
+      if (hadId) raw
       else raw.withColumn("doc_id", monotonically_increasing_id())
+    val textExpr = textColumn.filter(raw.columns.contains) match {
+      case Some(c) => col(c).cast("string")
+      case None =>
+        // concat_row over the ORIGINAL row's scalar cells (a synthesized id
+        // is bookkeeping, not data), blanks dropped like the reference.
+        val cells = raw.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            val c = col(f.name).cast("string")
+            when(length(trim(c)) === 0, lit(null: String)).otherwise(c)
+        }
+        concat_ws(" | ", cells.toIndexedSeq: _*)
+    }
+    val docs = withId.select(col("doc_id"), textExpr.as("text"))
+      .filter(length(trim(col("text"))) > 0)
     val sources = docs.select(col("doc_id"),
       lit(path).as("origin_path"), lit(format).as("content_type"))
     IndexStore.build(
