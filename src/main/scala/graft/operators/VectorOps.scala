@@ -142,10 +142,15 @@ object VectorOps {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
+    // Materialized once: the assignment kernel feeds the cell-count
+    // pre-pass AND both sides of the pair self-join — without the
+    // checkpoint each consumer re-runs IvfProbes over the corpus (the
+    // simhash-chunks lesson).
     val multi = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
+      .localCheckpoint(true)
     val e = capHotCells(multi, NumCells, MaxCellFactor)
       .withColumn("nrm", norm(col("embedding")))
     // Score INSIDE the bucket join and threshold before any dedup: the
