@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
 
-import graft.operators.{Curation, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{Curation, Dedup, TextOps}
 
 /** Continuous curation over a documents STREAM: the batch quality scorer
   * ([[TextOps.withQuality]], TextStats kernel) is a stateless narrow map,
@@ -20,5 +24,72 @@ object DocStream {
     */
   def qualityFilter(docs: DataFrame,
                     bar: Double = Curation.QualityBar): DataFrame =
-    TextOps.withQuality(docs).filter(org.apache.spark.sql.functions.col("quality") >= bar)
+    TextOps.withQuality(docs).filter(col("quality") >= bar)
+
+  // ---- streaming near-dup (MinHash LSH over keyed state) ------------------
+
+  case class BandHit(band: Int, key: String, doc_id: Long, ts: Timestamp)
+  case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Per-bucket state: recent (doc_id, tsMs) arrivals, newest last.
+    * `poisoned` = the bucket blew past the stop cap; it emits nothing
+    * further (the streaming form of the batch stop-bucket blacklist).
+    */
+  case class BucketState(ids: List[(Long, Long)], poisoned: Boolean)
+
+  /** Streaming near-dup candidates — the continuous form of the batch
+    * [[Dedup.dedupMinhash]] LSH: each arriving doc's 4 minhash band keys
+    * (one fused [[graft.functions.MinHashBandKeys]] kernel pass) route it
+    * to band buckets; a doc landing in a bucket that already holds recent
+    * docs emits a candidate pair per resident. State is keyed by
+    * (band, key) so it shards with the shuffle; the watermark plus
+    * event-time timeout bounds it (a bucket's residents are dropped once
+    * the watermark passes their ts + `withinMinutes`), and buckets
+    * exceeding `maxBucket` residents poison themselves and go silent —
+    * exactly the batch `MaxBucketSize` stop-bucket guard, because a
+    * boilerplate bucket in a stream would otherwise emit O(n²) pairs
+    * forever. Downstream, pairs feed the same exact-Jaccard verify as the
+    * batch two-stage pipeline.
+    */
+  def nearDupCandidates(docs: DataFrame, withinMinutes: Int = 60,
+                        maxBucket: Int = Dedup.MaxBucketSize): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windowMs = withinMinutes * 60L * 1000L
+
+    def fold(bk: (Int, String), hits: Iterator[BandHit],
+             state: GroupState[BucketState]): Iterator[CandPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = hits.toIndexedSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+        var st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
+        val out = IndexedSeq.newBuilder[CandPair]
+        for (h <- sorted if !st.poisoned) {
+          val tMs = h.ts.getTime
+          // evict residents that have aged out of the window
+          val live = st.ids.filter { case (_, t0) => tMs - t0 <= windowMs }
+          for ((prev, _) <- live if prev != h.doc_id)
+            out += CandPair(math.min(prev, h.doc_id), math.max(prev, h.doc_id), bk._1)
+          val ids = live :+ (h.doc_id, tMs)
+          st =
+            if (ids.length > maxBucket) BucketState(Nil, poisoned = true)
+            else BucketState(ids, poisoned = false)
+        }
+        state.update(st)
+        // keep poisoned markers around for the window too, then forget
+        val newestMs = (st.ids.map(_._2) :+ state.getCurrentWatermarkMs()).max
+        state.setTimeoutTimestamp(
+          math.max(newestMs + windowMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
+      .as[BandHit]
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .groupByKey(h => (h.band, h.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
 }
