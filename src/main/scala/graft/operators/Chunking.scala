@@ -63,16 +63,35 @@ object Chunking {
       PreviewSize, PreviewOverlap)
       .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
 
-  private def chunkKernelQuery(spark: SparkSession, dir: String,
-                               mode: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def chunkKernelDf(docs: DataFrame, mode: String,
+                            size: Int, overlap: Int): DataFrame =
+    docs
       .select(col("doc_id"),
-        posexplode(graft.functions.ChunkText.column(col("text"), mode, Size, Overlap))
+        posexplode(graft.functions.ChunkText.column(col("text"), mode, size, overlap))
           .as(Seq("j", "chunk")))
       .select(
         concat_ws("#", col("doc_id").cast("string"), col("j").cast("string")).as("chunk_id"),
         col("doc_id"), col("j").cast("long").as("j"), col("chunk"),
         length(col("chunk")).cast("long").as("chunk_len"))
+
+  private def chunkKernelQuery(spark: SparkSession, dir: String,
+                               mode: String): DataFrame =
+    chunkKernelDf(Tables.documents(spark, dir), mode, Size, Overlap)
+
+  /** Chunk any (doc_id, text) frame in a reference chunk mode
+    * (`chunker.py:26-31` dispatch: "fixed"/"fixed_chars", "sentences",
+    * "headings"), ids `{doc}#{j}` — the upload path's chunk_mode knob.
+    * All modes are narrow maps (column program or ChunkText kernel).
+    */
+  def chunkDf(docs: DataFrame, mode: String, size: Int, overlap: Int): DataFrame =
+    mode match {
+      case "fixed" | "fixed_chars" =>
+        chunkFixedDf(docs, size, overlap)
+          .select(col("chunk_id"), col("doc_id"), col("j").cast("long").as("j"),
+            col("chunk"), col("chunk_len"))
+      case "sentences" | "headings" => chunkKernelDf(docs, mode, size, overlap)
+      case m => throw new IllegalArgumentException(s"unknown chunk mode: $m")
+    }
 
   /** SURVEY §2 `chunk_sentences` — native [[graft.functions.ChunkText]]
     * kernel (no UDF boundary).

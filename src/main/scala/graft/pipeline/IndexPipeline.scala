@@ -24,6 +24,7 @@ object IndexPipeline {
   case class Config(
       name: String,
       backend: String = "flat", // "flat" | "ivf"
+      chunkMode: String = "fixed", // "fixed" | "sentences" | "headings"
       chunkSize: Int = Chunking.Size,
       chunkOverlap: Int = Chunking.Overlap,
       dim: Int = Embedder.DefaultDim,
@@ -32,12 +33,14 @@ object IndexPipeline {
       nprobe: Int = graft.operators.VectorOps.NProbe)
 
   /** Chunked text with the reference's `{doc}#{j}` chunk ids — both the
-    * embedder input and the docs sidecar (`pipeline.py:65-69`).
+    * embedder input and the docs sidecar (`pipeline.py:65-69`); the
+    * chunk mode is the upload knob (`chunker.py:26-31`).
     */
   def chunked(docs: DataFrame, cfg: Config): DataFrame =
-    Chunking.chunkFixedDf(
-        docs.select(col("doc_id"), col("text")), cfg.chunkSize, cfg.chunkOverlap)
+    Chunking.chunkDf(docs.select(col("doc_id"), col("text")),
+        cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap)
       .select(col("chunk_id").as("id"), col("chunk").as("text"))
+      .filter(length(col("text")) > 0)
 
   /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors. */
   def vectorize(docs: DataFrame, cfg: Config): DataFrame =
@@ -52,7 +55,7 @@ object IndexPipeline {
     IndexStore.build(
       vectorize(docs, cfg), root, cfg.name, cfg.backend,
       params = IndexStore.Params(cfg.nlist, cfg.nprobe),
-      chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+      chunking = IndexStore.Chunking(cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap),
       model = "stub-hash-projection", normalize = cfg.normalize,
       metric = "ip", docs = Some(chunked(docs, cfg)))
 
@@ -75,7 +78,7 @@ object IndexPipeline {
         val manifest = IndexStore.build(
           vecs, root, cfg.name, cfg.backend,
           params = IndexStore.Params(cfg.nlist, cfg.nprobe),
-          chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+          chunking = IndexStore.Chunking(cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap),
           model = "stub-hash-projection", normalize = cfg.normalize,
           metric = "ip", docs = Some(ch))
         onEvent("DONE")
@@ -123,7 +126,7 @@ object IndexPipeline {
       vectorize(docs.select(col("doc_id"), col("text")), cfg), root, cfg.name,
       cfg.backend,
       params = IndexStore.Params(cfg.nlist, cfg.nprobe),
-      chunking = IndexStore.Chunking("fixed", cfg.chunkSize, cfg.chunkOverlap),
+      chunking = IndexStore.Chunking(cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap),
       model = "stub-hash-projection", normalize = cfg.normalize,
       metric = "ip", docs = Some(chunked(docs.select(col("doc_id"), col("text")), cfg)),
       sources = Some(sources))

@@ -121,4 +121,40 @@ class IndexPipelineSpec extends SparkSpec {
     assert(src.head.getAs[String]("content_type") == "csv")
     assert(src.head.getAs[Long]("chunk") >= 0L)
   }
+
+  test("sentence chunk mode flows through build, manifest, and self-retrieval") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(30)
+    val cfg = IndexPipeline.Config(name = "e2e_sent", chunkMode = "sentences")
+    val manifest = IndexPipeline.build(docs, root, cfg)
+    assert(manifest.chunking.mode == "sentences")
+    assert(IndexStore.manifestJson(root, "e2e_sent").contains("\"mode\": \"sentences\""))
+
+    // sidecar chunks are exactly the sentence-kernel chunks of the input
+    val want = graft.operators.Chunking
+      .chunkDf(docs, "sentences", cfg.chunkSize, cfg.chunkOverlap)
+      .filter(length(col("chunk")) > 0)
+      .select(col("chunk_id"), col("chunk")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val got = IndexStore.loadDocs(spark, root, "e2e_sent").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // self-retrieval still holds under the non-default chunker (pick a
+    // chunk whose text is unique so rank 1 has no score tie)
+    val sample = want.groupBy(_._2).collectFirst {
+      case (_, s) if s.size == 1 => s.head
+    }.get
+    val hits = IndexPipeline.search(spark, root, "e2e_sent", sample._2, 3, cfg)
+      .collect().sortBy(_.getAs[Long]("rk"))
+    assert(hits.head.getAs[String]("id") == sample._1)
+  }
+
+  test("unknown chunk mode fails fast") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Chunking.chunkDf(
+        graft.sources.Tables.documents(spark, dir).limit(1), "words", 100, 20)
+    }
+  }
 }
