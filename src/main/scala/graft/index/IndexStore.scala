@@ -206,6 +206,36 @@ object IndexStore {
     versions(root, name).reverse
       .map(v => readString(s"$root/$name/versions/$v/meta.json"))
 
+  /** One version's meta.json — the reference's GET
+    * `/versions/{name}/{version}` (`versions.py:54-71`). None if absent.
+    */
+  def versionMeta(root: String, name: String, version: String): Option[String] = {
+    val p = new HPath(s"$root/$name/versions/$version/meta.json")
+    if (p.getFileSystem(hadoopConf).exists(p)) Some(readString(p.toString)) else None
+  }
+
+  /** A version's artifact files as (relative path, size bytes), sorted —
+    * the reference's `/versions/{name}/{version}/artifacts` listing
+    * (`versions.py:73-…`). Same walk [[export]] archives.
+    */
+  def versionArtifacts(root: String, name: String, version: String): Seq[(String, Long)] = {
+    val dir = s"$root/$name/versions/$version"
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val qdir = fs.makeQualified(p).toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile)
+          out += ((s.getPath.toString.stripPrefix(qdir).stripPrefix("/"), s.getLen))
+      }
+      out.sortBy(_._1).toSeq
+    }
+  }
+
   /** Version ids, newest last (lexicographic == chronological). */
   def versions(root: String, name: String): Seq[String] = {
     val p = new HPath(s"$root/$name/versions")

@@ -144,7 +144,7 @@ object IndexPipeline {
     val hits = search(spark, root, name, query, k, cfg, version)
       .withColumn("doc", split(col("id"), "#").getItem(0).cast("long"))
       .withColumn("chunk", split(col("id"), "#").getItem(1).cast("long"))
-    IndexStore.loadSources(spark, root, name, version) match {
+    (IndexStore.loadSources(spark, root, name, version) match {
       case Some(src) =>
         src.withColumnRenamed("doc_id", "doc").join(broadcast(hits), Seq("doc"))
           .select(hits.columns.filter(_ != "doc").map(col) :+ col("doc") :+
@@ -152,7 +152,7 @@ object IndexPipeline {
       case None =>
         hits.withColumn("origin_path", lit(null).cast("string"))
           .withColumn("content_type", lit(null).cast("string"))
-    }
+    }).orderBy(col("rk"))
   }
 
   /** The reference's `/chunk` endpoint (`answerless_search.py:168-220`):
@@ -200,7 +200,9 @@ object IndexPipeline {
       .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
     val hits = graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
       .select(col("rk"), col("id"), col("score"))
-    IndexStore.loadDocs(spark, root, name, version) match {
+    // rank order in the result — k rows, so the sort is free; callers read
+    // hit lists top-down like the reference API
+    (IndexStore.loadDocs(spark, root, name, version) match {
       case Some(docs) =>
         val preview = when(length(col("text")) > graft.operators.Search.PreviewLen,
             concat(substring(col("text"), 1, graft.operators.Search.PreviewLen), lit("…")))
@@ -209,6 +211,6 @@ object IndexPipeline {
           .select(col("rk"), col("id"), col("score"), preview.as("preview"))
       case None =>
         hits.withColumn("preview", lit(null).cast("string"))
-    }
+    }).orderBy(col("rk"))
   }
 }

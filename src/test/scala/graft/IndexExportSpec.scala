@@ -59,6 +59,21 @@ class IndexExportSpec extends SparkSpec {
     assert(loaded.count() === 60)
   }
 
+  test("versionMeta and versionArtifacts serve the versions API") {
+    val root = Files.createTempDirectory("graft-exp").toString
+    IndexStore.build(vectors, root, "exp_meta", "flat")
+    val v = IndexStore.versions(root, "exp_meta").head
+    val meta = IndexStore.versionMeta(root, "exp_meta", v)
+    assert(meta.isDefined && meta.get.contains(s""""version": "$v""""))
+    assert(IndexStore.versionMeta(root, "exp_meta", "nope").isEmpty)
+
+    val arts = IndexStore.versionArtifacts(root, "exp_meta", v)
+    assert(arts.map(_._1).contains("manifest.json"))
+    assert(arts.map(_._1).contains("meta.json"))
+    assert(arts.exists(a => a._1.startsWith("vectors/") && a._2 > 0))
+    assert(IndexStore.versionArtifacts(root, "exp_meta", "nope").isEmpty)
+  }
+
   test("export of a missing index fails fast") {
     val root = Files.createTempDirectory("graft-exp").toString
     intercept[IllegalArgumentException] {
