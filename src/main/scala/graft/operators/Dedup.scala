@@ -349,6 +349,14 @@ object Dedup {
     * this converges in a couple of rounds, and each round joins only the
     * (tiny) pair graph — the corpus never enters the loop. The driver-side
     * loop is control flow only; all data stays distributed.
+    *
+    * Round-count accelerators were measured and rejected at this scale:
+    * pointer jumping (rep := rep(rep), O(log D) rounds) cut sf0.1 rounds
+    * 9→7 but its extra join+checkpoint per round cost more than the saved
+    * rounds (4.5→5.7 s), and a double-stride step behaved the same
+    * (5 rounds, 5.1 s). Near-dup graphs have small diameters, so O(D)
+    * with the cheapest possible round wins; on an adversarially deep
+    * graph the jump variant is the known fix.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
