@@ -82,6 +82,32 @@ class NearDupStreamSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("quality filter composes upstream of near-dup state in one query") {
+    // the always-on ingest chain: score (stateless narrow map) → filter →
+    // LSH near-dup state, all in a single streaming query
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val junk = "!!! ??? ### $$$ %%%"
+    val good = "the quick brown fox jumps over the lazy dog and the fox " +
+      "keeps running through the green forest to find the hidden path " * 2
+    val mem = MemoryStream[TimedDoc]
+    mem.addData(
+      TimedDoc(1L, t(0), good),
+      TimedDoc(2L, t(1), junk),          // filtered out before state
+      TimedDoc(3L, t(2), good + " tail"))
+    val filtered = DocStream.qualityFilter(mem.toDF())
+      .select("doc_id", "ts", "text")
+    val q = DocStream.nearDupCandidates(filtered, 60)
+      .writeStream.format("memory").queryName("neardup_composed")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_composed").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.toSeq
+    assert(pairs === Seq((1L, 3L)))
+  }
+
   test("an over-cap bucket poisons itself and stops emitting") {
     // maxBucket=2: docs 1,2 pair; doc 3 overflows the bucket (3 residents
     // > 2) -> poisoned; doc 4 in the same bucket emits nothing new.
