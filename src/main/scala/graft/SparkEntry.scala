@@ -64,6 +64,7 @@ object SparkEntry {
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
     "multimodal_resize"   -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
+    "multimodal_phash"    -> Multimodal.multimodalPhash _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
     "search_highlights"   -> Search.searchHighlights _,
@@ -708,6 +709,8 @@ object SparkEntry {
         |        (cum_tokens - band_tokens) < 20000 AS band_keep FROM cum)
         |SELECT q.doc_id, q.quality, q.n_tokens, k.cum_tokens, k.band_keep AS keep
         |FROM q JOIN k ON q.quality = k.quality""".stripMargin,
+
+    "multimodal_phash" -> graft.operators.Multimodal.phashOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

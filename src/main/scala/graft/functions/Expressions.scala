@@ -519,6 +519,63 @@ object TextEntropy {
   def column(c: Column): Column = Bridge.column(TextEntropy(Bridge.expression(c)))
 }
 
+/** Slice-sum perceptual hash: partition the content's codepoint sequence
+  * into `bits` near-equal slices (slice of 0-based position p is
+  * `p·bits/n`, integer division); bit k is set iff slice k's codepoint sum
+  * exceeds the mean (`sum_k · bits > total`, integer-exact). This is the
+  * blockhash/aHash family of media fingerprints — pairwise similarity is
+  * hamming distance over the packed bits, so near-dup detection rides the
+  * same chunk-bucket LSH machinery as SimHash.
+  *
+  * One pass, null for content shorter than `bits` codepoints (no slice may
+  * be empty; callers filter the same predicate). `bits` ≤ 60 keeps the
+  * packed value positive in a signed 64-bit lane on both engines.
+  */
+case class SliceHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 60, "bits must be in (0, 60]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_slice_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.codePointCount(0, text.length)
+    if (n < bits) return null
+    val sums = new Array[Long](bits)
+    var total = 0L
+    var i = 0
+    var p = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      sums((p * bits / n).toInt) += cp
+      total += cp
+      p += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0L
+    var k = 0
+    while (k < bits) {
+      if (sums(k) * bits > total) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SliceHash =
+    copy(child = newChild)
+}
+
+object SliceHash {
+  def column(c: Column, bits: Int): Column =
+    Bridge.column(SliceHash(Bridge.expression(c), bits))
+}
+
 /** Per-profile stopword hit counts in ONE tokenization pass:
   * `array<long>` with one count per profile, each = |tokens ∈ profile|.
   * Replaces N interpreted `filter(split(...), isInCollection)` passes —

@@ -117,6 +117,51 @@ object Multimodal {
         round(col("frame_idx").cast("double") / VideoFps, 6).as("t_offset_s"))
   }
 
+  val PhashBits = 60
+
+  /** SURVEY §2 `multimodal_phash` (SQL oracle): blockhash/aHash-style
+    * perceptual fingerprint of each image payload — [[PhashBits]] slice
+    * sums vs the mean, packed into one BIGINT
+    * ([[graft.functions.SliceHash]], one narrow kernel pass). Near-dup
+    * media then pairs by hamming distance over the same chunk-bucket LSH
+    * machinery as SimHash — the image-dedup primitive of a training-data
+    * pipeline. The decode step is the stub (the "pixels" are the payload
+    * codepoints); the fingerprint math, plan shape, and oracle parity are
+    * the real part. Payloads shorter than [[PhashBits]] are skipped (no
+    * slice may be empty), mirrored in the oracle.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= PhashBits)
+      .select(col("doc_id"),
+        graft.functions.SliceHash.column(col("text"), PhashBits).as("phash"),
+        length(col("text")).cast("long").as("n_bytes"))
+
+  /** DuckDB oracle for multimodal_phash: the identical integer program —
+    * position → slice via `(i-1)*bits // n`, bit k set iff
+    * `slice_sum * bits > total` — over `ord()` codepoints (== payload
+    * bytes for this ASCII testdata, == the kernel's codepoints always).
+    */
+  def phashOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= $PhashBits),
+       |pos AS (
+       |  SELECT doc_id, n, t.i AS i,
+       |    CAST(ord(substr(text, CAST(t.i AS INT), 1)) AS BIGINT) AS v
+       |  FROM c, UNNEST(range(1, n + 1)) AS t(i)),
+       |sl AS (SELECT doc_id, ((i - 1) * $PhashBits) // n AS k, sum(v) AS s
+       |       FROM pos GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(v) AS t, any_value(n) AS n FROM pos GROUP BY 1),
+       |ph AS (
+       |  SELECT sl.doc_id,
+       |    CAST(sum(CASE WHEN sl.s * $PhashBits > tot.t
+       |                  THEN (CAST(1 AS BIGINT) << CAST(sl.k AS INT)) ELSE 0 END) AS BIGINT) AS phash,
+       |    CAST(any_value(tot.n) AS BIGINT) AS n_bytes
+       |  FROM sl JOIN tot ON sl.doc_id = tot.doc_id
+       |  GROUP BY 1)
+       |SELECT doc_id, phash, n_bytes FROM ph""".stripMargin
+
   /** Feature-extract for media payloads: the stub encoder over the payload
     * bytes (a real system swaps in CLIP/wav2vec per modality — loaded once
     * per partition, exactly this mapPartitions shape).

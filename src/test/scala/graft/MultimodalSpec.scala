@@ -74,4 +74,47 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(f.payload, "UTF-8").nonEmpty)
     assert(Set("image", "audio", "video").contains(f.media_type))
   }
+
+  private def phashReplica(text: String, bits: Int): Long = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val sums = new Array[Long](bits)
+    var total = 0L
+    for (p <- 0 until n) { sums(p * bits / n) += cps(p); total += cps(p) }
+    (0 until bits).foldLeft(0L)((h, k) =>
+      if (sums(k) * bits > total) h | (1L << k) else h)
+  }
+
+  test("multimodal_phash matches an independent slice-hash replica") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Multimodal.multimodalPhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect {
+      case (id, t) if id % 3 == 0 && t.codePointCount(0, t.length) >= Multimodal.PhashBits =>
+        id -> ((phashReplica(t, Multimodal.PhashBits),
+          t.codePointCount(0, t.length).toLong))
+    }
+    assert(got === want)
+  }
+
+  test("phash hamming: identical payloads 0, perturbed payloads small, random large") {
+    import graft.functions.SliceHash
+    def h(s: String): Long = {
+      val df = spark.range(1).select(SliceHash.column(
+        org.apache.spark.sql.functions.lit(s), Multimodal.PhashBits).as("h"))
+      df.collect()(0).getLong(0)
+    }
+    val base = ("a quiet image of a lake at dawn with mist over the water " * 4)
+    val ham = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(base), h(base)) === 0)
+    // local perturbation flips few slice bits
+    assert(ham(h(base), h(base.replace("dawn", "dusk"))) <= 12)
+    // unrelated content diverges much further
+    val other = ("completely different payload with loud city traffic noise " * 4)
+    assert(ham(h(base), h(other)) > 12)
+  }
 }
