@@ -65,6 +65,7 @@ object SparkEntry {
     "multimodal_resize"   -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
     "multimodal_phash"    -> Multimodal.multimodalPhash _,
+    "multimodal_phash_pairs" -> Multimodal.multimodalPhashPairs _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
     "search_highlights"   -> Search.searchHighlights _,
@@ -711,6 +712,8 @@ object SparkEntry {
         |FROM q JOIN k ON q.quality = k.quality""".stripMargin,
 
     "multimodal_phash" -> graft.operators.Multimodal.phashOracleSql,
+
+    "multimodal_phash_pairs" -> graft.operators.Multimodal.phashPairsOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

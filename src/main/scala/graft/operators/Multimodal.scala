@@ -162,6 +162,67 @@ object Multimodal {
        |  GROUP BY 1)
        |SELECT doc_id, phash, n_bytes FROM ph""".stripMargin
 
+  val PhashChunks = 4
+  val PhashChunkBits = 15
+  val PhashMaxHamming = 8
+
+  /** SURVEY §2 `multimodal_phash_pairs`: near-duplicate MEDIA pairs —
+    * candidates share ≥1 of the phash's 4 fifteen-bit chunks (the SimHash
+    * chunk-LSH shape: bucket-grouped, stop-bucket-capped, hamming scored
+    * in-bucket), emitted when hamming ≤ [[PhashMaxHamming]] of
+    * [[PhashBits]]. This is image dedup for a training pipeline: at
+    * 100 TB the only shuffle is keyed on (chunk idx, chunk value), never
+    * all-pairs. The per-bucket count uses a plain groupBy (count partial-
+    * aggregates map-side, so a dominant chunk value stays flat); the
+    * skew-sensitive collect_list sits behind the stop-bucket anti-join.
+    */
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // one kernel pass, materialized: feeds the hot-bucket count and the
+    // bucket grouping (the simhash-chunks lesson)
+    val ph = multimodalPhash(spark, dir).select(col("doc_id"), col("phash"))
+      .localCheckpoint(true)
+    val banded = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until PhashChunks).map(j =>
+        shiftright(col("phash"), j * PhashChunkBits)
+          .bitwiseAND(lit((1L << PhashChunkBits) - 1))): _*)).as(Seq("j", "chunk")))
+    val hot = banded.groupBy(col("j"), col("chunk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > Dedup.MaxBucketSize)
+      .select(col("j"), col("chunk"))
+    val buckets = banded.join(broadcast(hot), Seq("j", "chunk"), "left_anti")
+      .groupBy(col("j"), col("chunk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
+            struct(element_at(col("ids"), (i + 1).cast("int")).as("a"),
+              y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).cast("long").as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
+  /** DuckDB oracle for multimodal_phash_pairs: the phash CTE plus the
+    * chunk-LSH pair program, all exact integer arithmetic.
+    */
+  def phashPairsOracleSql: String = {
+    val phCte = phashOracleSql.stripSuffix("\nSELECT doc_id, phash, n_bytes FROM ph")
+    s"""$phCte,
+       |b AS (SELECT doc_id, phash, t.j AS j,
+       |        (phash >> (CAST(t.j AS INT) * $PhashChunkBits)) & ${(1L << PhashChunkBits) - 1} AS chunk
+       |      FROM ph, UNNEST(range($PhashChunks)) AS t(j)),
+       |bc AS (SELECT j, chunk, count(*) AS n FROM b GROUP BY 1, 2),
+       |bf AS (SELECT b.j, b.chunk, b.doc_id, b.phash FROM b JOIN bc
+       |         ON b.j = bc.j AND b.chunk = bc.chunk
+       |       WHERE bc.n BETWEEN 2 AND ${Dedup.MaxBucketSize}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa, b2.doc_id AS doc_b, b2.phash AS pb
+       |  FROM bf a JOIN bf b2 ON a.j = b2.j AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming""".stripMargin
+  }
+
   /** Feature-extract for media payloads: the stub encoder over the payload
     * bytes (a real system swaps in CLIP/wav2vec per modality — loaded once
     * per partition, exactly this mapPartitions shape).

@@ -101,6 +101,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("phash pairs respect the hamming bound and chunk-share requirement") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.multimodalPhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ph = Multimodal.multimodalPhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h <= Multimodal.PhashMaxHamming)
+      assert(java.lang.Long.bitCount(ph(a) ^ ph(b)) == h)
+      // candidates must share at least one 15-bit chunk
+      val shares = (0 until Multimodal.PhashChunks).exists { j =>
+        ((ph(a) >> (j * Multimodal.PhashChunkBits)) & 0x7fffL) ==
+          ((ph(b) >> (j * Multimodal.PhashChunkBits)) & 0x7fffL)
+      }
+      assert(shares, s"pair ($a,$b) shares no chunk")
+    }
+  }
+
   test("phash hamming: identical payloads 0, perturbed payloads small, random large") {
     import graft.functions.SliceHash
     def h(s: String): Long = {
