@@ -72,6 +72,8 @@ object SparkEntry {
     "pipeline_filter"     -> Curation.pipelineFilter _,
     "curation_sample"     -> Curation.curationSample _,
     "curation_budget"     -> Curation.curationBudget _,
+    "curation_decontam"   -> Curation.curationDecontam _,
+    "curation_mix"        -> Curation.curationMix _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -714,6 +716,10 @@ object SparkEntry {
     "multimodal_phash" -> graft.operators.Multimodal.phashOracleSql,
 
     "multimodal_phash_pairs" -> graft.operators.Multimodal.phashPairsOracleSql,
+
+    "curation_decontam" -> graft.operators.Curation.decontamOracleSql,
+
+    "curation_mix" -> graft.operators.Curation.mixOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

@@ -71,6 +71,99 @@ object Curation {
         col("cum_tokens"), col("band_keep").as("keep"))
   }
 
+  val DecontamEvalMod = 97L
+  val DecontamNgram = 8
+
+  /** SURVEY §2 `curation_decontam`: benchmark decontamination — flag
+    * training documents sharing any word-[[DecontamNgram]]-gram with the
+    * held-out eval set (the GPT-3/Pile-style n-gram overlap check; here
+    * the eval set is the deterministic `doc_id % DecontamEvalMod == 0`
+    * slice, standing in for an uploaded benchmark).
+    *
+    * Scale shape: eval sets are small by nature, so their distinct
+    * shingle set is BROADCAST; the training side is one narrow shingle
+    * kernel pass + a broadcast semi-join and a per-doc count — the corpus
+    * never shuffles. Shingles come from the same WordShingles kernel as
+    * the dedup family.
+    */
+  def curationDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.column(col("text"), DecontamNgram).as("sh"))
+    val evalShingles = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = docs.filter(col("doc_id") % DecontamEvalMod =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    train.select(col("doc_id"), size(col("sh")).cast("long").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** DuckDB oracle for curation_decontam — same 8-gram construction as the
+    * dedup ngram CTEs, eval slice by the same modulus.
+    */
+  def decontamOracleSql: String = {
+    val gram = (0 until DecontamNgram)
+      .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < $DecontamNgram THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks) - ${DecontamNgram - 2}), i ->
+       |           $gram) END) AS sh
+       |  FROM t),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % $DecontamEvalMod = 0),
+       |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % $DecontamEvalMod <> 0),
+       |tx AS (SELECT doc_id, unnest(sh) AS s FROM tr),
+       |h AS (SELECT tx.doc_id, count(*) AS n FROM tx JOIN ev ON tx.s = ev.s GROUP BY 1)
+       |SELECT tr.doc_id, CAST(len(tr.sh) AS BIGINT) AS n_ngrams,
+       |  COALESCE(h.n, 0) AS n_contaminated, COALESCE(h.n, 0) > 0 AS contaminated
+       |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin
+  }
+
+  /** SURVEY §2 `curation_mix`: domain-mixing weights — per-source token
+    * totals and the per-doc sampling weight that equalizes every source's
+    * contribution (`weight = target/source_tokens`, target = total/k, the
+    * uniform mix; real pipelines swap in learned targets). One tiny agg on
+    * source (map-side combined) re-broadcast to docs; weights rounded to
+    * 6dp on both engines.
+    */
+  def curationMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextOps.textTokens(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+      .join(graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws_tokens")).as("src_tokens"))
+    val k = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val total = sum(col("src_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    bySource
+      .withColumn("weight",
+        round((total.cast("double") / k.cast("double")) / col("src_tokens").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("src_tokens").cast("long").as("src_tokens"),
+        col("weight"))
+  }
+
+  /** DuckDB oracle for curation_mix: identical double program. */
+  def mixOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+      |  FROM documents),
+      |s AS (SELECT source, count(*) AS n_docs, sum(n_ws_tokens) AS src_tokens FROM d GROUP BY 1),
+      |g AS (SELECT count(*) AS k, sum(src_tokens) AS total FROM s)
+      |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+      |  round((CAST(total AS DOUBLE) / CAST(k AS DOUBLE)) / CAST(src_tokens AS DOUBLE), 6) AS weight
+      |FROM s, g""".stripMargin
+
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))

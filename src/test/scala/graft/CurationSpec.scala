@@ -47,4 +47,28 @@ class CurationSpec extends SparkSpec {
       < Curation.TokenBudget)
     assert(bands.dropWhile(_._3).forall(!_._3), "keep must be a prefix of bands")
   }
+
+  test("decontam excludes the eval slice and bounds contamination counts") {
+    val rows = Curation.curationDecontam(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % Curation.DecontamEvalMod != 0, "eval docs must not be scored")
+      val n = r.getAs[Long]("n_contaminated")
+      assert(n >= 0 && n <= r.getAs[Long]("n_ngrams"))
+      assert(r.getAs[Boolean]("contaminated") === (n > 0))
+    }
+  }
+
+  test("mix weights equalize source token contributions") {
+    val rows = Curation.curationMix(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("src_tokens"),
+        r.getAs[Double]("weight")))
+    assert(rows.length > 1)
+    // weighted contribution of every source ≈ total/k (6dp rounding noise)
+    val target = rows.map(_._2).sum.toDouble / rows.length
+    rows.foreach { case (_, tok, w) =>
+      assert(math.abs(tok * w - target) / target < 1e-3)
+    }
+  }
 }
