@@ -29,7 +29,8 @@ object Bench {
     "chunk_fixed", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
     "knn_bruteforce", "ann_ivf", "bm25_topk", "hybrid_rrf",
-    "search_highlights", "pipeline_filter")
+    "search_highlights", "pipeline_filter",
+    "multimodal_phash_pairs", "curation_decontam")
 
   val WarmupDir = "/root/testdata/sf0.001"
   val Passes = 3
