@@ -74,6 +74,7 @@ object SparkEntry {
     "curation_budget"     -> Curation.curationBudget _,
     "curation_decontam"   -> Curation.curationDecontam _,
     "curation_mix"        -> Curation.curationMix _,
+    "curation_pack"       -> Curation.curationPack _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -720,6 +721,8 @@ object SparkEntry {
     "curation_decontam" -> graft.operators.Curation.decontamOracleSql,
 
     "curation_mix" -> graft.operators.Curation.mixOracleSql,
+
+    "curation_pack" -> graft.operators.Curation.packOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

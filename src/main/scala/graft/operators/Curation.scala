@@ -164,6 +164,53 @@ object Curation {
       |  round((CAST(total AS DOUBLE) / CAST(k AS DOUBLE)) / CAST(src_tokens AS DOUBLE), 6) AS weight
       |FROM s, g""".stripMargin
 
+  val PackBudget = 2048L
+
+  /** SURVEY §2 `curation_pack`: sequence packing — assign each document a
+    * training-sequence id and offset by concatenating docs in order until
+    * the [[PackBudget]]-token context is full (how pretraining data is
+    * packed into fixed context windows). Packing is PER SOURCE shard in
+    * doc_id order: a global order would need a single-task window, while
+    * per-shard packing is how real pipelines do it (each shard packs
+    * independently) — the window partitions by source, so it shards with
+    * the shuffle. A doc belongs to the sequence its first token lands in
+    * (`seq_id = tokens_before / budget`), offset = tokens_before mod
+    * budget; integer-exact on both engines.
+    */
+  def curationPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextOps.textTokens(spark, dir).select(col("doc_id"), col("n_ws_tokens"))
+      .join(graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .filter(col("n_ws_tokens") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tokens_before", coalesce(sum(col("n_ws_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_ws_tokens"),
+        (col("tokens_before") / PackBudget).cast("long").as("seq_id"),
+        (col("tokens_before") % PackBudget).as("seq_offset"))
+  }
+
+  /** DuckDB oracle for curation_pack: identical per-source cumulative
+    * window program.
+    */
+  def packOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens
+       |  FROM documents),
+       |f AS (SELECT * FROM d WHERE n_ws_tokens > 0),
+       |c AS (
+       |  SELECT doc_id, source, CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       |    CAST(COALESCE(sum(n_ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+       |  FROM f)
+       |SELECT doc_id, source, n_ws_tokens,
+       |  tb // $PackBudget AS seq_id, tb % $PackBudget AS seq_offset
+       |FROM c""".stripMargin
+
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))

@@ -60,6 +60,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packing: offsets stay under budget and follow the per-shard cumsum") {
+    val rows = Curation.curationPack(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, seq, off) =>
+      assert(off >= 0 && off < Curation.PackBudget && seq >= 0)
+    }
+    // replica: fold each source shard in doc_id order
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      var cum = 0L
+      shard.sortBy(_._2).foreach { case (_, _, n, seq, off) =>
+        assert(seq === cum / Curation.PackBudget)
+        assert(off === cum % Curation.PackBudget)
+        cum += n
+      }
+    }
+  }
+
   test("mix weights equalize source token contributions") {
     val rows = Curation.curationMix(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("src_tokens"),
