@@ -83,4 +83,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!executedPlan(TextOps.textRepetition(spark, dir)).contains("Exchange"))
   }
 
+  test("multimodal_phash is narrow; phash pairs form via bucket grouping, no cartesian") {
+    assert(!executedPlan(Multimodal.multimodalPhash(spark, dir)).contains("Exchange"),
+      "fingerprinting must not shuffle")
+    val pairs = executedPlan(Multimodal.multimodalPhashPairs(spark, dir))
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay bucket-keyed")
+  }
+
+  test("decontam broadcasts the eval shingles; the training side is never built") {
+    val p = executedPlan(Curation.curationDecontam(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the contamination join must build on the (small) eval side
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("curation_pack windows shard by source: no global single-partition sort") {
+    val p = executedPlan(Curation.curationPack(spark, dir))
+    assert(p.contains("hashpartitioning(source"),
+      s"pack window must partition by source:\n$p")
+  }
+
 }
