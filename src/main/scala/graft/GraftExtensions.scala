@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, TermCounts, TextEntropy, WordShingles}
+import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, SliceHash, TermCounts, TextEntropy, WordShingles}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -88,7 +88,13 @@ object GraftExtensions {
       { case Seq(s, m, sz, ov) =>
           ChunkText(s, litStr(m, "mode"), litLong(sz, "size").toInt, litLong(ov, "overlap").toInt)
         case args => throw new IllegalArgumentException(
-          s"graft_chunk_text expects 4 arguments, got ${args.length}") }))
+          s"graft_chunk_text expects 4 arguments, got ${args.length}") }),
+    ("graft_slice_hash",
+      new ExpressionInfo(classOf[SliceHash].getName, "graft_slice_hash"),
+      { case Seq(s) => SliceHash(s, graft.operators.Multimodal.PhashBits)
+        case Seq(s, b) => SliceHash(s, litLong(b, "bits").toInt)
+        case args => throw new IllegalArgumentException(
+          s"graft_slice_hash expects 1 or 2 arguments, got ${args.length}") }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

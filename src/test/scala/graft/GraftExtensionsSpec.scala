@@ -48,4 +48,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(te == Seq(2.0, 1.0)) // 2 distinct chars, uniform -> 1 bit
   }
 
+  test("graft_slice_hash resolves through SQL and matches the kernel") {
+    graft.GraftExtensions.register(spark)
+    // length divisible by both bit counts -> equal slices of uniform
+    // content tie the mean exactly, so every bit is 0
+    val text = "x" * 120
+    val r = spark.sql(s"SELECT graft_slice_hash('$text') AS d, graft_slice_hash('$text', 4) AS b4")
+      .collect()(0)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+    // short input -> null (no slice may be empty)
+    assert(spark.sql("SELECT graft_slice_hash('short') AS h").collect()(0).isNullAt(0))
+  }
+
 }
