@@ -55,6 +55,7 @@ object SparkEntry {
     "ivf_build"           -> VectorOps.ivfBuild _,
     "ivf_search"          -> VectorOps.ivfSearch _,
     "ann_ivf"             -> VectorOps.annIvf _,
+    "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
@@ -542,6 +543,7 @@ object SparkEntry {
     "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql(ivfCents),
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
+    "ann_recall" -> graft.operators.VectorOps.annRecallOracleSql(ivfCents),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

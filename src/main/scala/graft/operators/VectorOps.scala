@@ -273,9 +273,12 @@ object VectorOps {
        |      FROM p)
        |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
 
-  def annIvfOracleSql(cents: Array[Array[Double]]): String =
-    s"""WITH ${IvfModel.centsCte(cents)},
-       |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
+  /** The ann_ivf pair CTE chain (`md … sc`): multi-probe assignment,
+    * hot-cell cap, cell-local scored pairs. Shared by the ann_ivf oracle
+    * and the ann_recall oracle.
+    */
+  private def annIvfCtes: String =
+    s"""md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e CROSS JOIN cents c),
        |mr AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
@@ -291,7 +294,60 @@ object VectorOps {
        |sc AS (SELECT vec_id_a, vec_id_b,
        |         ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cv
        |       FROM pr JOIN nn na ON pr.vec_id_a = na.vec_id
-       |               JOIN nn nb ON pr.vec_id_b = nb.vec_id)
+       |               JOIN nn nb ON pr.vec_id_b = nb.vec_id)""".stripMargin
+
+  def annIvfOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |$annIvfCtes
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
+
+  /** SURVEY §2 `ann_recall`: the quality measurement of the ANN scale
+    * path — what fraction of the EXACT embedding near-dup pairs
+    * ([[Dedup.dedupEmbedding]], cos ≥ τ) the IVF-bucketed join
+    * ([[annIvf]]) recovers. Recall < 1 is the ANN trade by construction
+    * (multi-probe r=2 misses some cross-cell pairs); this operator pins
+    * the number instead of hand-waving it. One full-outer join of the two
+    * pair sets + one agg → a single row; the exact side is the bounded
+    * oracle-scale form (at 100 TB the measurement runs on a sampled
+    * slice, same shape).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.dedupEmbedding(spark, dir)
+      .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_exact"))
+    val approx = annIvf(spark, dir)
+      .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_approx"))
+    exact.join(approx, Seq("vec_id_a", "vec_id_b"), "full")
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact_pairs"),
+        sum(coalesce(col("in_approx"), lit(0L))).as("n_approx_pairs"),
+        sum(coalesce(col("in_exact"), lit(0L)) * coalesce(col("in_approx"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_exact_pairs"), col("n_approx_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact_pairs").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** DuckDB oracle for ann_recall: the ann_ivf pair CTEs + the exact
+    * all-pairs set, full-outer joined, same sums.
+    */
+  def annRecallOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |$annIvfCtes,
+       |ap AS (SELECT vec_id_a, vec_id_b FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}),
+       |exp AS (
+       |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |        >= ${Dedup.EmbeddingCosThreshold}),
+       |j AS (
+       |  SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
+       |  FROM (SELECT vec_id_a, vec_id_b, 1 AS one FROM exp) e
+       |  FULL OUTER JOIN (SELECT vec_id_a, vec_id_b, 1 AS one FROM ap) a
+       |    ON e.vec_id_a = a.vec_id_a AND e.vec_id_b = a.vec_id_b)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact_pairs,
+       |  CAST(sum(in_approx) AS BIGINT) AS n_approx_pairs,
+       |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
+       |FROM j""".stripMargin
 }

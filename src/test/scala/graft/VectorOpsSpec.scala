@@ -115,6 +115,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(kept.count(_ == 1) === 5 && kept.count(_ == 2) === 5)
   }
 
+  test("ann_recall: ANN pairs are a subset of exact pairs; recall matches the counts") {
+    val r = VectorOps.annRecall(spark, dir).collect()(0)
+    val (nExact, nApprox, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // same τ over the same exact cosine -> every ANN pair is a true pair
+    assert(nHit === nApprox, "ANN set must have precision 1")
+    assert(nHit <= nExact && nExact > 0)
+    assert(recall > 0.0 && recall <= 1.0)
+    assert(math.abs(recall - nHit.toDouble / nExact) < 1e-6)
+  }
+
   test("capHotCells is a no-op on a uniform assignment") {
     val s = spark
     import s.implicits._
