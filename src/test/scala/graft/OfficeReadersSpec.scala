@@ -95,6 +95,30 @@ class OfficeReadersSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("name", "city", "n"))
   }
 
+  test("readXlsx: shards wider or narrower than the header fit its width") {
+    // header comes from the lexicographically-first file (a.xlsx, 3 cols);
+    // a wider shard's extra cells drop, a narrower shard's gaps are null
+    val wide =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |  <row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c></row>
+        |  <row r="2"><c r="A2" t="inlineStr"><is><t>w1</t></is></c><c r="B2" t="inlineStr"><is><t>EXTRA</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val narrow =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |  <row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c></row>
+        |  <row r="2"><c r="A2" t="inlineStr"><is><t>n1</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val dir = Files.createTempDirectory("graft-xlsx-mixed")
+    writeTo(dir, "a.xlsx", xlsxBytes) // 3-column header wins
+    writeTo(dir, "b.xlsx", zip("xl/worksheets/sheet1.xml" -> wide))
+    writeTo(dir, "c.xlsx", zip("xl/worksheets/sheet1.xml" -> narrow))
+    val df = Readers.readXlsx(spark, dir.toString)
+    assert(df.columns.toSeq === Seq("name", "city", "n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("w1", "EXTRA", null))) // wide shard: col fits, no 4th col anywhere
+    assert(rows.contains(("n1", null, null)))    // narrow shard: padded with nulls
+  }
+
   test("parseDocx: paragraphs joined by newlines, runs concatenated, breaks kept") {
     assert(OfficeParsers.parseDocx(docxBytes) === "Hello world\nline one\nline two")
   }
