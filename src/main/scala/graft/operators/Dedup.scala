@@ -58,19 +58,28 @@ object Dedup {
     * generation swapped.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Group per shingle instead of self-joining (same lesson as minhash/
+    // simhash): the self-join form executed the shingle kernel once per
+    // side and joined per-doc sizes back twice; here sizes ride inside the
+    // bucket structs, so the whole operator is two shuffles — one keyed on
+    // the shingle, one on the pair — with no join back to the corpus.
+    val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
+    val buckets = ex.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
+            struct(element_at(col("ids"), (i + 1).cast("int")).as("a"),
+              y.as("b")))))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("m"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        col("m").cast("double") / (col("sa.n") + col("sb.n") - col("m")).cast("double"))
+        col("m").cast("double") / (col("na") + col("nb") - col("m")).cast("double"))
       .filter(col("jaccard") >= NgramJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -359,17 +368,29 @@ object Dedup {
     * graph the jump variant is the known fix.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the PAIRS before mirroring them: a union of two branches
+    // over the same dedupNgram subtree executes the pair pipeline once per
+    // branch (the checkpoint's RDD materialization path doesn't reuse the
+    // exchange across branches — measured 2× the standalone query). The
+    // mirrored edge list is then a narrow map over the checkpointed blocks,
+    // re-read cheaply by every round's join; the corpus never enters the
+    // loop.
+    val tE = System.nanoTime()
     val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions; materialized once — every
-    // iteration joins against this, never against the corpus
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint(true)
-    // Each round MUST truncate lineage (localCheckpoint): chaining the
-    // update plan across rounds grows it exponentially and OOMs the
-    // driver/executors at scale (observed at sf0.1 with plain cache()).
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
       .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] edges t=${(System.nanoTime() - tE) / 1e9}%.3f")
+    // Seed labels with round 1 for free: the per-node min neighbor comes
+    // out of the same shuffle that a plain `distinct` init would cost, so
+    // the loop starts one propagation step ahead.
+    val tL = System.nanoTime()
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("rep"))
+      .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] init t=${(System.nanoTime() - tL) / 1e9}%.3f")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -378,12 +399,21 @@ object Dedup {
       // Carry the previous rep through the checkpoint so the convergence
       // check is a filter-count on the already-materialized frame — a
       // second labels-join per round (the old shape) doubled the loop's
-      // join work just to count changes.
+      // join work just to count changes. The checkpoint is LAZY so the
+      // count is also the materializing action: one job per round, not a
+      // checkpoint job plus a count job (measured 2× on the whole loop).
+      // Lineage still MUST truncate each round (the plan is flat over the
+      // checkpointed RDD): chaining the update plan across rounds grows
+      // it exponentially and OOMs at scale (observed at sf0.1 with plain
+      // cache()).
       val updated = labels.join(viaNeighbors, labels("doc_id") === col("doc_id2"), "left")
         .select(col("doc_id"), col("rep").as("prev_rep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val t0 = System.nanoTime()
       val changed = updated.filter(col("rep") =!= col("prev_rep")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round=$rounds changed=$changed t=${(System.nanoTime() - t0) / 1e9}%.3f")
       labels.unpersist(blocking = false)
       labels = updated.select(col("doc_id"), col("rep"))
       converged = changed == 0
