@@ -28,7 +28,7 @@ object Bench {
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "chunk_fixed", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
-    "knn_bruteforce", "ann_ivf", "bm25_topk", "hybrid_rrf",
+    "knn_bruteforce", "ann_ivf", "ann_pq", "bm25_topk", "hybrid_rrf",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam")
 
@@ -77,6 +77,7 @@ object Bench {
     // Same for the IVF centroid fit (a build-time artifact shared by the
     // ivf_* family; queries probe a built index).
     graft.operators.IvfModel.centroids(spark, sfDir)
+    graft.operators.PqModel.codebooks(spark, sfDir)
     // Timed sweeps: same order every pass, min per query (see Methodology).
     val sweeps = (1 to Passes).map(_ => names.map(n => n -> runOnce(n, sfDir)).toMap)
     val results = names.map { n =>

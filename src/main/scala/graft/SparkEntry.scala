@@ -57,6 +57,9 @@ object SparkEntry {
     "ann_ivf"             -> VectorOps.annIvf _,
     "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
+    "vec_pq"              -> VectorOps.vecPq _,
+    "ann_pq"              -> VectorOps.annPq _,
+    "pq_recall"           -> VectorOps.pqRecall _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
     "eval_recall"         -> Search.evalRecall _,
@@ -186,6 +189,7 @@ object SparkEntry {
     */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
     val ivfCents = IvfModel.centroids(spark, dir)
+    val pqBooks = PqModel.codebooks(spark, dir)
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -544,6 +548,9 @@ object SparkEntry {
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
     "ann_recall" -> graft.operators.VectorOps.annRecallOracleSql(ivfCents),
+    "vec_pq" -> graft.operators.VectorOps.vecPqOracleSql(pqBooks),
+    "ann_pq" -> graft.operators.VectorOps.annPqOracleSql(pqBooks),
+    "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

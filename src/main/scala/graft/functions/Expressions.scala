@@ -823,3 +823,155 @@ object PolyHash {
   def column(c: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     Bridge.column(PolyHash(Bridge.expression(c), base, mod))
 }
+
+/** Product-quantization code assignment (the storage half of IVF-PQ, Jégou
+  * et al. 2011): an `array<float>` embedding → per-subspace
+  * `struct<code:long, d2:double>` — the argmin codebook centroid over that
+  * subspace's contiguous dims plus the squared-L2 residual to it (rounded
+  * 6 dp, ties to the lower code — the [[IvfProbes]] determinism rules, so
+  * the DuckDB oracle replays the identical argmin over the same literals).
+  *
+  * One narrow JVM pass per row over all subspaces: at 100 TB the corpus
+  * gets its PQ codes (SubSpaces×4 bits per vector, 64× smaller than
+  * float32) without shuffling or joining anything. The codebooks ride
+  * inside the expression (a few KB). CodegenFallback: one call per row
+  * around tight loops; the surrounding stage stays codegen'd.
+  */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("code", LongType, nullable = false),
+      StructField("d2", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](cb.length)
+    var m = 0
+    while (m < cb.length) {
+      val book = cb(m)
+      val dim = book(0).length
+      val off = m * dim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          val t = a.getFloat(off + j).toDouble - cent(j)
+          acc += t * t
+          j += 1
+        }
+        // argmin on the ROUNDED distance, ties to the lower code (strict <
+        // keeps the earlier candidate) — the IvfProbes rule, so the
+        // oracle's ORDER BY round(d2, 6), code replays it exactly.
+        val d2r = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (d2r < bestD) { bestD = d2r; best = c }
+        c += 1
+      }
+      out(m) = org.apache.spark.sql.catalyst.InternalRow(best.toLong, bestD)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+object PqCodes {
+  def column(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqCodes(Bridge.expression(c),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}
+
+/** Asymmetric-distance cosine for PQ search (the ADC scan of IVF-PQ): an
+  * exact `array<float>` query (+ its precomputed norm) against a stored
+  * vector's `array<long>` PQ codes. Score =
+  * `Σ_m dot(q_sub_m, cent_m[code_m]) / (‖q‖ · ‖recon‖)` with the
+  * reconstruction norm from the codebooks' precomputed squared norms —
+  * per-subspace dots accumulate sequentially over dims and sum in subspace
+  * order, the identical op sequence as the oracle's `list_sum` + fixed-order
+  * additions, with 6 dp rounding at the edge.
+  *
+  * This is the hot scoring path of a PQ scan, so it is ONE JVM call per
+  * (query, code-row) pair — codes are SubSpaces longs, the query rides the
+  * broadcast side, and the codebooks (+ norms) live inside the expression.
+  */
+case class PqAdcScore(first: Expression, second: Expression, third: Expression,
+                      codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, double, array<long>), " +
+          s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val nsq: Array[Array[Double]] = cb.map(_.map { c =>
+    var acc = 0.0
+    var j = 0
+    while (j < c.length) { acc += c(j) * c(j); j += 1 }
+    acc
+  })
+
+  override protected def nullSafeEval(q: Any, qNrm: Any, codes: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = codes.asInstanceOf[ArrayData]
+    var dot = 0.0
+    var rec = 0.0
+    var m = 0
+    while (m < cb.length) {
+      val code = ca.getLong(m).toInt
+      val cent = cb(m)(code)
+      val dim = cent.length
+      val off = m * dim
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += qa.getFloat(off + j).toDouble * cent(j)
+        j += 1
+      }
+      dot += acc
+      rec += nsq(m)(code)
+      m += 1
+    }
+    val score = dot / (qNrm.asInstanceOf[Double] * math.sqrt(rec))
+    BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAdcScore {
+  def column(qEmb: Column, qNrm: Column, codes: Column,
+             codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(qEmb), Bridge.expression(qNrm),
+      Bridge.expression(codes),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** Deterministic product-quantization codebooks (the PQ half of the
+  * faiss-style IVF-PQ stack — reference `backends/faiss_ivf.py` trains the
+  * coarse quantizer; PQ is the standard companion that shrinks each stored
+  * vector to [[SubSpaces]] byte-sized codes, Jégou et al. 2011).
+  *
+  * The fit reuses [[IvfModel.fit]]'s canonical bounded-sample Lloyd's per
+  * subspace: the SAME first-[[IvfModel.SampleSize]]-by-id sample, each
+  * vector split into [[SubSpaces]] contiguous [[SubDim]]-dim subvectors,
+  * one k=[[Codes]] k-means per subspace, centroids rounded to 6 dp. Like
+  * the IVF centroids, the codebooks are a few KB of exact decimal literals
+  * that ride inside the Spark kernels AND the generated DuckDB oracle SQL,
+  * so code assignment and ADC scoring are the identical double programs on
+  * both engines.
+  */
+object PqModel {
+
+  /** Number of subspaces (M): 64-dim embeddings → 4× 16-dim subvectors. */
+  val SubSpaces = 4
+
+  /** Dimensions per subspace. */
+  val SubDim = 16
+
+  /** Codes per subspace codebook (k): 16 = 4-bit codes; a stored vector is
+    * [[SubSpaces]]×4 bits — 64× smaller than the float32 original.
+    */
+  val Codes = 16
+
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
+
+  /** Codebooks for the embeddings table under `dir`, cached per dir —
+    * `(subspace)(code)(dim)` doubles, no session reference. Oracle-SQL
+    * generation receives the same fit via [[graft.SparkEntry.oracleSqlFor]]
+    * threading (session, dir) explicitly.
+    */
+  def codebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    cache.getOrElseUpdate(dir, {
+      val sample = Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id").limit(IvfModel.SampleSize)
+        .collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      Array.tabulate(SubSpaces) { m =>
+        IvfModel.fit(sample.map(_.slice(m * SubDim, (m + 1) * SubDim)), Codes)
+      }
+    })
+
+  /** Squared L2 norm of each codebook centroid, accumulated sequentially
+    * over dims — the identical op order as the oracle's `list_sum`, so the
+    * reconstruction norms agree to the last ulp on both engines.
+    */
+  def normSq(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var acc = 0.0
+      var j = 0
+      while (j < c.length) { acc += c(j) * c(j); j += 1 }
+      acc
+    })
+
+  /** DuckDB CTE `pqc(m, code, cent)` embedding the fitted codebooks as
+    * literals (the [[IvfModel.centsCte]] pattern).
+    */
+  def pqCte(cb: Array[Array[Array[Double]]]): String =
+    cb.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, code) =>
+        s"(CAST($m AS BIGINT), CAST($code AS BIGINT), [${c.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString("pqc(m, code, cent) AS (SELECT * FROM (VALUES\n    ",
+      ",\n    ", ") AS t(m, code, cent))")
+}

@@ -221,6 +221,71 @@ object VectorOps {
       round(array_max(transform(diffs, v => abs(v))), 6).as("max_abs_err"))
   }
 
+  /** SURVEY §2 `vec_pq`: product-quantization build — per-vector subspace
+    * codes plus reconstruction error (the faiss IVF-PQ storage layout:
+    * [[PqModel.SubSpaces]]×4-bit codes, 64× smaller than float32). The
+    * assignment is ONE narrow [[graft.functions.PqCodes]] kernel pass (the
+    * codebooks ride inside the expression — at 100 TB the corpus gets its
+    * codes without shuffling anything), and the error is free: the kernel
+    * already computed each subspace's squared residual, so
+    * `err_l2 = sqrt(Σ_m d2_m)` in fixed subspace order.
+    */
+  def vecPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = PqModel.codebooks(spark, dir)
+    val codeCols = (0 until PqModel.SubSpaces).map(m =>
+      col("pc")(m)("code").as(s"code$m"))
+    val errSum = (0 until PqModel.SubSpaces).map(m => col("pc")(m)("d2"))
+      .reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.functions.PqCodes.column(col("embedding"), cb).as("pc"))
+      .select(col("vec_id") +: codeCols :+ round(sqrt(errSum), 6).as("err_l2"): _*)
+  }
+
+  /** SURVEY §2 `ann_pq`: the ADC (asymmetric distance) scan — exact queries
+    * scored against PQ CODES only, top-k per query. This is how a 100 TB
+    * vector store actually searches: the scan side carries 4-bit codes
+    * (not embeddings), the query side is broadcast, and scoring is one
+    * [[graft.functions.PqAdcScore]] kernel call per pair. Approximation
+    * error vs exact cosine is the PQ trade, measured by [[pqRecall]].
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = PqModel.codebooks(spark, dir)
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(graft.functions.PqCodes.column(col("embedding"), cb), p => p("code"))
+          .as("codes"))
+    val q = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= DefaultK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("score"))
+  }
+
+  /** SURVEY §2 `pq_recall`: recall@k of the ADC scan ([[annPq]]) against
+    * exact cosine top-k ([[knnBruteforce]]) — pins the PQ approximation
+    * trade as a number, the [[annRecall]] pattern: one full-outer join of
+    * the two (q_id, neighbor_id) sets + one agg → a single row.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteforce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+    val approx = annPq(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_approx"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "full")
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_approx"), lit(0L))).as("n_approx"),
+        sum(coalesce(col("in_exact"), lit(0L)) * coalesce(col("in_approx"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   // ---- Generated DuckDB oracles -----------------------------------------
   // The fitted centroids are embedded as literals (IvfModel.centsCte), so
   // assignment, probe ranking, and cell-local scoring are the same exact
@@ -347,6 +412,94 @@ object VectorOps {
        |    ON e.vec_id_a = a.vec_id_a AND e.vec_id_b = a.vec_id_b)
        |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact_pairs,
        |  CAST(sum(in_approx) AS BIGINT) AS n_approx_pairs,
+       |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
+       |FROM j""".stripMargin
+
+  // ---- PQ oracles (codebook literals via PqModel.pqCte — the IVF
+  // centroid-literal pattern applied to the product quantizer) ------------
+
+  private def subSlice(emb: String): String =
+    s"array_slice($emb, p.m * ${PqModel.SubDim} + 1, (p.m + 1) * ${PqModel.SubDim})"
+
+  /** `pv(vec_id, code0.., d20..)`: per-vector PQ codes — argmin centroid per
+    * subspace over ROUNDED d2 with code tiebreak, mirroring [[graft.functions.PqCodes]].
+    */
+  private def pqCodesCtes: String = {
+    val codeCols = (0 until PqModel.SubSpaces).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n        ")
+    val d2Cols = (0 until PqModel.SubSpaces).map(m =>
+      s"MAX(CASE WHEN m = $m THEN d2 END) AS d2$m").mkString(",\n        ")
+    s"""pd AS (SELECT e.vec_id, p.m, p.code,
+       |        round(list_sum(list_transform(list_zip(${subSlice("e.embedding")}, p.cent),
+       |          z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6) AS d2
+       |      FROM embeddings e CROSS JOIN pqc p),
+       |prk AS (SELECT vec_id, m, code, d2,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS crk
+       |       FROM pd),
+       |pv AS (SELECT vec_id,
+       |        $codeCols,
+       |        $d2Cols
+       |       FROM prk WHERE crk = 1 GROUP BY vec_id)""".stripMargin
+  }
+
+  def vecPqOracleSql(cb: Array[Array[Array[Double]]]): String = {
+    val codeList = (0 until PqModel.SubSpaces).map(m => s"code$m").mkString(", ")
+    val errSum = (0 until PqModel.SubSpaces).map(m => s"d2$m").reduce((a, b) => s"($a + $b)")
+    s"""WITH ${PqModel.pqCte(cb)},
+       |$pqCodesCtes
+       |SELECT vec_id, $codeList, round(sqrt($errSum), 6) AS err_l2
+       |FROM pv""".stripMargin
+  }
+
+  /** `r(q_id, neighbor_id, score, rk)`: the ADC scan ranking — per-subspace
+    * query·centroid dots and centroid norms recombined in fixed subspace
+    * order, the exact op sequence of [[graft.functions.PqAdcScore]].
+    */
+  private def annPqCtes: String = {
+    val joins = (0 until PqModel.SubSpaces).map(m =>
+      s"JOIN pqc c$m ON c$m.m = $m AND c$m.code = pv.code$m").mkString("\n        ")
+    def dotM(m: Int): String =
+      s"list_sum(list_transform(list_zip(array_slice(q.q_emb, ${m * PqModel.SubDim + 1}, " +
+        s"${(m + 1) * PqModel.SubDim}), c$m.cent), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+    def nsM(m: Int): String =
+      s"list_sum(list_transform(c$m.cent, x -> x * x))"
+    val dots = (0 until PqModel.SubSpaces).map(dotM).reduce((a, b) => s"($a + $b)")
+    val ns = (0 until PqModel.SubSpaces).map(nsM).reduce((a, b) => s"($a + $b)")
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
+       |        round($dots / (q.q_nrm * sqrt($ns)), 6) AS score
+       |      FROM q JOIN pv ON pv.vec_id <> q.q_id
+       |        $joins),
+       |r AS (SELECT q_id, neighbor_id, score,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM sc)""".stripMargin
+  }
+
+  def annPqOracleSql(cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${PqModel.pqCte(cb)},
+       |$pqCodesCtes,
+       |$annPqCtes
+       |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
+
+  def pqRecallOracleSql(cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${PqModel.pqCte(cb)},
+       |$pqCodesCtes,
+       |$annPqCtes,
+       |ed AS (SELECT q.q_id, nc.vec_id AS neighbor_id,
+       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
+       |      FROM q CROSS JOIN nn nc WHERE nc.vec_id <> q.q_id),
+       |er AS (SELECT q_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM ed),
+       |exk AS (SELECT q_id, neighbor_id, 1 AS one FROM er WHERE rk <= $DefaultK),
+       |apk AS (SELECT q_id, neighbor_id, 1 AS one FROM r WHERE rk <= $DefaultK),
+       |j AS (SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
+       |      FROM exk e FULL OUTER JOIN apk a
+       |        ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+       |  CAST(sum(in_approx) AS BIGINT) AS n_approx,
        |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
        |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
        |FROM j""".stripMargin
