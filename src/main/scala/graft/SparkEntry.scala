@@ -35,10 +35,12 @@ object SparkEntry {
     "text_quality"        -> TextOps.textQuality _,
     "text_fingerprint"    -> TextOps.textFingerprint _,
     "text_vocab"          -> TextOps.textVocab _,
+    "text_surprisal"      -> TextOps.textSurprisal _,
     "text_repetition"     -> TextOps.textRepetition _,
     "text_redact"         -> TextOps.textRedact _,
     "text_entropy"        -> TextOps.textEntropy _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
+    "chunk_tokens"        -> Chunking.chunkTokens _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
     "chunk_stats"         -> Chunking.chunkStats _,
@@ -413,6 +415,8 @@ object SparkEntry {
         |        row_number() OVER (ORDER BY tf DESC, term) AS rk FROM v)
         |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
 
+    "text_surprisal" -> graft.operators.TextOps.surprisalOracleSql,
+
     "text_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, substr(text, CAST(t.i AS INT), 1) AS ch
@@ -464,6 +468,8 @@ object SparkEntry {
         |  substr(text, CAST(j * 80 + 1 AS INT), 100) AS chunk,
         |  length(substr(text, CAST(j * 80 + 1 AS INT), 100)) AS chunk_len
         |FROM e""".stripMargin,
+
+    "chunk_tokens" -> graft.operators.Chunking.chunkTokensOracleSql,
 
     "chunk_sentences" -> graft.operators.Chunking.chunkSentencesOracleSql,
 

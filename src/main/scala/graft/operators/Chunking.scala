@@ -93,6 +93,61 @@ object Chunking {
       case m => throw new IllegalArgumentException(s"unknown chunk mode: $m")
     }
 
+  // chunk_tokens params: the LLM-native budget is counted in TOKENS, not
+  // chars (context windows are token-sized) — 50-token windows, 10-token
+  // overlap, the RAG-standard sliding shape.
+  val TokenSize = 50
+  val TokenOverlap = 10
+  val TokenStep: Int = TokenSize - TokenOverlap
+
+  /** SURVEY §2 `chunk_tokens`: token-budget chunking — fixed windows of
+    * [[TokenSize]] whitespace tokens with [[TokenOverlap]] overlap, chunk
+    * text re-joined with single spaces. Same exact window-count formula as
+    * [[chunkFixedDf]] (`1 + ceil((n-size)/step)` for n > size) applied to
+    * the token count, so the two operators differ only in the unit. A pure
+    * column program (split → sequence → explode → slice → array_join):
+    * narrow, zero shuffle, codegen'd end to end.
+    */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val n = size(col("toks")).cast("long")
+    val nchunks = when(n <= TokenSize, lit(1L))
+      .otherwise(lit(1L) + ((n - TokenSize + (TokenStep - 1)) / TokenStep).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("j", explode(sequence(lit(0L), nchunks - 1)))
+      .select(
+        concat_ws("#", col("doc_id").cast("string"), col("j").cast("string")).as("chunk_id"),
+        col("doc_id"), col("j"),
+        array_join(slice(col("toks"), (col("j") * TokenStep + 1).cast("int"), lit(TokenSize)), " ")
+          .as("chunk"),
+        size(slice(col("toks"), (col("j") * TokenStep + 1).cast("int"), lit(TokenSize)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** DuckDB oracle for chunk_tokens — identical token split (trim keeps
+    * case, spaces-only trim parity) and window math.
+    */
+  def chunkTokensOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+       |e AS (SELECT doc_id, toks, t.j AS j
+       |      FROM f, UNNEST(range(CASE WHEN n <= $TokenSize THEN 1
+       |                                ELSE 1 + (n - ${TokenSize - TokenStep + 1}) // $TokenStep END)) AS t(j))
+       |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,
+       |  doc_id, j,
+       |  array_to_string(array_slice(toks, CAST(j * $TokenStep + 1 AS INT),
+       |    CAST(j * $TokenStep + $TokenSize AS INT)), ' ') AS chunk,
+       |  CAST(len(array_slice(toks, CAST(j * $TokenStep + 1 AS INT),
+       |    CAST(j * $TokenStep + $TokenSize AS INT))) AS BIGINT) AS n_chunk_tokens
+       |FROM e""".stripMargin
+
   /** SURVEY §2 `chunk_sentences` — native [[graft.functions.ChunkText]]
     * kernel (no UDF boundary).
     */

@@ -225,6 +225,59 @@ object TextOps {
       .select(col("rk"), col("term"), col("tf"), col("df"))
   }
 
+  /** SURVEY §2 `text_surprisal`: unigram-LM surprisal per document — the
+    * language-model quality signal of CCNet/Gopher-style filters (docs
+    * whose tokens are improbable under the corpus LM are outliers), with
+    * the corpus itself as the unigram model: `p(w) = (cf_w + 1)/(T + V)`
+    * (add-one smoothing), score = mean `-log2 p(w)` over doc tokens.
+    *
+    * Scale shape: per-doc term counts come from the shared materialized
+    * [[Search.perDocTerms]] maps (no corpus-sized (doc, token) shuffle),
+    * the unigram table is one vocabulary-sized agg, `T+V` is a bounded
+    * driver scalar (the vec_quantize collect pattern), and the per-doc
+    * mean folds over the TERM-SORTED contribution list — collect_list +
+    * array_sort + sequential fold, the identical op order as the oracle's
+    * `list(bits ORDER BY term)` + `list_sum`, so double summation can
+    * never diverge across engines.
+    */
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val pd = Search.perDocTerms(spark, dir)
+      .select(col("doc_id"), col("dl"), explode(col("tc")).as(Seq("term", "f")))
+    val vocab = pd.groupBy(col("term")).agg(sum(col("f")).as("cf"))
+    val g = pd.agg(sum(col("f")), countDistinct(col("term"))).collect()(0)
+    val tPlusV = g.getLong(0) + g.getLong(1)
+    val bits = col("f").cast("double") *
+      -log2((col("cf") + 1).cast("double") / lit(tPlusV).cast("double"))
+    pd.join(vocab, Seq("term"))
+      .select(col("doc_id"), col("dl"), struct(col("term"), bits.as("bits")).as("tb"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(array_sort(collect_list(col("tb"))).as("tbs"))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        round(
+          aggregate(col("tbs"), lit(0.0), (a, x) => a + x("bits")) / col("dl").cast("double"),
+          6).as("surprisal_bits"))
+  }
+
+  /** DuckDB oracle for text_surprisal: same unigram model and the same
+    * term-ordered summation.
+    */
+  def surprisalOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+      |  FROM documents),
+      |pd AS (SELECT doc_id, term, count(*) AS f FROM toks GROUP BY 1, 2),
+      |dls AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS dl FROM pd GROUP BY 1),
+      |v AS (SELECT term, CAST(sum(f) AS BIGINT) AS cf FROM pd GROUP BY 1),
+      |g AS (SELECT CAST(sum(cf) AS BIGINT) + CAST(count(*) AS BIGINT) AS tv FROM v),
+      |tb AS (SELECT pd.doc_id, pd.term,
+      |        CAST(pd.f AS DOUBLE) * -log2(CAST(v.cf + 1 AS DOUBLE) / CAST(g.tv AS DOUBLE)) AS bits
+      |      FROM pd JOIN v ON pd.term = v.term CROSS JOIN g),
+      |s AS (SELECT doc_id, list(bits ORDER BY term) AS bl FROM tb GROUP BY 1)
+      |SELECT s.doc_id, dls.dl AS n_tokens,
+      |  round(list_sum(bl) / CAST(dls.dl AS DOUBLE), 6) AS surprisal_bits
+      |FROM s JOIN dls ON s.doc_id = dls.doc_id""".stripMargin
+
   /** SURVEY §2 `text_fingerprint`. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -40,4 +40,35 @@ class ChunkingQuerySpec extends SparkSpec {
     val chunks = Chunking.chunkFixed(spark, dir).count()
     assert(total == chunks)
   }
+
+  test("chunk_tokens windows match a scala token replica") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = Chunking.chunkTokens(spark, dir).collect()
+      .map(r => r.getAs[String]("chunk_id") ->
+        (r.getAs[String]("chunk"), r.getAs[Long]("n_chunk_tokens"))).toMap
+    val size = Chunking.TokenSize
+    val step = Chunking.TokenStep
+    val want = docs.flatMap { case (id, text) =>
+      val t = text.trim
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+      if (toks.isEmpty) Seq.empty
+      else {
+        val n = toks.length
+        val nchunks = if (n <= size) 1 else 1 + (n - size + step - 1) / step
+        (0 until nchunks).map { j =>
+          val w = toks.slice(j * step, j * step + size)
+          s"$id#$j" -> (w.mkString(" "), w.length.toLong)
+        }
+      }
+    }.toMap
+    assert(got == want)
+    // every chunk except a doc's last holds exactly TokenSize tokens
+    val lastOf = want.keys.map(_.split("#")).groupBy(_(0))
+      .map { case (d, ks) => d -> ks.map(_(1).toInt).max }
+    want.foreach { case (k, (_, n)) =>
+      val Array(d, j) = k.split("#")
+      if (j.toInt < lastOf(d)) assert(n == size.toLong, s"chunk $k")
+    }
+  }
 }

@@ -139,4 +139,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+
+  test("text_surprisal matches a scala unigram-LM replica") {
+    val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Array[String] = {
+      val s = graft.functions.GraftText.wsTokens(t)
+      s
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.values.foreach(t => toks(t).foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1))
+    val tPlusV = counts.values.sum + counts.size
+    val ln2 = math.log(2.0)
+    val got = TextOps.textSurprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("surprisal_bits"))).toMap
+    val nonEmpty = texts.filter(t => toks(t._2).nonEmpty)
+    assert(got.size == nonEmpty.size)
+    nonEmpty.take(50).foreach { case (id, t) =>
+      val ws = toks(t)
+      val bits = ws.map { w =>
+        val p = (counts(w) + 1).toDouble / tPlusV.toDouble
+        -(math.log(p) / ln2)
+      }.sum
+      val (n, s) = got(id)
+      assert(n == ws.length.toLong, s"doc $id n_tokens")
+      assert(math.abs(s - bits / ws.length) < 1e-6, s"doc $id surprisal")
+    }
+    // corpus-common tokens are low-surprisal: every doc's score is positive
+    // and bounded by log2(T+V) (the rarest possible token's bits)
+    val cap = math.log(tPlusV.toDouble) / ln2
+    got.values.foreach { case (_, s) => assert(s > 0.0 && s <= cap) }
+  }
 }
