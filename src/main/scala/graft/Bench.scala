@@ -28,7 +28,7 @@ object Bench {
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "chunk_fixed", "chunk_tokens", "text_fingerprint", "text_quality", "text_surprisal",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
-    "knn_bruteforce", "ann_ivf", "ann_pq", "bm25_topk", "hybrid_rrf",
+    "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "bm25_topk", "hybrid_rrf",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam")
 

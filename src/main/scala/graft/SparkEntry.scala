@@ -61,6 +61,7 @@ object SparkEntry {
     "vec_quantize"        -> VectorOps.vecQuantize _,
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
+    "ann_ivfpq"           -> VectorOps.annIvfPq _,
     "pq_recall"           -> VectorOps.pqRecall _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
@@ -556,6 +557,7 @@ object SparkEntry {
     "ann_recall" -> graft.operators.VectorOps.annRecallOracleSql(ivfCents),
     "vec_pq" -> graft.operators.VectorOps.vecPqOracleSql(pqBooks),
     "ann_pq" -> graft.operators.VectorOps.annPqOracleSql(pqBooks),
+    "ann_ivfpq" -> graft.operators.VectorOps.annIvfPqOracleSql(ivfCents, pqBooks),
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,

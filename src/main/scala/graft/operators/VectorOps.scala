@@ -266,6 +266,40 @@ object VectorOps {
         col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** SURVEY §2 `ann_ivfpq`: the full faiss-style IVF-PQ search stack in one
+    * operator — queries probe their [[NProbe]] nearest coarse cells
+    * (partition-pruned scan with a cell-partitioned index), and in-cell
+    * scoring is the ADC scan over PQ CODES only ([[annPq]]'s kernel). This
+    * is the shape a 100 TB vector store actually serves: the scanned data
+    * per query is `nprobe/nlist` of a code table 64× smaller than the
+    * embeddings, the query side broadcasts, and nothing ever shuffles the
+    * corpus.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfModel.centroids(spark, dir)
+    val cb = PqModel.codebooks(spark, dir)
+    val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents, NProbe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").as("cell"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        element_at(graft.functions.IvfProbes.column(col("embedding"), cents, 1), 1)("cell")
+          .as("cell"),
+        transform(graft.functions.PqCodes.column(col("embedding"), cb), p => p("code"))
+          .as("codes"))
+    corpus.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= DefaultK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("score"))
+  }
+
   /** SURVEY §2 `pq_recall`: recall@k of the ADC scan ([[annPq]]) against
     * exact cosine top-k ([[knnBruteforce]]) — pins the PQ approximation
     * trade as a number, the [[annRecall]] pattern: one full-outer join of
@@ -456,16 +490,29 @@ object VectorOps {
     * query·centroid dots and centroid norms recombined in fixed subspace
     * order, the exact op sequence of [[graft.functions.PqAdcScore]].
     */
-  private def annPqCtes: String = {
-    val joins = (0 until PqModel.SubSpaces).map(m =>
+  /** `JOIN pqc c0 … c3` lookups of a pv-row's codebook centroids. */
+  private def pqJoins: String =
+    (0 until PqModel.SubSpaces).map(m =>
       s"JOIN pqc c$m ON c$m.m = $m AND c$m.code = pv.code$m").mkString("\n        ")
+
+  /** `Σ_m dot(q_sub_m, cent_m[code_m])` in fixed subspace order. */
+  private def pqDotSum: String = {
     def dotM(m: Int): String =
       s"list_sum(list_transform(list_zip(array_slice(q.q_emb, ${m * PqModel.SubDim + 1}, " +
         s"${(m + 1) * PqModel.SubDim}), c$m.cent), z -> CAST(z[1] AS DOUBLE) * z[2]))"
-    def nsM(m: Int): String =
-      s"list_sum(list_transform(c$m.cent, x -> x * x))"
-    val dots = (0 until PqModel.SubSpaces).map(dotM).reduce((a, b) => s"($a + $b)")
-    val ns = (0 until PqModel.SubSpaces).map(nsM).reduce((a, b) => s"($a + $b)")
+    (0 until PqModel.SubSpaces).map(dotM).reduce((a, b) => s"($a + $b)")
+  }
+
+  /** `Σ_m ‖cent_m[code_m]‖²` in fixed subspace order. */
+  private def pqNormSum: String = {
+    def nsM(m: Int): String = s"list_sum(list_transform(c$m.cent, x -> x * x))"
+    (0 until PqModel.SubSpaces).map(nsM).reduce((a, b) => s"($a + $b)")
+  }
+
+  private def annPqCtes: String = {
+    val joins = pqJoins
+    val dots = pqDotSum
+    val ns = pqNormSum
     s"""$normCte,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
        |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
@@ -481,6 +528,32 @@ object VectorOps {
     s"""WITH ${PqModel.pqCte(cb)},
        |$pqCodesCtes,
        |$annPqCtes
+       |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
+
+  /** ann_ivfpq oracle: IVF centroid literals + PQ codebook literals in one
+    * statement — coarse assignment (`asg`), probe ranking (`qc`), and the
+    * ADC score over the probed cells' code rows.
+    */
+  def annIvfPqOracleSql(cents: Array[Array[Double]],
+                        cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${PqModel.pqCte(cb)},
+       |$assignCtes,
+       |$pqCodesCtes,
+       |$normCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
+       |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
+       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= $NProbe),
+       |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
+       |        round($pqDotSum / (q.q_nrm * sqrt($pqNormSum)), 6) AS score
+       |      FROM qc JOIN q ON q.q_id = qc.q_id
+       |        JOIN asg ON asg.cell = qc.cell
+       |        JOIN pv ON pv.vec_id = asg.vec_id AND pv.vec_id <> q.q_id
+       |        $pqJoins),
+       |r AS (SELECT q_id, neighbor_id, score,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM sc)
        |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
 
   def pqRecallOracleSql(cb: Array[Array[Array[Double]]]): String =

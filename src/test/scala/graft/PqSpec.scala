@@ -116,4 +116,40 @@ class PqSpec extends SparkSpec {
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(pc.map(_.getAs[Long]("code")).toSeq == Seq.fill(PqModel.SubSpaces)(0L))
   }
+
+  test("ann_ivfpq returns ADC-scored neighbors only from probed cells") {
+    import graft.operators.IvfModel
+    val cents = IvfModel.centroids(spark, dir)
+    def cell(v: Array[Float]): Int = {
+      val d2 = cents.map { c =>
+        var acc = 0.0
+        for (j <- c.indices) { val t = v(j).toDouble - c(j); acc += t * t }
+        BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }
+    def probes(v: Array[Float], n: Int): Set[Int] = {
+      val d2 = cents.map { c =>
+        var acc = 0.0
+        for (j <- c.indices) { val t = v(j).toDouble - c(j); acc += t * t }
+        BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      d2.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(n).map(_._2).toSet
+    }
+    val byId = emb.toMap
+    val rows = VectorOps.annIvfPq(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == emb.filter(_._1 < 10).map(_._1).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val pr = probes(byId(qid), VectorOps.NProbe)
+      rs.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != qid)
+        assert(pr.contains(cell(byId(nb))), s"neighbor $nb of $qid outside probed cells")
+      }
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length).toSeq)
+      val scores = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
 }
