@@ -87,6 +87,8 @@ object IndexStore {
             metric: String = "ip", docs: Option[DataFrame] = None,
             sources: Option[DataFrame] = None): Manifest = {
     val spark = vectors.sparkSession
+    // ivfpq model sidecars, written beside the vectors when fitted
+    var pqSidecars: Option[(DataFrame, DataFrame)] = None
     val assigned = backend match {
       case "ivf" =>
         // Deterministic bounded-sample fit (IvfModel), then a narrow
@@ -97,6 +99,27 @@ object IndexStore {
         VectorOps.assignCells(
             vectors.select(col("id"), col("vec").as("embedding")), cents)
           .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
+      case "ivfpq" =>
+        // The 100 TB serving layout: coarse cells for pruning + PQ CODES
+        // instead of raw vectors (SubSpaces longs per row, 64× smaller).
+        // Both fits are the deterministic bounded-sample Lloyd's; the
+        // models are persisted as tiny parquet sidecars so a loader on any
+        // host can reconstruct the quantizers exactly.
+        val cents = graft.operators.IvfModel.fitFromDf(
+          vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
+        val cb = graft.operators.PqModel.fitFromDf(vectors, "id", "vec")
+        import spark.implicits._
+        pqSidecars = Some((
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("cell", "centroid"),
+          cb.zipWithIndex.flatMap { case (book, m) =>
+            book.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+          }.toSeq.toDF("m", "code", "cent")))
+        vectors.select(col("id"),
+          element_at(graft.functions.IvfProbes.column(col("vec"), cents, 1), 1)("cell")
+            .cast("int").as("cell"),
+          transform(graft.functions.PqCodes.column(col("vec"), cb), p => p("code"))
+            .as("codes"))
       case _ =>
         vectors.select(col("id"), col("vec"), lit(0).as("cell"))
     }
@@ -110,7 +133,12 @@ object IndexStore {
 
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
       val w = assigned.write.mode("overwrite")
-      (if (backend == "ivf") w.partitionBy("cell") else w).parquet(s"$dir/vectors")
+      (if (backend == "ivf" || backend == "ivfpq") w.partitionBy("cell") else w)
+        .parquet(s"$dir/vectors")
+      pqSidecars.foreach { case (centsDf, cbDf) =>
+        centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        cbDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      }
       docs.foreach(_.select(col("id"), col("text"))
         .write.mode("overwrite").parquet(s"$dir/docs"))
       // per-doc provenance, the reference's `<index>.sources.json`
@@ -250,6 +278,55 @@ object IndexStore {
     */
   def probe(index: DataFrame, cells: Seq[Int]): DataFrame =
     index.filter(col("cell").isin(cells: _*))
+
+  /** The coarse centroids persisted by an ivfpq build, cell order. */
+  def loadCentroids(spark: SparkSession, root: String, name: String,
+                    version: Option[String] = None): Array[Array[Double]] = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The PQ codebooks persisted by an ivfpq build, (m, code) order. */
+  def loadCodebooks(spark: SparkSession, root: String, name: String,
+                    version: Option[String] = None): Array[Array[Array[Double]]] = {
+    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+    val rows = spark.read.parquet(s"$dir/codebooks").orderBy("m", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+  }
+
+  /** Serve an ivfpq index: per query, probe the `nprobe` nearest coarse
+    * cells and ADC-score that slice's PQ code rows — the persisted-artifact
+    * form of [[graft.operators.VectorOps.annIvfPq]]. The probed cell set
+    * across the (small) query frame is collected once and pushed as a
+    * partition FILTER, so IO is pruned to the probed cells before the
+    * broadcast join assigns queries to them.
+    */
+  def adcSearch(spark: SparkSession, root: String, name: String,
+                queries: DataFrame, k: Int,
+                nprobe: Int = VectorOps.NProbe,
+                version: Option[String] = None): DataFrame = {
+    val cents = loadCentroids(spark, root, name, version)
+    val cb = loadCodebooks(spark, root, name, version)
+    val qCells = queries.select(
+        col("id").as("q_id"), col("vec").as("q_emb"),
+        graft.functions.VectorFunctions.norm(col("vec")).as("q_nrm"),
+        explode(graft.functions.IvfProbes.column(col("vec"), cents, nprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").cast("int").as("cell"))
+    val cells = qCells.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    probe(load(spark, root, name, version), cells)
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("score",
+        graft.functions.PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("id").as("neighbor_id"), col("score"))
+  }
 
   /** Export an index version (or latest) as a single zip archive — the
     * reference's download endpoint (`app/api/download_api.py:27-55`: zip

@@ -40,16 +40,28 @@ object PqModel {
     * threading (session, dir) explicitly.
     */
   def codebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    cache.getOrElseUpdate(dir, {
-      val sample = Tables.embeddings(spark, dir)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id").limit(IvfModel.SampleSize)
-        .collect()
-        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      Array.tabulate(SubSpaces) { m =>
-        IvfModel.fit(sample.map(_.slice(m * SubDim, (m + 1) * SubDim)), Codes)
-      }
-    })
+    cache.getOrElseUpdate(dir,
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding"))
+
+  /** Fit codebooks on the deterministic bounded sample of any
+    * (id, array<float>) frame — the [[IvfModel.fitFromDf]] counterpart.
+    * Subspace width is derived from the data (`dim / subSpaces`).
+    */
+  def fitFromDf(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+                subSpaces: Int = SubSpaces, codes: Int = Codes): Array[Array[Array[Double]]] = {
+    val sample = df.select(org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(vecCol))
+      .orderBy(idCol).limit(IvfModel.SampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "PQ fit needs a non-empty sample")
+    val dim = sample.head.length
+    require(dim % subSpaces == 0, s"dim $dim not divisible into $subSpaces subspaces")
+    val sub = dim / subSpaces
+    Array.tabulate(subSpaces) { m =>
+      IvfModel.fit(sample.map(_.slice(m * sub, (m + 1) * sub)), codes)
+    }
+  }
 
   /** Squared L2 norm of each codebook centroid, accumulated sequentially
     * over dims — the identical op order as the oracle's `list_sum`, so the
