@@ -82,6 +82,7 @@ object SparkEntry {
     "curation_decontam"   -> Curation.curationDecontam _,
     "curation_mix"        -> Curation.curationMix _,
     "curation_pack"       -> Curation.curationPack _,
+    "curation_report"     -> Curation.curationReport _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -782,7 +783,28 @@ object SparkEntry {
     "search_highlights" -> graft.operators.Search.searchHighlightsOracleSql(bm25Ctes),
 
     "pipeline_filter" ->
-      s"""WITH RECURSIVE $ngramCtes,
+      s"""WITH RECURSIVE $pipelineFilterCtes
+         |SELECT doc_id, quality, pred_lang, dup_keep, keep FROM pf""".stripMargin,
+
+    "curation_report" ->
+      s"""WITH RECURSIVE $pipelineFilterCtes
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN quality < 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+         |  CAST(sum(CASE WHEN pred_lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_fail,
+         |  CAST(sum(CASE WHEN NOT dup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_drop,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+         |FROM pf""".stripMargin,
+    )
+  }
+
+  /** The curation-funnel CTE chain (`… pf(doc_id, quality, pred_lang,
+    * dup_keep, keep)`): near-dup pairs → recursive-CTE connected
+    * components → quality + language scoring → composite keep decision.
+    * Shared by the pipeline_filter and curation_report oracles.
+    */
+  private def pipelineFilterCtes: String =
+      s"""$ngramCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),
@@ -815,11 +837,10 @@ object SparkEntry {
          |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
          |         ELSE 'fr' END AS pred_lang
          |  FROM qf)
-         |SELECT s.doc_id, s.quality, s.pred_lang,
-         |  COALESCE(clus.dup_keep, TRUE) AS dup_keep,
-         |  (s.quality >= 0.75 AND s.pred_lang = 'en' AND COALESCE(clus.dup_keep, TRUE)) AS keep
-         |FROM scored s LEFT JOIN clus ON s.doc_id = clus.doc_id
-         |WHERE s.n_tokens > 0""".stripMargin,
-    )
-  }
+         |,pf AS (
+         |  SELECT s.doc_id, s.quality, s.pred_lang,
+         |    COALESCE(clus.dup_keep, TRUE) AS dup_keep,
+         |    (s.quality >= 0.75 AND s.pred_lang = 'en' AND COALESCE(clus.dup_keep, TRUE)) AS keep
+         |  FROM scored s LEFT JOIN clus ON s.doc_id = clus.doc_id
+         |  WHERE s.n_tokens > 0)""".stripMargin
 }

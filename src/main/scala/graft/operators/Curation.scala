@@ -211,6 +211,24 @@ object Curation {
        |  tb // $PackBudget AS seq_id, tb % $PackBudget AS seq_offset
        |FROM c""".stripMargin
 
+  /** SURVEY §2 `curation_report`: the curation-funnel summary — how many
+    * documents each stage rejects (quality bar, language target, dup
+    * collapse; non-exclusive counts) and the final keep rate. One agg over
+    * [[pipelineFilter]]'s frame → a single row; at 100 TB this is the
+    * dashboard number a pipeline run reports.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame =
+    pipelineFilter(spark, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality") < QualityBar, 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when(col("pred_lang") =!= TargetLang, 1L).otherwise(0L)).as("n_lang_fail"),
+        sum(when(!col("dup_keep"), 1L).otherwise(0L)).as("n_dup_drop"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("n_docs"), col("n_quality_fail"), col("n_lang_fail"),
+        col("n_dup_drop"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"))
+
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))

@@ -90,4 +90,20 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(tok * w - target) / target < 1e-3)
     }
   }
+
+  test("curation_report counts replay the pipeline_filter frame") {
+    val rows = Curation.pipelineFilter(spark, dir).collect()
+    val r = Curation.curationReport(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+    assert(r.getAs[Long]("n_quality_fail") ==
+      rows.count(_.getAs[Double]("quality") < Curation.QualityBar).toLong)
+    assert(r.getAs[Long]("n_lang_fail") ==
+      rows.count(_.getAs[String]("pred_lang") != Curation.TargetLang).toLong)
+    assert(r.getAs[Long]("n_dup_drop") == rows.count(!_.getAs[Boolean]("dup_keep")).toLong)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(r.getAs[Long]("n_kept") == kept.toLong)
+    val rate = BigDecimal(kept.toDouble / rows.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("keep_rate") == rate)
+  }
 }
