@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{IvfProbes, PqAdcScore, VectorFunctions}
+import graft.operators.VectorOps
+
+/** Continuous ANN serving: a STREAM of query vectors scored against a
+  * static (periodically rebuilt) ivfpq index — the always-on retrieval
+  * path of a vector store, as Structured Streaming.
+  *
+  * The whole scoring path is stateless (probe → stream-static join →
+  * ADC kernel), so it runs in append mode with no watermark or state
+  * store; per-query top-k is a per-micro-batch ranking ([[rankTopK]]
+  * inside `foreachBatch`), because a global rank over an unbounded
+  * stream is undefined. At scale the static side is the
+  * partition-pruned PQ code table (codes are 64× smaller than
+  * embeddings) and each micro-batch's tiny query side broadcasts.
+  */
+object VectorStream {
+
+  /** Scored candidates for a streaming `queries` frame (`id`,
+    * `vec array<float>`) against a static ivfpq `index` frame (`id`,
+    * `codes array<long>`, `cell`) — each query meets only the rows of its
+    * `nprobe` nearest coarse cells, scored by the
+    * [[graft.functions.PqAdcScore]] ADC kernel. Append-safe (stateless).
+    */
+  def adcCandidates(queries: DataFrame, index: DataFrame,
+                    cents: Array[Array[Double]],
+                    cb: Array[Array[Array[Double]]],
+                    nprobe: Int = VectorOps.NProbe): DataFrame = {
+    val qCells = queries.select(
+        col("id").as("q_id"), col("vec").as("q_emb"),
+        VectorFunctions.norm(col("vec")).as("q_nrm"),
+        explode(IvfProbes.column(col("vec"), cents, nprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").cast("int").as("cell"))
+    qCells.join(index, Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb).as("score"))
+  }
+
+  /** Per-micro-batch top-k ranking of [[adcCandidates]] output (run it
+    * inside `foreachBatch`): deterministic 6dp-score ordering with id
+    * tiebreak — identical to the batch serving path.
+    */
+  def rankTopK(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("score"))
+}
