@@ -104,4 +104,22 @@ class PlanContractSpec extends SparkSpec {
       s"pack window must partition by source:\n$p")
   }
 
+
+  test("vec_pq is a narrow code-assignment map: zero exchanges") {
+    val plan = executedPlan(VectorOps.vecPq(spark, dir))
+    assert(!plan.contains("Exchange"), s"PQ code assignment must not shuffle:\n$plan")
+    assert(plan.contains("graft_pq_codes"), "the fused PqCodes kernel is missing")
+  }
+
+  test("ann_pq / ann_ivfpq broadcast the query side and never shuffle the codes") {
+    val p1 = executedPlan(VectorOps.annPq(spark, dir))
+    assert(p1.contains("graft_pq_adc_score"), "ADC kernel missing")
+    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(!p1.contains("SortMergeJoin"), "code scan shuffled into a sort-merge join")
+    val p2 = executedPlan(VectorOps.annIvfPq(spark, dir))
+    assert(p2.contains("graft_pq_adc_score"), "ADC kernel missing")
+    assert(p2.contains("BroadcastHashJoin"), "probed-cell join must broadcast the queries")
+    assert(!p2.contains("SortMergeJoin"), "code scan shuffled into a sort-merge join")
+  }
 }

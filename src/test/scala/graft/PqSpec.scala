@@ -152,4 +152,24 @@ class PqSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse)
     }
   }
+
+  test("fitFromDf rejects a dim not divisible into subspaces") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(62)(0.1f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      PqModel.fitFromDf(df, "id", "vec")
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("fit tolerates fewer sample rows than codes (init cycles the sample)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.fill(PqModel.SubSpaces * PqModel.SubDim)(0.25f)),
+      (2L, Array.fill(PqModel.SubSpaces * PqModel.SubDim)(0.75f)))
+      .toDF("id", "vec")
+    val books = PqModel.fitFromDf(df, "id", "vec")
+    assert(books.length == PqModel.SubSpaces)
+    books.foreach(b => assert(b.length == PqModel.Codes))
+  }
 }
