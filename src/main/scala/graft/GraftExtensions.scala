@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PolyHash, SimHashChunks, SliceHash, TermCounts, TextEntropy, WordShingles}
+import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PairCounts, PolyHash, SimHashChunks, SliceHash, TermCounts, TextEntropy, WordShingles}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -94,7 +94,12 @@ object GraftExtensions {
       { case Seq(s) => SliceHash(s, graft.operators.Multimodal.PhashBits)
         case Seq(s, b) => SliceHash(s, litLong(b, "bits").toInt)
         case args => throw new IllegalArgumentException(
-          s"graft_slice_hash expects 1 or 2 arguments, got ${args.length}") }))
+          s"graft_slice_hash expects 1 or 2 arguments, got ${args.length}") }),
+    ("graft_pair_counts",
+      new ExpressionInfo(classOf[PairCounts].getName, "graft_pair_counts"),
+      { case Seq(s) => PairCounts(s)
+        case args => throw new IllegalArgumentException(
+          s"graft_pair_counts expects 1 argument, got ${args.length}") }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

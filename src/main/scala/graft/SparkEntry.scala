@@ -36,6 +36,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextOps.textFingerprint _,
     "text_vocab"          -> TextOps.textVocab _,
     "text_surprisal"      -> TextOps.textSurprisal _,
+    "text_bpe_pairs"      -> TextOps.textBpePairs _,
     "text_repetition"     -> TextOps.textRepetition _,
     "text_redact"         -> TextOps.textRedact _,
     "text_entropy"        -> TextOps.textEntropy _,
@@ -418,6 +419,8 @@ object SparkEntry {
         |SELECT rk, term, tf, df FROM r WHERE rk <= 100""".stripMargin,
 
     "text_surprisal" -> graft.operators.TextOps.surprisalOracleSql,
+
+    "text_bpe_pairs" -> graft.operators.TextOps.bpePairsOracleSql,
 
     "text_entropy" ->
       """WITH c AS (

@@ -975,3 +975,64 @@ object PqAdcScore {
       Bridge.expression(codes),
       codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }
+
+/** Within-token adjacent character-pair counts — the count table of the
+  * FIRST BPE merge iteration (tokenizer training's inner statistic: which
+  * symbol pair is most frequent). One narrow map per document (the
+  * [[TermCounts]] pattern: emitting a pre-aggregated `map<pair,count>`
+  * keeps the corpus-sized (doc, pair) explode out of the shuffle — only
+  * the pair-vocabulary agg shuffles). Pairs are taken over the same
+  * whitespace tokens as every text kernel; character semantics match the
+  * DuckDB oracle's `substr` on the verified-ASCII testdata (the
+  * text_entropy precedent).
+  */
+case class PairCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "graft_pair_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val counts = PairCounts.counts(input.asInstanceOf[UTF8String].toString)
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = UTF8String.fromString(e.getKey)
+      vals(i) = e.getValue
+      i += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCounts =
+    copy(child = newChild)
+}
+
+object PairCounts {
+  def counts(text: String): java.util.LinkedHashMap[String, java.lang.Long] = {
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val toks = GraftText.wsTokens(text)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var i = 0
+      while (i < tok.length - 1) {
+        val p = tok.substring(i, i + 2)
+        val prev = m.get(p)
+        m.put(p, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      t += 1
+    }
+    m
+  }
+
+  def column(c: Column): Column = Bridge.column(PairCounts(Bridge.expression(c)))
+}

@@ -278,6 +278,38 @@ object TextOps {
       |  round(list_sum(bl) / CAST(dls.dl AS DOUBLE), 6) AS surprisal_bits
       |FROM s JOIN dls ON s.doc_id = dls.doc_id""".stripMargin
 
+  /** SURVEY §2 `text_bpe_pairs`: the first BPE merge iteration's count
+    * table — corpus-wide within-token adjacent character-pair frequencies,
+    * top-50 by (count, pair). This is tokenizer training's inner
+    * statistic (pick the most frequent pair, merge, repeat); the full loop
+    * is sequential by nature, but each iteration IS this query, so the
+    * distributed primitive is what matters at 100 TB. One narrow
+    * [[graft.functions.PairCounts]] kernel pass per doc (pre-aggregated
+    * maps — the TermCounts shape), then a pair-vocabulary-sized agg and a
+    * TakeOrdered head.
+    */
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pd = Tables.documents(spark, dir)
+      .select(explode(graft.functions.PairCounts.column(col("text"))).as(Seq("pair", "f")))
+    val agg = pd.groupBy(col("pair")).agg(sum(col("f")).as("n"))
+    graft.functions.Ranking.topK(agg, 50, col("n").desc, col("pair"))
+      .select(col("rk"), col("pair"), col("n"))
+  }
+
+  /** DuckDB oracle for text_bpe_pairs — same tokens, `substr` pairs. */
+  def bpePairsOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |tok AS (SELECT unnest(toks) AS tok FROM t),
+      |pr AS (SELECT substr(tok, CAST(u.i AS INT), 2) AS pair
+      |       FROM tok, UNNEST(range(1, length(tok))) AS u(i)),
+      |v AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1),
+      |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM v)
+      |SELECT rk, pair, n FROM r WHERE rk <= 50""".stripMargin
+
   /** SURVEY §2 `text_fingerprint`. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

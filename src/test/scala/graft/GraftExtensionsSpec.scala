@@ -60,4 +60,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_slice_hash('short') AS h").collect()(0).isNullAt(0))
   }
 
+
+  test("graft_pair_counts resolves through SQL and matches the kernel") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_pair_counts('abc ab') AS pc").collect()(0)
+    val m = r.getMap[String, Long](0).toMap
+    assert(m == Map("ab" -> 2L, "bc" -> 1L))
+  }
 }

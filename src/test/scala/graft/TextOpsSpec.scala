@@ -171,4 +171,25 @@ class TextOpsSpec extends SparkSpec {
     val cap = math.log(tPlusV.toDouble) / ln2
     got.values.foreach { case (_, s) => assert(s > 0.0 && s <= cap) }
   }
+
+  test("text_bpe_pairs matches a scala pair-count replica") {
+    val texts = Tables.documents(spark, dir).select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      graft.functions.GraftText.wsTokens(t).foreach { tok =>
+        var i = 0
+        while (i < tok.length - 1) {
+          val p = tok.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+    val got = TextOps.textBpePairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }
