@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash"       -> Dedup.dedupMinhash _,
     "dedup_verified"      -> Dedup.dedupVerified _,
+    "dedup_recall"        -> Dedup.dedupRecall _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
@@ -551,6 +552,7 @@ object SparkEntry {
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
 
     "dedup_verified" -> graft.operators.Dedup.verifiedOracleSql,
+    "dedup_recall" -> graft.operators.Dedup.dedupRecallOracleSql,
 
     // IVF family: centroids are fitted deterministically (bounded sample,
     // canonical Lloyd's) and embedded as literals, so these are exact

@@ -156,6 +156,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SURVEY §2 `dedup_recall`: the quality measurement of the two-stage
+    * scale path — what fraction of the EXACT n-gram near-dup pairs
+    * ([[dedupNgram]], jaccard ≥ τ) the LSH-propose/verify pipeline
+    * ([[dedupVerified]]) recovers. Precision is 1 by construction (verify
+    * applies the same exact Jaccard); recall < 1 is the LSH trade (a true
+    * pair whose minhash signatures share no band bucket is never
+    * proposed). The [[graft.operators.VectorOps.annRecall]] pattern: one
+    * full-outer join of the two pair sets + one agg → a single row.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_exact"))
+    val approx = dedupVerified(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_approx"))
+    exact.join(approx, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact_pairs"),
+        sum(coalesce(col("in_approx"), lit(0L))).as("n_lsh_pairs"),
+        sum(coalesce(col("in_exact"), lit(0L)) * coalesce(col("in_approx"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_exact_pairs"), col("n_lsh_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact_pairs").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** DuckDB oracle for dedup_recall: the verified-pipeline CTEs plus the
+    * exact shingle-join pair set, full-outer joined, same sums.
+    */
+  def dedupRecallOracleSql: String =
+    s"""${minhashCtes},
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |vsc AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
+       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |            JOIN sh sb ON cand.doc_b = sb.doc_id),
+       |ap AS (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold),
+       |exx AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |eex AS (SELECT doc_id, unnest(sh) AS s FROM exx),
+       |esz AS (SELECT doc_id, len(sh) AS n FROM exx),
+       |ei AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+       |  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ep AS (
+       |  SELECT doc_a, doc_b
+       |  FROM ei JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold),
+       |j AS (
+       |  SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
+       |  FROM (SELECT doc_a, doc_b, 1 AS one FROM ep) e
+       |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS one FROM ap) a
+       |    ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact_pairs,
+       |  CAST(sum(in_approx) AS BIGINT) AS n_lsh_pairs,
+       |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
+       |FROM j""".stripMargin
+
   /** DuckDB oracle for dedup_verified: the minhash candidate CTEs plus
     * exact Jaccard on candidates only — generated from the same constants.
     */

@@ -132,4 +132,19 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == expected)
   }
 
+
+  test("dedup_recall: verified pairs are a subset of exact pairs (precision 1)") {
+    val exact = Dedup.dedupNgram(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val verified = Dedup.dedupVerified(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(verified.subsetOf(exact), "verify stage admitted a non-pair")
+    val r = Dedup.dedupRecall(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_exact_pairs") == exact.size.toLong)
+    assert(r.getAs[Long]("n_lsh_pairs") == verified.size.toLong)
+    assert(r.getAs[Long]("n_hit") == verified.size.toLong, "precision must be 1")
+    val want = BigDecimal(verified.size.toDouble / exact.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("recall") == want)
+  }
 }
