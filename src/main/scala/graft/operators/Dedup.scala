@@ -430,16 +430,24 @@ object Dedup {
     * with the cheapest possible round wins; on an adversarially deep
     * graph the jump variant is the known fix.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(dedupNgram(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over ANY undirected near-dup pair frame
+    * (`doc_a`, `doc_b`) — the generic cluster/keeper primitive behind
+    * [[dedupClusters]]; the same call clusters simhash, phash-media, or
+    * embedding pair sets (every pair operator emits this shape).
+    */
+  def clustersFromPairs(rawPairs: DataFrame): DataFrame = {
     // Materialize the PAIRS before mirroring them: a union of two branches
-    // over the same dedupNgram subtree executes the pair pipeline once per
+    // over the same pair subtree executes the pair pipeline once per
     // branch (the checkpoint's RDD materialization path doesn't reuse the
     // exchange across branches — measured 2× the standalone query). The
     // mirrored edge list is then a narrow map over the checkpointed blocks,
     // re-read cheaply by every round's join; the corpus never enters the
     // loop.
     val tE = System.nanoTime()
-    val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")

@@ -147,4 +147,28 @@ class DedupSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("recall") == want)
   }
+
+  test("clustersFromPairs clusters any pair shape (here: the simhash pairs)") {
+    val pairs = Dedup.dedupSimhash(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    val got = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Boolean]("keep")))
+    // union-find replica
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(n => (n, find(n), n == find(n))).toSet
+    assert(got.toSet == want)
+    assert(got.length == nodes.length)
+  }
 }
