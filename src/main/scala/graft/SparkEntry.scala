@@ -75,6 +75,7 @@ object SparkEntry {
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
     "multimodal_phash"    -> Multimodal.multimodalPhash _,
     "multimodal_phash_pairs" -> Multimodal.multimodalPhashPairs _,
+    "multimodal_phash_clusters" -> Multimodal.multimodalPhashClusters _,
     "chunk_preview"       -> Chunking.chunkPreview _,
     "search_preview"      -> Search.searchPreview _,
     "search_highlights"   -> Search.searchHighlights _,
@@ -740,6 +741,7 @@ object SparkEntry {
     "multimodal_phash" -> graft.operators.Multimodal.phashOracleSql,
 
     "multimodal_phash_pairs" -> graft.operators.Multimodal.phashPairsOracleSql,
+    "multimodal_phash_clusters" -> graft.operators.Multimodal.phashClustersOracleSql,
 
     "curation_decontam" -> graft.operators.Curation.decontamOracleSql,
 

@@ -223,6 +223,38 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming""".stripMargin
   }
 
+  /** SURVEY §2 `multimodal_phash_clusters`: the media dedup DECISION —
+    * connected components over the phash near-dup pairs, one canonical
+    * keeper per cluster ([[Dedup.clustersFromPairs]], the same generic
+    * primitive as text dedup; the pair graph is tiny relative to the
+    * corpus, so the loop never touches media rows).
+    */
+  def multimodalPhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersFromPairs(
+      multimodalPhashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** DuckDB oracle for multimodal_phash_clusters: the phash pair CTEs +
+    * the recursive-CTE reachability min-label (the pipeline_filter
+    * pattern).
+    */
+  def phashClustersOracleSql: String = {
+    val pairCte = phashPairsOracleSql
+      .replaceFirst("(?s)\\nSELECT doc_a, doc_b.*$", "")
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$pairCte,
+       |pp AS (SELECT doc_a, doc_b FROM cand
+       |       WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+       |          UNION ALL SELECT doc_b, doc_a FROM pp),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc AS a, doc AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+       |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
+       |FROM reach GROUP BY a""".stripMargin
+  }
+
   /** Feature-extract for media payloads: the stub encoder over the payload
     * bytes (a real system swaps in CLIP/wav2vec per modality — loaded once
     * per partition, exactly this mapPartitions shape).
