@@ -23,7 +23,7 @@ object IndexPipeline {
 
   case class Config(
       name: String,
-      backend: String = "flat", // "flat" | "ivf"
+      backend: String = "flat", // "flat" | "ivf" | "ivfpq"
       chunkMode: String = "fixed", // "fixed" | "sentences" | "headings"
       chunkSize: Int = Chunking.Size,
       chunkOverlap: Int = Chunking.Overlap,
@@ -194,12 +194,27 @@ object IndexPipeline {
              query: String, k: Int, cfg: Config = Config("q"),
              version: Option[String] = None): DataFrame = {
     val qv = Embedder.encodeStub(query, cfg.dim, cfg.normalize)
-    val index = IndexStore.load(spark, root, name, version)
-    val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
-    val scored = index
-      .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
-    val hits = graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
-      .select(col("rk"), col("id"), col("score"))
+    // Dispatch on the PERSISTED backend (the manifest travels with the
+    // artifact), not the caller's cfg — a shipped index searches correctly
+    // whatever the caller assumes.
+    val backend = """"backend":\s*"(\w+)"""".r
+      .findFirstMatchIn(IndexStore.manifestJson(root, name, version))
+      .map(_.group(1)).getOrElse("flat")
+    val hits = backend match {
+      case "ivfpq" =>
+        // the index holds PQ codes, not vectors: probe + ADC-score
+        import spark.implicits._
+        val qdf = Seq(("__query__", qv)).toDF("id", "vec")
+        IndexStore.adcSearch(spark, root, name, qdf, k, cfg.nprobe, version)
+          .select(col("rk"), col("neighbor_id").as("id"), col("score"))
+      case _ =>
+        val index = IndexStore.load(spark, root, name, version)
+        val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
+        val scored = index
+          .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
+        graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
+          .select(col("rk"), col("id"), col("score"))
+    }
     // rank order in the result — k rows, so the sort is free; callers read
     // hit lists top-down like the reference API
     (IndexStore.loadDocs(spark, root, name, version) match {

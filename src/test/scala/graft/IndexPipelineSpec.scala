@@ -157,4 +157,29 @@ class IndexPipelineSpec extends SparkSpec {
         graft.sources.Tables.documents(spark, dir).limit(1), "words", 100, 20)
     }
   }
+
+  test("ivfpq pipeline: code-only index self-retrieves through the same search API") {
+    val root = Files.createTempDirectory("graft-pipe-pq").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val cfg = IndexPipeline.Config(name = "e2e_pq", backend = "ivfpq")
+    val manifest = IndexPipeline.build(docs, root, cfg)
+    assert(manifest.backend == "ivfpq" && manifest.count > 0)
+    // the stored rows are codes, not vectors
+    val idx = graft.index.IndexStore.load(spark, root, "e2e_pq")
+    assert(idx.columns.toSet == Set("id", "codes", "cell"))
+
+    val someChunk = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect()(7)
+    val hits = IndexPipeline.search(spark, root, "e2e_pq",
+      someChunk.getString(1), 5, cfg).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getAs[Long]("rk")).toSeq == (1L to 5L))
+    // PQ is lossy, so rank-1 self-retrieval isn't guaranteed like flat —
+    // but the query's own chunk must appear in the top-k and previews load
+    assert(hits.exists(_.getAs[String]("id") == someChunk.getString(0)),
+      "self chunk missing from ADC top-k")
+    assert(hits.forall(_.getAs[String]("preview") != null))
+  }
 }
