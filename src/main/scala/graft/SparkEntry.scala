@@ -64,6 +64,7 @@ object SparkEntry {
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
     "ann_ivfpq"           -> VectorOps.annIvfPq _,
+    "ivfpq_recall"        -> VectorOps.ivfpqRecall _,
     "pq_recall"           -> VectorOps.pqRecall _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
@@ -565,6 +566,7 @@ object SparkEntry {
     "vec_pq" -> graft.operators.VectorOps.vecPqOracleSql(pqBooks),
     "ann_pq" -> graft.operators.VectorOps.annPqOracleSql(pqBooks),
     "ann_ivfpq" -> graft.operators.VectorOps.annIvfPqOracleSql(ivfCents, pqBooks),
+    "ivfpq_recall" -> graft.operators.VectorOps.ivfpqRecallOracleSql(ivfCents, pqBooks),
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,

@@ -305,10 +305,21 @@ object VectorOps {
     * trade as a number, the [[annRecall]] pattern: one full-outer join of
     * the two (q_id, neighbor_id) sets + one agg → a single row.
     */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = knnBruteforce(spark, dir)
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    topKRecall(knnBruteforce(spark, dir), annPq(spark, dir))
+
+  /** SURVEY §2 `ivfpq_recall`: recall@k of the FULL stacked search path
+    * ([[annIvfPq]]: coarse-cell pruning loss × PQ quantization loss)
+    * against exact cosine top-k — the number an operator of the serving
+    * stack actually watches, since the two losses compound.
+    */
+  def ivfpqRecall(spark: SparkSession, dir: String): DataFrame =
+    topKRecall(knnBruteforce(spark, dir), annIvfPq(spark, dir))
+
+  private def topKRecall(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+    val exact = exactTopK
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-    val approx = annPq(spark, dir)
+    val approx = approxTopK
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_approx"))
     exact.join(approx, Seq("q_id", "neighbor_id"), "full")
       .agg(
@@ -534,9 +545,10 @@ object VectorOps {
     * statement — coarse assignment (`asg`), probe ranking (`qc`), and the
     * ADC score over the probed cells' code rows.
     */
-  def annIvfPqOracleSql(cents: Array[Array[Double]],
-                        cb: Array[Array[Array[Double]]]): String =
-    s"""WITH ${IvfModel.centsCte(cents)},
+  /** The full ann_ivfpq CTE chain (`… r(q_id, neighbor_id, score, rk)`). */
+  private def annIvfPqCtes(cents: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]]): String =
+    s"""${IvfModel.centsCte(cents)},
        |${PqModel.pqCte(cb)},
        |$assignCtes,
        |$pqCodesCtes,
@@ -553,14 +565,16 @@ object VectorOps {
        |        $pqJoins),
        |r AS (SELECT q_id, neighbor_id, score,
        |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
-       |      FROM sc)
+       |      FROM sc)""".stripMargin
+
+  def annIvfPqOracleSql(cents: Array[Array[Double]],
+                        cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${annIvfPqCtes(cents, cb)}
        |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
 
-  def pqRecallOracleSql(cb: Array[Array[Array[Double]]]): String =
-    s"""WITH ${PqModel.pqCte(cb)},
-       |$pqCodesCtes,
-       |$annPqCtes,
-       |ed AS (SELECT q.q_id, nc.vec_id AS neighbor_id,
+  /** Shared recall tail: exact top-k (`exk`) vs an approximate `r` chain. */
+  private def recallTailSql: String =
+    s"""ed AS (SELECT q.q_id, nc.vec_id AS neighbor_id,
        |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
        |      FROM q CROSS JOIN nn nc WHERE nc.vec_id <> q.q_id),
        |er AS (SELECT q_id, neighbor_id,
@@ -576,4 +590,15 @@ object VectorOps {
        |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
        |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
        |FROM j""".stripMargin
+
+  def ivfpqRecallOracleSql(cents: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${annIvfPqCtes(cents, cb)},
+       |$recallTailSql""".stripMargin
+
+  def pqRecallOracleSql(cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${PqModel.pqCte(cb)},
+       |$pqCodesCtes,
+       |$annPqCtes,
+       |$recallTailSql""".stripMargin
 }

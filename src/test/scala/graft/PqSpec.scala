@@ -172,4 +172,15 @@ class PqSpec extends SparkSpec {
     assert(books.length == PqModel.SubSpaces)
     books.foreach(b => assert(b.length == PqModel.Codes))
   }
+
+  test("ivfpq_recall measures the stacked path against exact top-k") {
+    val r = VectorOps.ivfpqRecall(spark, dir).collect()(0)
+    val k = VectorOps.DefaultK.toLong
+    val nq = emb.count(_._1 < 10).toLong
+    assert(r.getAs[Long]("n_exact") == k * nq)
+    val hit = r.getAs[Long]("n_hit")
+    assert(hit >= 0 && hit <= r.getAs[Long]("n_approx"))
+    // the stacked path can't out-recall the measurement bound
+    assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+  }
 }
