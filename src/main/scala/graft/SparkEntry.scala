@@ -29,6 +29,8 @@ object SparkEntry {
     "q_events_sliding"    -> Relational.qEventsSliding _,
     "q_events_asof"       -> Relational.qEventsAsof _,
     "q_events_range_join" -> Relational.qEventsRangeJoin _,
+    "q_events_funnel"     -> Relational.qEventsFunnel _,
+    "q_events_retention"  -> Relational.qEventsRetention _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -298,6 +300,37 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
         |FROM w
         |GROUP BY win_start, event_type""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t
+        |        AND epoch_us(e.ts) <= v.t + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t
+        |        AND epoch_us(e.ts) <= c.t + 86400000000 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM v) AS n_view,
+        |             (SELECT count(*) FROM c) AS n_click,
+        |             (SELECT count(*) FROM p) AS n_purchase)
+        |SELECT n_view, n_click, n_purchase,
+        |  CASE WHEN n_view = 0 THEN NULL
+        |       ELSE round(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE), 6) END AS view_to_click,
+        |  CASE WHEN n_click = 0 THEN NULL
+        |       ELSE round(CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE), 6) END AS click_to_purchase
+        |FROM n""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH co AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |            FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(co.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', co.cohort_day, act.day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN co ON act.user_id = co.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_asof" ->
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),

@@ -277,4 +277,67 @@ object Relational {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
+
+  /** Funnel step window: the next stage must land within this many
+    * MICROSECONDS of the previous stage's first event (24 hours) — an
+    * unbounded funnel saturates on long-lived users; "within T" is the
+    * product-analytics norm.
+    */
+  val FunnelWindowUs: Long = 86400L * 1000000L
+
+  /** SURVEY §2 `q_events_funnel`: windowed conversion funnel
+    * view → click → purchase — per user, the first view, the first click
+    * strictly after it within [[FunnelWindowUs]], the first purchase
+    * strictly after that within the window; one row of stage counts +
+    * conversion rates. Three user-keyed min-aggs chained by joins (each
+    * stage's frame is per-user, i.e. shrinking), no window function over
+    * the raw stream — the standard product-analytics funnel at warehouse
+    * scale.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view") &&
+        unix_micros(col("ts")) <= unix_micros(col("t_view")) + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click") &&
+        unix_micros(col("ts")) <= unix_micros(col("t_click")) + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    // Stage counts are BOUNDED scalars (≤ one row per user upstream, one
+    // number out) — collected like the vec_quantize range table, so an
+    // empty stage still yields the one-row report (a grouped agg over an
+    // empty frame would emit zero rows and kill the join).
+    val (nv, ncl, np) = (v.count(), c.count(), p.count())
+    import spark.implicits._
+    Seq((nv, ncl, np)).toDF("n_view", "n_click", "n_purchase")
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        when(col("n_view") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_click").cast("double") / col("n_view").cast("double"), 6))
+          .as("view_to_click"),
+        when(col("n_click") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_purchase").cast("double") / col("n_click").cast("double"), 6))
+          .as("click_to_purchase"))
+  }
+
+  /** SURVEY §2 `q_events_retention`: cohort retention — users grouped by
+    * first-activity day (their cohort), counted on each later active day
+    * as a day offset. The activity set is the DISTINCT (user, day) frame
+    * (one shuffle), cohorts one user-keyed min — the warehouse retention
+    * triangle.
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"))
+  }
 }

@@ -97,4 +97,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+
+  test("q_events_funnel matches a scala replica of the windowed funnel") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000L +
+        (r.getTimestamp(2).getNanos / 1000L) % 1000L))
+    def firstAfter(tpe: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && prev.contains(e._1) &&
+          e._3 > prev(e._1) && e._3 <= prev(e._1) + Relational.FunnelWindowUs)
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val vStage = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val cStage = firstAfter("click", vStage)
+    val pStage = firstAfter("purchase", cStage)
+    val r = Relational.qEventsFunnel(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_view") == vStage.size.toLong)
+    assert(r.getAs[Long]("n_click") == cStage.size.toLong)
+    assert(r.getAs[Long]("n_purchase") == pStage.size.toLong)
+  }
+
+  test("q_events_retention: offsets are non-negative and offset-0 covers every user") {
+    val rows = Relational.qEventsRetention(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0L))
+    val users = graft.sources.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    val dayZero = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(dayZero == users, "every user is active on their cohort day")
+  }
 }
