@@ -196,9 +196,11 @@ object IndexPipeline {
     val qv = Embedder.encodeStub(query, cfg.dim, cfg.normalize)
     // Dispatch on the PERSISTED backend (the manifest travels with the
     // artifact), not the caller's cfg — a shipped index searches correctly
-    // whatever the caller assumes.
-    val backend = """"backend":\s*"(\w+)"""".r
-      .findFirstMatchIn(IndexStore.manifestJson(root, name, version))
+    // whatever the caller assumes. Indexes without a manifest (e.g. the
+    // streaming-ingest append path writes vectors only) search as flat.
+    val backend = scala.util.Try(IndexStore.manifestJson(root, name, version))
+      .toOption
+      .flatMap(""""backend":\s*"(\w+)"""".r.findFirstMatchIn(_))
       .map(_.group(1)).getOrElse("flat")
     val hits = backend match {
       case "ivfpq" =>
