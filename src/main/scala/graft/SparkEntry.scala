@@ -31,6 +31,7 @@ object SparkEntry {
     "q_events_range_join" -> Relational.qEventsRangeJoin _,
     "q_events_funnel"     -> Relational.qEventsFunnel _,
     "q_events_retention"  -> Relational.qEventsRetention _,
+    "q_events_anomaly"    -> Relational.qEventsAnomaly _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -331,6 +332,25 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM act JOIN co ON act.user_id = co.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sm,
+        |        CAST(sum(c * c) AS BIGINT) AS sq
+        |      FROM d GROUP BY 1),
+        |j AS (SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        |        CAST(d.c AS BIGINT) AS n_events,
+        |        CAST(s.sm AS DOUBLE) / s.n AS mean,
+        |        sqrt(CAST(s.sq AS DOUBLE) / s.n -
+        |             (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n)) AS std
+        |      FROM d JOIN s ON d.event_type = s.event_type)
+        |SELECT event_type, day, n_events,
+        |  CASE WHEN std = 0 THEN 0.0
+        |       ELSE round((CAST(n_events AS DOUBLE) - mean) / std, 6) END AS z,
+        |  CASE WHEN std = 0 THEN FALSE
+        |       ELSE abs((CAST(n_events AS DOUBLE) - mean) / std) > 2.0 END AS is_anomaly
+        |FROM j""".stripMargin,
 
     "q_events_asof" ->
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),

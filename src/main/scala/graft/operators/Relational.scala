@@ -340,4 +340,29 @@ object Relational {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"), col("n_users"))
   }
+
+  /** SURVEY §2 `q_events_anomaly`: daily-volume anomaly detection — the
+    * z-score of each (event_type, day) count against that type's daily
+    * mean/stddev, flagged at |z| > 2 (the standard ops-dashboard outlier
+    * query). The daily frame is one agg (types × days rows — tiny even at
+    * 100 TB of raw events); per-type moments come from exact INTEGER sums
+    * (count, Σc, Σc²) so the double math downstream is bit-identical on
+    * both engines; stats broadcast back onto the daily frame.
+    */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sm"),
+        sum(col("c") * col("c")).as("sq"))
+    val mean = col("sm").cast("double") / col("n")
+    val std = sqrt(col("sq").cast("double") / col("n") - mean * mean)
+    val z = (col("c").cast("double") - mean) / std
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"),
+        when(std === 0.0, lit(0.0)).otherwise(round(z, 6)).as("z"),
+        when(std === 0.0, lit(false)).otherwise(abs(z) > 2.0).as("is_anomaly"))
+  }
 }

@@ -126,4 +126,32 @@ class RelationalSpec extends SparkSpec {
       .map(_.getAs[Long]("n_users")).sum
     assert(dayZero == users, "every user is active on their cohort day")
   }
+
+  test("q_events_anomaly z-scores match a scala moments replica") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+      .groupBy(identity).map { case ((t, d), es) => (t, d, es.length.toLong) }.toSeq
+    val stats = daily.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toLong
+      val sm = rows.map(_._3).sum
+      val sq = rows.map(r => r._3 * r._3).sum
+      val mean = sm.toDouble / n
+      t -> (mean, math.sqrt(sq.toDouble / n - mean * mean))
+    }
+    val got = Relational.qEventsAnomaly(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("z"), r.getAs[Boolean]("is_anomaly")))
+      .toMap
+    assert(got.size == daily.size)
+    daily.foreach { case (t, d, c) =>
+      val (mean, std) = stats(t)
+      val z = BigDecimal((c.toDouble - mean) / std)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gc, gz, ga) = got((t, d))
+      assert(gc == c && gz == z, s"($t, $d)")
+      assert(ga == (math.abs((c.toDouble - mean) / std) > 2.0))
+    }
+  }
 }
