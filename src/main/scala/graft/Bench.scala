@@ -26,7 +26,7 @@ object Bench {
   val Headliners: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q5_nation_revenue", "q6_filter_agg",
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
-    "q_events_funnel", "q_events_retention",
+    "q_events_funnel", "q_events_retention", "q_events_anomaly",
     "chunk_fixed", "chunk_tokens", "text_fingerprint", "text_quality", "text_surprisal",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
     "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "bm25_topk", "hybrid_rrf",
