@@ -36,9 +36,13 @@ object Dedup {
     * xxhash64(norm) first, verify within group — same shape). Emits the
     * rolling-hash fingerprint as the stable group id.
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExactDf(Tables.documents(spark, dir))
+
+  /** [[dedupExact]] over ANY (doc_id, text) frame — the library form. */
+  def dedupExactDf(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), norm.as("norm"))
       .groupBy(col("norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
@@ -57,13 +61,18 @@ object Dedup {
     * the blowup), not over the raw shingle join — same scoring, candidate
     * generation swapped.
     */
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    // Group per shingle instead of self-joining (same lesson as minhash/
-    // simhash): the self-join form executed the shingle kernel once per
-    // side and joined per-doc sizes back twice; here sizes ride inside the
-    // bucket structs, so the whole operator is two shuffles — one keyed on
-    // the shingle, one on the pair — with no join back to the corpus.
-    val ex = Tables.documents(spark, dir)
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramDf(Tables.documents(spark, dir))
+
+  /** [[dedupNgram]] over ANY (doc_id, text) frame — the library form.
+    * Group per shingle instead of self-joining (same lesson as minhash/
+    * simhash): the self-join form executed the shingle kernel once per
+    * side and joined per-doc sizes back twice; here sizes ride inside the
+    * bucket structs, so the whole operator is two shuffles — one keyed on
+    * the shingle, one on the pair — with no join back to the corpus.
+    */
+  def dedupNgramDf(docs: DataFrame): DataFrame = {
+    val ex = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
@@ -104,12 +113,17 @@ object Dedup {
     * bucket. Signature computation is narrow; the single shuffle is keyed
     * on (band, bucket) — at 100 TB oversized buckets get salted (SURVEY §4).
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures + band keys come from ONE native kernel
-    // (functions.MinHashBandKeys): shingles → rolling hashes → 16 affine
-    // mins → 4 keys in a single JVM pass, no intermediate arrays. Docs
-    // without shingles produce an empty array and drop out on the explode.
-    val banded = Tables.documents(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashDf(Tables.documents(spark, dir))
+
+  /** [[dedupMinhash]] over ANY (doc_id, text) frame — the library form.
+    * Signatures + band keys come from ONE native kernel
+    * (functions.MinHashBandKeys): shingles → rolling hashes → 16 affine
+    * mins → 4 keys in a single JVM pass, no intermediate arrays. Docs
+    * without shingles produce an empty array and drop out on the explode.
+    */
+  def dedupMinhashDf(docs: DataFrame): DataFrame = {
+    val banded = docs
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
     // Group per bucket instead of self-joining: a self-join would execute
@@ -141,9 +155,13 @@ object Dedup {
     * (shuffle when big, and AQE still picks broadcast when the candidate
     * frame is genuinely small at runtime).
     */
-  def dedupVerified(spark: SparkSession, dir: String): DataFrame = {
-    val cand = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    val docs = Tables.documents(spark, dir)
+  def dedupVerified(spark: SparkSession, dir: String): DataFrame =
+    dedupVerifiedDf(Tables.documents(spark, dir))
+
+  /** [[dedupVerified]] over ANY (doc_id, text) frame — the library form. */
+  def dedupVerifiedDf(docsIn: DataFrame): DataFrame = {
+    val cand = dedupMinhashDf(docsIn).select(col("doc_a"), col("doc_b"))
+    val docs = docsIn
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     cand.join(docs.as("da"), col("da.doc_id") === col("doc_a"))

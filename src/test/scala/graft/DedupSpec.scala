@@ -171,4 +171,28 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == want)
     assert(got.length == nodes.length)
   }
+
+  test("frame-based dedup API works on an arbitrary (doc_id, text) frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different words about spark shuffles and parquet files here"),
+      (4L, "The  Quick   Brown Fox jumps over the lazy dog near the river bank".toLowerCase)
+    ).toDF("doc_id", "text")
+    // exact: 1 and 4 normalize identically
+    val ex = Dedup.dedupExactDf(docs).collect()
+    assert(ex.length == 3)
+    assert(ex.exists(r => r.getAs[Long]("keep_id") == 1L && r.getAs[Long]("n_docs") == 2L))
+    // ngram: 1-2 and 1-4 and 2-4 are near-dups; 3 is not
+    val ng = Dedup.dedupNgramDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ng.contains((1L, 2L)) && ng.contains((1L, 4L)))
+    assert(!ng.exists(p => p._1 == 3L || p._2 == 3L))
+    // two-stage verified pipeline proposes and confirms the same pairs
+    val ver = Dedup.dedupVerifiedDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ver.subsetOf(ng))
+    assert(ver.contains((1L, 4L)), "identical docs must survive LSH + verify")
+  }
 }
