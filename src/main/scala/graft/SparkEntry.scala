@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_ivf"             -> VectorOps.annIvf _,
     "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
+    "vec_norm_stats"      -> VectorOps.vecNormStats _,
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
     "ann_ivfpq"           -> VectorOps.annIvfPq _,
@@ -644,6 +645,8 @@ object SparkEntry {
     "ann_bruteforce" ->
       s"""WITH ${rankedCtes("", "vec_id < 10", "dot")}
          |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
+
+    "vec_norm_stats" -> graft.operators.VectorOps.vecNormStatsOracleSql,
 
     "vec_quantize" ->
       """WITH d AS (

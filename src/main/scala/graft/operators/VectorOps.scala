@@ -331,6 +331,50 @@ object VectorOps {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** SURVEY §2 `vec_norm_stats`: embedding-norm sanity statistics — the
+    * pre-indexing health check of an embedding pipeline (zero vectors,
+    * collapsed or exploded norms ⇒ a broken encoder). One map-side-combined
+    * agg over 6dp-rounded norms; mean/std come from exact DECIMAL sums of
+    * r and r² (order-independent), cast to double only at the edge —
+    * SURVEY §5 determinism rules.
+    */
+  def vecNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val r = round(norm(col("embedding")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val agg = Tables.embeddings(spark, dir)
+      .select(r.as("r"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("r") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("r")).cast("double").as("norm_min"),
+        max(col("r")).cast("double").as("norm_max"),
+        sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("sr2"))
+    val mean = col("sr").cast("double") / col("n_vecs")
+    val variance = col("sr2").cast("double") / col("n_vecs") - mean * mean
+    agg.select(col("n_vecs"), col("n_zero"), col("norm_min"), col("norm_max"),
+      round(mean, 6).as("norm_avg"),
+      round(sqrt(when(variance < 0, lit(0.0)).otherwise(variance)), 6).as("norm_std"))
+  }
+
+  def vecNormStatsOracleSql: String =
+    """WITH r AS (
+      |  SELECT CAST(round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6)) AS r
+      |  FROM embeddings),
+      |a AS (SELECT count(*) AS n_vecs,
+      |        CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |        CAST(min(r) AS DOUBLE) AS norm_min, CAST(max(r) AS DOUBLE) AS norm_max,
+      |        sum(r) AS sr, sum(r * r) AS sr2
+      |      FROM r)
+      |SELECT n_vecs, n_zero, norm_min, norm_max,
+      |  round(CAST(sr AS DOUBLE) / n_vecs, 6) AS norm_avg,
+      |  round(sqrt(CASE WHEN CAST(sr2 AS DOUBLE) / n_vecs -
+      |      (CAST(sr AS DOUBLE) / n_vecs) * (CAST(sr AS DOUBLE) / n_vecs) < 0 THEN 0.0
+      |    ELSE CAST(sr2 AS DOUBLE) / n_vecs -
+      |      (CAST(sr AS DOUBLE) / n_vecs) * (CAST(sr AS DOUBLE) / n_vecs) END), 6) AS norm_std
+      |FROM a""".stripMargin
+
   // ---- Generated DuckDB oracles -----------------------------------------
   // The fitted centroids are embedded as literals (IvfModel.centsCte), so
   // assignment, probe ranking, and cell-local scoring are the same exact

@@ -133,4 +133,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorOps.capHotCells(multi, 16, 4).count() === 64)
   }
 
+
+  test("vec_norm_stats matches a scala moments replica") {
+    val norms = emb.map { case (_, v) =>
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      BigDecimal(math.sqrt(acc)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val r = VectorOps.vecNormStats(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == norms.length.toLong)
+    assert(r.getAs[Long]("n_zero") == norms.count(_ == 0).toLong)
+    assert(r.getAs[Double]("norm_min") == norms.min.toDouble)
+    assert(r.getAs[Double]("norm_max") == norms.max.toDouble)
+    val mean = (norms.sum / norms.length).toDouble
+    assert(math.abs(r.getAs[Double]("norm_avg") - mean) < 1e-6)
+    assert(r.getAs[Double]("norm_std") >= 0.0)
+  }
 }
