@@ -311,10 +311,18 @@ object Relational {
     // Stage counts are BOUNDED scalars (≤ one row per user upstream, one
     // number out) — collected like the vec_quantize range table, so an
     // empty stage still yields the one-row report (a grouped agg over an
-    // empty frame would emit zero rows and kill the join).
-    val (nv, ncl, np) = (v.count(), c.count(), p.count())
+    // empty frame would emit zero rows and kill the join). One union-count
+    // JOB for all three stages (three separate count() actions paid two
+    // extra rounds of job overhead for the same total compute); a stage
+    // missing from the result map is empty.
+    val counts = v.select(lit("v").as("st"))
+      .union(c.select(lit("c").as("st")))
+      .union(p.select(lit("p").as("st")))
+      .groupBy(col("st")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     import spark.implicits._
-    Seq((nv, ncl, np)).toDF("n_view", "n_click", "n_purchase")
+    Seq((counts.getOrElse("v", 0L), counts.getOrElse("c", 0L), counts.getOrElse("p", 0L)))
+      .toDF("n_view", "n_click", "n_purchase")
       .select(col("n_view"), col("n_click"), col("n_purchase"),
         when(col("n_view") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_click").cast("double") / col("n_view").cast("double"), 6))
