@@ -41,6 +41,8 @@ object SparkEntry {
     "text_surprisal"      -> TextOps.textSurprisal _,
     "text_bpe_pairs"      -> TextOps.textBpePairs _,
     "text_repetition"     -> TextOps.textRepetition _,
+    "text_tfidf"          -> TextOps.textTfidf _,
+    "corpus_stats"        -> TextOps.corpusStats _,
     "text_redact"         -> TextOps.textRedact _,
     "text_entropy"        -> TextOps.textEntropy _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
@@ -91,6 +93,7 @@ object SparkEntry {
     "curation_mix"        -> Curation.curationMix _,
     "curation_pack"       -> Curation.curationPack _,
     "curation_report"     -> Curation.curationReport _,
+    "curation_weight"     -> Curation.curationWeight _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -477,6 +480,10 @@ object SparkEntry {
 
     "text_surprisal" -> graft.operators.TextOps.surprisalOracleSql,
 
+    "text_tfidf" -> graft.operators.TextOps.tfidfOracleSql,
+
+    "corpus_stats" -> graft.operators.TextOps.corpusStatsOracleSql,
+
     "text_bpe_pairs" -> graft.operators.TextOps.bpePairsOracleSql,
 
     "text_entropy" ->
@@ -850,6 +857,27 @@ object SparkEntry {
     "pipeline_filter" ->
       s"""WITH RECURSIVE $pipelineFilterCtes
          |SELECT doc_id, quality, pred_lang, dup_keep, keep FROM pf""".stripMargin,
+
+    "curation_weight" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc AS a, doc AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM cl GROUP BY 1),
+         |j AS (SELECT d.doc_id,
+         |        COALESCE(cl.cluster_rep, d.doc_id) AS cluster_rep,
+         |        CAST(COALESCE(cs.cluster_size, 1) AS BIGINT) AS cluster_size
+         |      FROM documents d
+         |      LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |      LEFT JOIN cs ON cl.cluster_rep = cs.cluster_rep)
+         |SELECT doc_id, cluster_rep, cluster_size,
+         |  round(1.0 / cluster_size, 6) AS weight
+         |FROM j""".stripMargin,
 
     "curation_report" ->
       s"""WITH RECURSIVE $pipelineFilterCtes

@@ -229,6 +229,32 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
           .as("keep_rate"))
 
+  /** SURVEY §2 `curation_weight`: soft-dedup sampling weights — every
+    * member of a near-dup cluster is kept but down-weighted to
+    * `1/cluster_size`, so a document duplicated k times contributes one
+    * document's worth of gradient in expectation (the alternative to hard
+    * dedup when near-dups carry real variation). Docs in no cluster weigh
+    * 1.0.
+    *
+    * Scale shape: the cluster table is pair-graph-sized (duplicates only,
+    * tiny relative to the corpus); its size agg is cluster-count-sized;
+    * the corpus joins the weights on doc_id (AQE broadcasts the cluster
+    * side when genuinely small — nothing forces it).
+    */
+  def curationWeight(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val sizes = clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters.join(sizes, Seq("cluster_rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))

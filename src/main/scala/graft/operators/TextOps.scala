@@ -278,6 +278,109 @@ object TextOps {
       |  round(list_sum(bl) / CAST(dls.dl AS DOUBLE), 6) AS surprisal_bits
       |FROM s JOIN dls ON s.doc_id = dls.doc_id""".stripMargin
 
+  /** SURVEY §2 `text_tfidf`: per-document top-3 TF-IDF keywords — the
+    * standard keyword-extraction / doc-labeling pass of a training-data
+    * pipeline (cluster naming, topic tagging, search boosting).
+    *
+    * Scale shape: per-doc term counts come from the shared materialized
+    * [[Search.perDocTerms]] maps (one distinct-(doc,term) row per map
+    * entry, never a corpus-sized token shuffle); `df` is one
+    * vocabulary-sized agg; the score join is term-keyed (AQE broadcasts
+    * the vocab side when small); the per-doc rank window partitions by
+    * doc_id, so no global sort. Ties at tfidf=0 (df = n_docs ⇒ ln 1) break
+    * on term asc — deterministic on both engines.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val pd = Search.perDocTerms(spark, dir)
+      .select(col("doc_id"), explode(col("tc")).as(Seq("term", "f")))
+    // Bounded driver scalar (the vec_quantize collect pattern): the doc
+    // count feeds idf as a literal on both engines.
+    val nDocs = Search.perDocTerms(spark, dir).count()
+    val dfT = pd.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = pd.join(dfT, Seq("term"))
+      .withColumn("tfidf", round(
+        col("f").cast("double") *
+          log(lit(nDocs).cast("double") / col("df").cast("double")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("f").cast("long").as("tf"), col("df"), col("tfidf"))
+  }
+
+  /** DuckDB oracle for text_tfidf: same tokens, same idf, same rank. */
+  def tfidfOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+      |  FROM documents),
+      |pd AS (SELECT doc_id, term, count(*) AS f FROM toks GROUP BY 1, 2),
+      |st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pd),
+      |dft AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+      |sc AS (SELECT pd.doc_id, pd.term, pd.f, dft.df,
+      |        round(CAST(pd.f AS DOUBLE) *
+      |          ln(CAST(st.n_docs AS DOUBLE) / CAST(dft.df AS DOUBLE)), 6) AS tfidf
+      |      FROM pd JOIN dft ON pd.term = dft.term CROSS JOIN st),
+      |r AS (SELECT doc_id, term, f, df, tfidf,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |      FROM sc)
+      |SELECT doc_id, rk, term, CAST(f AS BIGINT) AS tf, df, tfidf
+      |FROM r WHERE rk <= 3""".stripMargin
+
+  /** SURVEY §2 `corpus_stats`: per-source corpus composition — doc count,
+    * token count, distinct-term count, mean doc length, and type-token
+    * ratio. This is the first table anyone prints about a 100 TB corpus
+    * (what's in it, how big, how repetitive per slice); TTR collapse in a
+    * source flags boilerplate floods before any dedup runs.
+    *
+    * Scale shape: ONE [[graft.functions.TermCounts]] kernel pass feeds a
+    * (source, term) agg with map-side combine (the exploded rows are
+    * per-doc DISTINCT terms, so the shuffle is bounded by Σ|vocab per
+    * doc|, not token count); the doc count is a separate kernel-free
+    * narrow scan; everything downstream is source-cardinality-sized.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.functions.TermCounts.column(col("text")))
+        .as(Seq("term", "f")))
+      .groupBy(col("source"), col("term")).agg(sum(col("f")).as("cf"))
+    val tok = pt.groupBy(col("source")).agg(
+      count(lit(1)).as("n_distinct_terms"), sum(col("cf")).as("n_tokens"))
+    val nd = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nd.join(tok, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_terms"), lit(0L)).as("n_distinct_terms"),
+        round(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_doc_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_distinct_terms").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("ttr"))
+  }
+
+  /** DuckDB oracle for corpus_stats — same tokens, same per-source sums. */
+  def corpusStatsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT source, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+      |  FROM documents),
+      |pt AS (SELECT source, term, count(*) AS cf FROM toks GROUP BY 1, 2),
+      |tok AS (SELECT source, count(*) AS n_distinct_terms,
+      |          CAST(sum(cf) AS BIGINT) AS n_tokens
+      |        FROM pt GROUP BY 1),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT nd.source, nd.n_docs,
+      |  COALESCE(tok.n_tokens, 0) AS n_tokens,
+      |  COALESCE(tok.n_distinct_terms, 0) AS n_distinct_terms,
+      |  round(CAST(COALESCE(tok.n_tokens, 0) AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6) AS avg_doc_tokens,
+      |  CASE WHEN COALESCE(tok.n_tokens, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(tok.n_distinct_terms AS DOUBLE) / CAST(tok.n_tokens AS DOUBLE), 6)
+      |  END AS ttr
+      |FROM nd LEFT JOIN tok ON nd.source = tok.source""".stripMargin
+
   /** SURVEY §2 `text_bpe_pairs`: the first BPE merge iteration's count
     * table — corpus-wide within-token adjacent character-pair frequencies,
     * top-50 by (count, pair). This is tokenizer training's inner

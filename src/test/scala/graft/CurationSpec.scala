@@ -106,4 +106,30 @@ class CurationSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("keep_rate") == rate)
   }
+  test("curation_weight covers every doc; cluster weights sum to ~1") {
+    val rows = Curation.curationWeight(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("cluster_size"), r.getAs[Double]("weight")))
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.length.toLong == nDocs, "one weight row per document")
+    // singletons are their own rep with full weight
+    rows.filter(_._3 == 1L).foreach { case (id, rep, _, w) =>
+      assert(rep == id); assert(w == 1.0)
+    }
+    // cluster sizes are consistent and member weights sum to 1 (6dp noise)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val size = members.head._3
+      assert(members.forall(_._3 == size))
+      if (size > 1) {
+        assert(members.length.toLong == size)
+        assert(math.abs(members.map(_._4).sum - 1.0) < 1e-4)
+      }
+    }
+    // reps agree with the dedup cluster decision
+    val reps = graft.operators.Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    rows.foreach { case (id, rep, _, _) =>
+      assert(rep == reps.getOrElse(id, id))
+    }
+  }
 }

@@ -192,4 +192,43 @@ class TextOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == want)
   }
+  test("text_tfidf matches a scala tf-idf replica (top-3 per doc)") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.GraftText.wsTokens(r.getString(1)))
+    val perDoc = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.filter(_._2.nonEmpty)
+    val nDocs = perDoc.length.toLong
+    val dfm = perDoc.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.length.toLong)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = perDoc.flatMap { case (id, tc) =>
+      tc.toSeq.map { case (t, f) =>
+        (id, t, f, dfm(t), r6(f.toDouble * math.log(nDocs.toDouble / dfm(t).toDouble)))
+      }.sortBy { case (_, t, _, _, s) => (-s, t) }.take(3)
+        .zipWithIndex.map { case ((i, t, f, df, s), k) => (i, k + 1L, t, f, df, s) }
+    }.toSet
+    val got = TextOps.textTfidf(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"))).toSet
+    assert(got == want)
+  }
+
+  test("corpus_stats matches a scala per-source replica") {
+    val docs = Tables.documents(spark, dir).select("source", "text").collect()
+      .map(r => r.getString(0) -> graft.functions.GraftText.wsTokens(r.getString(1)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs.groupBy(_._1).map { case (src, rs) =>
+      val toks = rs.flatMap(_._2)
+      val nTok = toks.length.toLong
+      val nDis = toks.distinct.length.toLong
+      (src, rs.length.toLong, nTok, nDis,
+        r6(nTok.toDouble / rs.length),
+        if (nTok == 0) 0.0 else r6(nDis.toDouble / nTok))
+    }.toSet
+    val got = TextOps.corpusStats(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct_terms"), r.getAs[Double]("avg_doc_tokens"),
+        r.getAs[Double]("ttr"))).toSet
+    assert(got == want)
+  }
 }
