@@ -29,7 +29,7 @@ object Bench {
     "q_events_funnel", "q_events_retention", "q_events_anomaly",
     "chunk_fixed", "chunk_tokens", "text_fingerprint", "text_quality", "text_surprisal",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
-    "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "bm25_topk", "hybrid_rrf",
+    "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "vec_pca", "bm25_topk", "hybrid_rrf",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam")
 
@@ -79,6 +79,7 @@ object Bench {
     // ivf_* family; queries probe a built index).
     graft.operators.IvfModel.centroids(spark, sfDir)
     graft.operators.PqModel.codebooks(spark, sfDir)
+    graft.operators.PcaModel.model(spark, sfDir)
     // Timed sweeps: same order every pass, min per query (see Methodology).
     val sweeps = (1 to Passes).map(_ => names.map(n => n -> runOnce(n, sfDir)).toMap)
     val results = names.map { n =>

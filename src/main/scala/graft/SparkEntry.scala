@@ -66,6 +66,7 @@ object SparkEntry {
     "ann_ivf"             -> VectorOps.annIvf _,
     "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
+    "vec_pca"             -> VectorOps.vecPca _,
     "vec_norm_stats"      -> VectorOps.vecNormStats _,
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
@@ -205,6 +206,7 @@ object SparkEntry {
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
     val ivfCents = IvfModel.centroids(spark, dir)
     val pqBooks = PqModel.codebooks(spark, dir)
+    val pcaM = PcaModel.model(spark, dir)
     Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -629,6 +631,7 @@ object SparkEntry {
     "ann_ivfpq" -> graft.operators.VectorOps.annIvfPqOracleSql(ivfCents, pqBooks),
     "ivfpq_recall" -> graft.operators.VectorOps.ivfpqRecallOracleSql(ivfCents, pqBooks),
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
+    "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

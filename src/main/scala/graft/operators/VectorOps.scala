@@ -221,6 +221,66 @@ object VectorOps {
       round(array_max(transform(diffs, v => abs(v))), 6).as("max_abs_err"))
   }
 
+  /** SURVEY §2 `vec_pca`: deterministic 2-component PCA projection — each
+    * vector's coordinates in the corpus's top-2 principal directions plus
+    * the rank-2 reconstruction error (what a drift dashboard plots, and
+    * the first step of OPQ-style rotation training). The fit is the
+    * bounded-sample driver-side power iteration of [[PcaModel]]; mean and
+    * components ride into this query (and the oracle) as 6dp literals, so
+    * the projection itself is ONE narrow fold per vector — at 100 TB the
+    * corpus is mapped without shuffling anything.
+    *
+    * The two projections materialize once per row through a Generate (the
+    * textQuality explode(array(struct)) pattern) because the residual fold
+    * references both — projection collapse would otherwise inline each
+    * 64-term fold into every use. Residuals use the ROUNDED projections,
+    * mirrored exactly in the oracle.
+    */
+  def vecPca(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, comps) = PcaModel.model(spark, dir)
+    val dim = mean.length
+    val muA = array(mean.map(lit).toIndexedSeq: _*)
+    val c1A = array(comps(0).map(lit).toIndexedSeq: _*)
+    val c2A = array(comps(1).map(lit).toIndexedSeq: _*)
+    def xc(i: Column): Column =
+      element_at(col("embedding"), i + 1).cast("double") - element_at(muA, i + 1)
+    def proj(cA: Column): Column =
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc + xc(i) * element_at(cA, i + 1))
+    val p = struct(round(proj(c1A), 6).as("pc1"), round(proj(c2A), 6).as("pc2"))
+    val err2 = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) => {
+      val d = xc(i) - col("p.pc1") * element_at(c1A, i + 1) -
+        col("p.pc2") * element_at(c2A, i + 1)
+      acc + d * d
+    })
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), explode(array(p)).as("p"))
+      .select(col("vec_id"), col("p.pc1").as("pc1"), col("p.pc2").as("pc2"),
+        round(sqrt(err2), 6).as("err_l2"))
+  }
+
+  /** DuckDB oracle for vec_pca: identical folds over the same literals. */
+  def vecPcaOracleSql(m: PcaModel.Model): String = {
+    val dim = m._1.length
+    def xcSql(t: String): String =
+      s"CAST($t.embedding[CAST(i AS INT)] AS DOUBLE) - p.mu[CAST(i AS INT)]"
+    def projSql(t: String, c: String): String =
+      s"round(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+        s"(${xcSql(t)}) * p.$c[CAST(i AS INT)])), 6)"
+    s"""WITH ${PcaModel.pcaCte(m)},
+       |pr AS (SELECT e.vec_id, e.embedding,
+       |        ${projSql("e", "c1")} AS pc1,
+       |        ${projSql("e", "c2")} AS pc2
+       |      FROM embeddings e, pca p)
+       |SELECT vec_id, pc1, pc2,
+       |  round(sqrt(list_sum(list_transform(
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      ${xcSql("pr")}
+       |        - pr.pc1 * p.c1[CAST(i AS INT)] - pr.pc2 * p.c2[CAST(i AS INT)]),
+       |    d -> d * d))), 6) AS err_l2
+       |FROM pr, pca p""".stripMargin
+  }
+
   /** SURVEY §2 `vec_pq`: product-quantization build — per-vector subspace
     * codes plus reconstruction error (the faiss IVF-PQ storage layout:
     * [[PqModel.SubSpaces]]×4-bit codes, 64× smaller than float32). The

@@ -105,6 +105,11 @@ class PlanContractSpec extends SparkSpec {
   }
 
 
+  test("vec_pca is a narrow projection map: zero exchanges") {
+    val plan = executedPlan(VectorOps.vecPca(spark, dir))
+    assert(!plan.contains("Exchange"), s"PCA projection must not shuffle:\n$plan")
+  }
+
   test("vec_pq is a narrow code-assignment map: zero exchanges") {
     val plan = executedPlan(VectorOps.vecPq(spark, dir))
     assert(!plan.contains("Exchange"), s"PQ code assignment must not shuffle:\n$plan")
