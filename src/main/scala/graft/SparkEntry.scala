@@ -81,6 +81,7 @@ object SparkEntry {
     "multimodal_meta"     -> Multimodal.multimodalMeta _,
     "multimodal_resize"   -> Multimodal.multimodalResize _,
     "multimodal_framesample" -> Multimodal.multimodalFramesample _,
+    "multimodal_audiowindows" -> Multimodal.multimodalAudiowindows _,
     "multimodal_phash"    -> Multimodal.multimodalPhash _,
     "multimodal_phash_pairs" -> Multimodal.multimodalPhashPairs _,
     "multimodal_phash_clusters" -> Multimodal.multimodalPhashClusters _,
@@ -805,6 +806,8 @@ object SparkEntry {
         |        (cum_tokens - band_tokens) < 20000 AS band_keep FROM cum)
         |SELECT q.doc_id, q.quality, q.n_tokens, k.cum_tokens, k.band_keep AS keep
         |FROM q JOIN k ON q.quality = k.quality""".stripMargin,
+
+    "multimodal_audiowindows" -> graft.operators.Multimodal.audiowindowsOracleSql,
 
     "multimodal_phash" -> graft.operators.Multimodal.phashOracleSql,
 

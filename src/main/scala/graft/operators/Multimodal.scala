@@ -117,6 +117,57 @@ object Multimodal {
         round(col("frame_idx").cast("double") / VideoFps, 6).as("t_offset_s"))
   }
 
+  val AudioRate = 16000L
+  val WinSamples = 16000L
+  val HopSamples = 8000L
+
+  /** SURVEY §2 `multimodal_audiowindows` (SQL oracle): the framing plan
+    * for the audio rows — 1 s windows ([[WinSamples]]) with a 0.5 s hop
+    * ([[HopSamples]]) over the decoded sample stream, one row per window
+    * with sample offsets and whether the tail window needs padding. This
+    * is how audio reaches a feature extractor (fbank/wav2vec windows);
+    * the sample count is integer-exact from the payload size
+    * (`bytes × 16` at 16 kHz / 1000 bytes-per-second stub, so both
+    * engines frame identically). posexplode keeps it a narrow map — the
+    * per-partition decoder receives (doc_id, start, end) slices.
+    */
+  def multimodalAudiowindows(spark: SparkSession, dir: String): DataFrame = {
+    val audio = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"),
+        (length(col("text").cast("binary")).cast("long") * 16L).as("n_samples"))
+    val nWin = when(col("n_samples") <= WinSamples, lit(1L))
+      .otherwise(lit(1L) +
+        ((col("n_samples") - WinSamples) / HopSamples).cast("long"))
+    audio
+      .withColumn("n_win", nWin)
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_idx"))
+      .select(col("doc_id"), col("n_samples"), col("win_idx"),
+        (col("win_idx") * HopSamples).as("start_sample"),
+        least(col("win_idx") * HopSamples + WinSamples, col("n_samples"))
+          .as("end_sample"),
+        (col("win_idx") * HopSamples + WinSamples > col("n_samples")).as("padded"),
+        round((col("win_idx") * HopSamples).cast("double") / AudioRate.toDouble, 6)
+          .as("t_start_s"))
+  }
+
+  /** DuckDB oracle for multimodal_audiowindows: same integer framing. */
+  def audiowindowsOracleSql: String =
+    s"""WITH a AS (SELECT doc_id, octet_length(encode(text)) * 16 AS n_samples
+       |           FROM documents WHERE doc_id % 3 = 1),
+       |w AS (SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+       |        CASE WHEN n_samples <= $WinSamples THEN 1
+       |             ELSE 1 + (n_samples - $WinSamples) // $HopSamples END AS n_win
+       |      FROM a),
+       |e AS (SELECT doc_id, n_samples, t.k AS k FROM w, UNNEST(range(n_win)) AS t(k))
+       |SELECT doc_id, n_samples, CAST(k AS BIGINT) AS win_idx,
+       |  CAST(k * $HopSamples AS BIGINT) AS start_sample,
+       |  CAST(least(k * $HopSamples + $WinSamples, n_samples) AS BIGINT) AS end_sample,
+       |  k * $HopSamples + $WinSamples > n_samples AS padded,
+       |  round(CAST(k * $HopSamples AS DOUBLE) / $AudioRate.0, 6) AS t_start_s
+       |FROM e""".stripMargin
+
   val PhashBits = 60
 
   /** SURVEY §2 `multimodal_phash` (SQL oracle): blockhash/aHash-style

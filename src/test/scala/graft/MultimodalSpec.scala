@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaFile, MediaMeta}
+import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -134,5 +135,35 @@ class MultimodalSpec extends SparkSpec {
     // unrelated content diverges much further
     val other = ("completely different payload with loud city traffic noise " * 4)
     assert(ham(h(base), h(other)) > 12)
+  }
+  test("audiowindows tile every audio stream with 1s windows at 0.5s hop") {
+    val rows = Multimodal.multimodalAudiowindows(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("win_idx"), r.getAs[Long]("start_sample"),
+        r.getAs[Long]("end_sample"), r.getAs[Boolean]("padded"),
+        r.getAs[Double]("t_start_s")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, k, s, e, pad, t) =>
+      assert(s == k * Multimodal.HopSamples)
+      assert(e == math.min(s + Multimodal.WinSamples, n))
+      assert(pad == (s + Multimodal.WinSamples > n))
+      assert(math.abs(t - s.toDouble / Multimodal.AudioRate) < 1e-6)
+    }
+    rows.groupBy(_._1).foreach { case (_, ws) =>
+      val n = ws.head._2
+      val idx = ws.map(_._3).sorted
+      assert(idx.head == 0L, "first window starts at sample 0")
+      assert(idx.toSeq == (0L until idx.length.toLong).toSeq, "window indices are dense")
+      // coverage: the dropped tail after the last window is under one hop
+      val last = ws.maxBy(_._3)
+      assert(n - last._5 < Multimodal.HopSamples,
+        "tail dropped by the last window must be shorter than a hop")
+      // only the last window may need padding
+      ws.filter(_._6).foreach(w => assert(w._3 == last._3))
+    }
+    // every audio doc is framed
+    val nAudio = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1).count()
+    assert(rows.map(_._1).distinct.length.toLong == nAudio)
   }
 }
