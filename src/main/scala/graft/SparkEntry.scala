@@ -22,6 +22,8 @@ object SparkEntry {
     "q3_top_orders"       -> Relational.q3TopOrders _,
     "q5_nation_revenue"   -> Relational.q5NationRevenue _,
     "q6_filter_agg"       -> Relational.q6FilterAgg _,
+    "q4_order_priority"   -> Relational.q4OrderPriority _,
+    "q15_top_supplier"    -> Relational.q15TopSupplier _,
     "q_window_topk"       -> Relational.qWindowTopk _,
     "q_events_window"     -> Relational.qEventsWindow _,
     "q_events_sessionize" -> Relational.qEventsSessionize _,
@@ -54,6 +56,7 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram"         -> Dedup.dedupNgram _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
+    "dedup_cluster_stats" -> Dedup.dedupClusterStats _,
     "dedup_minhash"       -> Dedup.dedupMinhash _,
     "dedup_verified"      -> Dedup.dedupVerified _,
     "dedup_recall"        -> Dedup.dedupRecall _,
@@ -251,6 +254,30 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(total_rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+        |WHERE total_rev = mx.mx
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT
@@ -614,6 +641,23 @@ object SparkEntry {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
          |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
          |FROM reach GROUP BY a""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc AS a, doc AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         |FROM cs GROUP BY cluster_size""".stripMargin,
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
 

@@ -512,6 +512,21 @@ object Dedup {
       (col("doc_id") === col("rep")).as("keep"))
   }
 
+  /** SURVEY §2 `dedup_cluster_stats`: the duplicate-cluster size
+    * histogram — how many clusters of each size exist, how many documents
+    * they hold, and how many are redundant copies (size − 1 per cluster).
+    * This is the number a dedup run reports before anyone deletes data
+    * ("how duplicated IS this corpus?"). Two cluster-table-sized aggs on
+    * top of [[dedupClusters]] — the corpus itself never re-enters.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+
   val EmbeddingCosThreshold = 0.35
 
   /** SURVEY §2 `dedup_embedding`: exact cosine near-dup pairs ≥ τ. This is

@@ -103,6 +103,50 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q4-style: order counts per priority for orders with at least
+    * one line item shipped after the order date — the correlated-EXISTS
+    * shape, planned as a LEFT SEMI join so the lineitem side deduplicates
+    * during the join build (never materializing the multiplicity) and the
+    * probe carries only (orderkey, orderdate). Counts are integer-exact.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q15-style: the top-revenue supplier(s) for one quarter — the
+    * argmax-over-aggregate shape. Revenue is one suppkey-keyed decimal
+    * agg; the maximum reduces map-side to a single row that is BROADCAST
+    * back for the equality filter (never a single-partition window over
+    * the agg), and the supplier dim is broadcast for the name join.
+    * Decimal equality is exact, so ties surface deterministically.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * discFactor).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q6-style: pure filter+sum — the predicate-pushdown showcase.
     * All four predicates reach the parquet scan (PushedFilters); one row out,
     * no shuffle beyond the final partial-agg merge.

@@ -195,4 +195,17 @@ class DedupSpec extends SparkSpec {
     assert(ver.subsetOf(ng))
     assert(ver.contains((1L, 4L)), "identical docs must survive LSH + verify")
   }
+  test("dedup_cluster_stats histogram replays the cluster table") {
+    val sizes = Dedup.dedupClusters(spark, dir).collect()
+      .groupBy(_.getAs[Long]("cluster_rep")).map(_._2.length.toLong)
+    val want = sizes.groupBy(identity).map { case (sz, g) =>
+      (sz, g.size.toLong, sz * g.size, (sz - 1) * g.size)
+    }.toSet
+    val got = Dedup.dedupClusterStats(spark, dir).collect().map(r =>
+      (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_redundant"))).toSet
+    assert(got == want)
+    // every clustered doc is accounted for exactly once
+    assert(got.toSeq.map(_._3).sum == sizes.sum)
+  }
 }

@@ -34,6 +34,13 @@ class PlanContractSpec extends SparkSpec {
       "a dimension join degraded to sort-merge")
   }
 
+  test("q4: the EXISTS plans as a hash semi-join, never a cartesian") {
+    val p = executedPlan(Relational.q4OrderPriority(spark, dir))
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the orderkey equi-key must drive a hash join")
+  }
+
   test("knn: the query side is broadcast, the corpus is never shuffled pre-join") {
     val p = executedPlan(VectorOps.knnBruteforce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"))

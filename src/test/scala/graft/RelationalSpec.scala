@@ -154,4 +154,45 @@ class RelationalSpec extends SparkSpec {
       assert(ga == (math.abs((c.toDouble - mean) / std) > 2.0))
     }
   }
+  test("q4_order_priority matches a scala exists replica") {
+    val ords = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+      .filter { case (_, d, _) =>
+        !d.isBefore(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          d.isBefore(java.time.LocalDateTime.parse("1996-07-01T00:00:00")) }
+    val liMax = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).maxBy(_.toString)).toMap
+    val want = ords
+      .filter { case (k, d, _) => liMax.get(k).exists(_.isAfter(d)) }
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got = Relational.q4OrderPriority(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == want)
+  }
+
+  test("q15_top_supplier returns exactly the max-revenue supplier(s)") {
+    val rows = Relational.q15TopSupplier(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue"))
+    assert(revs.distinct.length == 1, "all returned suppliers tie at the max")
+    // replica: decimal-exact revenue per supplier over the quarter
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](3)
+        !d.isBefore(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          d.isBefore(java.time.LocalDateTime.parse("1996-04-01T00:00:00")) }
+    val rev = li.groupBy(_.getLong(0)).view.mapValues(_.map { r =>
+      BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }.sum).toMap
+    val mx = rev.values.max
+    val wantKeys = rev.filter(_._2 == mx).keySet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == wantKeys)
+    assert(math.abs(revs.head - mx.toDouble) < 1e-6)
+  }
 }
