@@ -942,12 +942,14 @@ object SparkEntry {
   }
 
   /** The curation-funnel CTE chain (`… pf(doc_id, quality, pred_lang,
-    * dup_keep, keep)`): near-dup pairs → recursive-CTE connected
-    * components → quality + language scoring → composite keep decision.
-    * Shared by the pipeline_filter and curation_report oracles.
+    * dup_keep, keep)`): near-dup pairs from the two-stage LSH-verified
+    * pipeline (the scale path pipelineFilter actually runs) →
+    * recursive-CTE connected components → quality + language scoring →
+    * composite keep decision. Shared by the pipeline_filter and
+    * curation_report oracles.
     */
   private def pipelineFilterCtes: String =
-      s"""$ngramCtes,
+      s"""${graft.operators.Dedup.verifiedPairsCtes},
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),

@@ -258,7 +258,15 @@ object Curation {
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val dup = Dedup.dedupClusters(spark, dir).select(col("doc_id"), col("keep").as("dk"))
+    // The dup stage runs on the SCALE-PATH pair source: the two-stage
+    // LSH-propose → exact-Jaccard-verify pipeline (dedup_verified), not
+    // the corpus-sized exact shingle join (dedup_ngram / dedup_clusters,
+    // which remain the oracle-exact measurement forms — dedup_recall pins
+    // what the LSH stage trades away). The oracle replays the identical
+    // verified pair set, so the gate stays exact.
+    val dup = Dedup.clustersFromPairs(
+        Dedup.dedupVerified(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("keep").as("dk"))
     quality.join(lang, Seq("doc_id"))
       .join(dup, Seq("doc_id"), "left")
       .select(

@@ -203,17 +203,7 @@ object Dedup {
     * exact shingle-join pair set, full-outer joined, same sums.
     */
   def dedupRecallOracleSql: String =
-    s"""${minhashCtes},
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
-       |  GROUP BY 1, 2),
-       |vsc AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
-       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-       |            JOIN sh sb ON cand.doc_b = sb.doc_id),
+    s"""WITH $verifiedScoredCtes,
        |ap AS (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold),
        |exx AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
        |eex AS (SELECT doc_id, unnest(sh) AS s FROM exx),
@@ -241,25 +231,42 @@ object Dedup {
     * exact Jaccard on candidates only — generated from the same constants.
     */
   def verifiedOracleSql: String =
-    s"""${minhashCtes},
+    s"""WITH $verifiedScoredCtes
+       |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+       |FROM vsc WHERE j >= $NgramJaccardThreshold""".stripMargin
+
+  /** CTE chain BODY (no `WITH`) ending in `vsc(doc_a, doc_b, j)` — LSH
+    * candidates exact-Jaccard-scored. Shared by [[verifiedOracleSql]],
+    * [[dedupRecallOracleSql]], and the pipeline_filter/curation_report
+    * oracles (which compose it under `WITH RECURSIVE`).
+    */
+  def verifiedScoredCtes: String =
+    s"""${minhashCtesBody},
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2),
-       |sc AS (
+       |vsc AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
        |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-       |            JOIN sh sb ON cand.doc_b = sb.doc_id)
-       |SELECT doc_a, doc_b, round(j, 6) AS jaccard
-       |FROM sc WHERE j >= $NgramJaccardThreshold""".stripMargin
+       |            JOIN sh sb ON cand.doc_b = sb.doc_id)""".stripMargin
+
+  /** CTE chain BODY ending in `pairs(doc_a, doc_b)` — the verified
+    * two-stage pair SET (what cluster propagation consumes).
+    */
+  def verifiedPairsCtes: String =
+    s"""$verifiedScoredCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold)""".stripMargin
 
   /** The shared minhash CTE chain (`WITH t … bf`): tokenize → shingle →
     * hash → signatures → band keys → capped buckets. Reused by the
     * minhash oracle and the verified-pipeline oracle.
     */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = s"WITH $minhashCtesBody"
+
+  private def minhashCtesBody: String = {
     val sigExprs = (0 until NumHashes).map(i =>
       s"list_min(list_transform(hs, h -> (h * ${HashA(i)} + ${HashB(i)}) % $MinhashP)) AS sig$i")
       .mkString(",\n    ")
@@ -268,7 +275,7 @@ object Dedup {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, $key AS key FROM s"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
