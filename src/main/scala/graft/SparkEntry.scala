@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_recall"        -> Dedup.dedupRecall _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
+    "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLsh _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
     "ann_bruteforce"      -> VectorOps.annBruteforce _,
     "ivf_build"           -> VectorOps.ivfBuild _,
@@ -679,6 +680,9 @@ object SparkEntry {
     "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
+
+    "dedup_embedding_lsh" -> graft.operators.Dedup.embeddingLshOracleSql(
+      graft.operators.Dedup.embeddingDim(spark, dir)),
 
     "dedup_embedding" ->
       """WITH n AS (

@@ -536,6 +536,131 @@ object Dedup {
 
   val EmbeddingCosThreshold = 0.35
 
+  // ---- Random-hyperplane LSH over embeddings (SimHash for vectors) ------
+
+  val EmbLshBits = 16
+  val EmbLshChunkBits = 8
+
+  /** Deterministic ±1 hyperplane entry (k-th plane, j-th dim) — a pure
+    * integer function, so the SAME literals appear in the Spark
+    * expressions and the generated oracle SQL (no fit, no data
+    * dependence).
+    */
+  def hyperplane(k: Int, j: Int): Double =
+    if (((k.toLong * 1315423911L + j.toLong * 2654435761L) % 1000000007L) % 2 == 0) 1.0
+    else -1.0
+
+  /** SURVEY §2 `dedup_embedding_lsh`: the random-hyperplane LSH scale path
+    * for embedding near-dup — the SimHash idea applied to vectors (and the
+    * standard alternative to [[VectorOps.annIvf]]'s IVF cells, with no fit
+    * step at all). Each vector gets [[EmbLshBits]] sign bits
+    * (`dot(x, h_k) ≥ 0` against deterministic ±1 hyperplanes), packed into
+    * two [[EmbLshChunkBits]]-bit chunk keys; candidates share a chunk
+    * bucket (cosine-similar vectors agree on most signs, so near-dups
+    * collide with high probability), then EXACT cosine verifies only the
+    * candidates — precision 1 vs [[dedupEmbedding]] by construction.
+    *
+    * Scale shape: sign bits are a narrow fold per vector (hyperplanes are
+    * literals — nothing shuffles to learn them); the single shuffle keys
+    * on (chunk, key); buckets above [[MaxBucketSize]] are dropped (the
+    * stop-bucket guard — an all-positive corpus collides on the all-ones
+    * code, which is degeneracy, not similarity); the verify join sees only
+    * candidate pairs.
+    *
+    * Recall caveat (the honest number, like pq_recall): on the
+    * UNIFORM-RANDOM synthetic embeddings, pairs at τ=0.35 are weakly
+    * similar — sign-agreement probability ≈0.61/bit, so an 8-bit chunk
+    * collides with only ~4% probability and recall vs [[dedupEmbedding]]
+    * is low BY DESIGN. Real near-duplicates (cos → 1) agree on almost
+    * every sign and collide with probability → 1; that regime is what
+    * this operator exists for.
+    */
+  /** Embedding dimensionality under `dir` (one-row lookup; feeds the
+    * hyperplane literal width on both engines).
+    */
+  def embeddingDim(spark: SparkSession, dir: String): Int =
+    Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0)
+
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embeddingDim(spark, dir)
+    val bit = (k: Int) => {
+      val hA = array((0 until dim).map(j => lit(hyperplane(k, j))): _*)
+      (aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(col("embedding"), i + 1).cast("double") *
+          element_at(hA, i + 1)) >= 0).cast("long")
+    }
+    def chunkKey(lo: Int): Column =
+      (lo until lo + EmbLshChunkBits).map(k => bit(k) * (1L << (k - lo))).reduce(_ + _)
+    val keyed = emb.select(col("vec_id"), explode(array(
+        struct(lit(0).as("chunk"), chunkKey(0).as("key")),
+        struct(lit(1).as("chunk"), chunkKey(EmbLshChunkBits).as("key")))).as("ck"))
+      .select(col("vec_id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val buckets = keyed.groupBy(col("chunk"), col("key"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucketSize)
+    val cand = buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
+            struct(element_at(col("ids"), (i + 1).cast("int")).as("a"),
+              y.as("b")))))).as("p"))
+      .select(col("p.a").as("vec_id_a"), col("p.b").as("vec_id_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    cand.join(e.as("ea"), col("ea.vec_id") === col("vec_id_a"))
+      .join(e.as("eb"), col("eb.vec_id") === col("vec_id_b"))
+      .withColumn("c",
+        VectorFunctions.cosinePre(
+          VectorFunctions.dot(col("ea.embedding"), col("eb.embedding")),
+          col("ea.nrm"), col("eb.nrm")))
+      .filter(col("c") >= EmbeddingCosThreshold)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for dedup_embedding_lsh: the hyperplanes (and per-bit
+    * pack weights) ride as literals; identical folds, packing, bucket cap,
+    * and cosine verify.
+    */
+  def embeddingLshOracleSql(dim: Int): String = {
+    val hpRows = (0 until EmbLshBits).map { k =>
+      val h = (0 until dim).map(j => hyperplane(k, j)).mkString(", ")
+      val w = 1L << (k % EmbLshChunkBits)
+      s"($k, $w, [$h]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH hp(k, w, h) AS (SELECT * FROM (VALUES
+       |    $hpRows) AS t(k, w, h)),
+       |bits AS (
+       |  SELECT e.vec_id, hp.k, hp.w,
+       |    CASE WHEN list_sum(list_transform(list_zip(e.embedding, hp.h),
+       |           z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN hp),
+       |ckk AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN k < $EmbLshChunkBits THEN bit * w ELSE 0 END) AS BIGINT) AS c0,
+       |    CAST(sum(CASE WHEN k >= $EmbLshChunkBits THEN bit * w ELSE 0 END) AS BIGINT) AS c1
+       |  FROM bits GROUP BY 1),
+       |kk AS (SELECT vec_id, 0 AS chunk, c0 AS key FROM ckk
+       |       UNION ALL SELECT vec_id, 1, c1 FROM ckk),
+       |bc AS (SELECT chunk, key, count(*) AS n FROM kk GROUP BY 1, 2),
+       |bff AS (SELECT kk.chunk, kk.key, kk.vec_id FROM kk JOIN bc
+       |          ON kk.chunk = bc.chunk AND kk.key = bc.key
+       |        WHERE bc.n BETWEEN 2 AND $MaxBucketSize),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |         FROM bff a JOIN bff b
+       |           ON a.chunk = b.chunk AND a.key = b.key AND a.vec_id < b.vec_id),
+       |nrm AS (SELECT vec_id, embedding,
+       |          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |        FROM embeddings),
+       |sc AS (SELECT vec_id_a, vec_id_b,
+       |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm) AS c
+       |       FROM cand JOIN nrm a ON cand.vec_id_a = a.vec_id
+       |                 JOIN nrm b ON cand.vec_id_b = b.vec_id)
+       |SELECT vec_id_a, vec_id_b, round(c, 6) AS cos_sim
+       |FROM sc WHERE c >= $EmbeddingCosThreshold""".stripMargin
+  }
+
   /** SURVEY §2 `dedup_embedding`: exact cosine near-dup pairs ≥ τ. This is
     * the oracle-checkable exact form (all-pairs with precomputed norms);
     * at 100 TB the same scoring runs inside IVF cells / LSH buckets

@@ -208,4 +208,30 @@ class DedupSpec extends SparkSpec {
     // every clustered doc is accounted for exactly once
     assert(got.toSeq.map(_._3).sum == sizes.sum)
   }
+  test("dedup_embedding_lsh has precision 1 vs the exact pair set") {
+    val exact = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val lsh = Dedup.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    assert(lsh.nonEmpty)
+    // the exact-cosine verify makes every emitted pair a true pair with
+    // the identical score (candidates ⊆ all pairs, same threshold)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    lsh.foreach { case (a, b, _) => assert(a < b, "pair order canonical") }
+  }
+
+  test("embedding LSH hyperplanes and chunk keys are deterministic and bounded") {
+    assert((0 until Dedup.EmbLshBits).forall(k =>
+      Dedup.hyperplane(k, 3) == Dedup.hyperplane(k, 3)))
+    assert((0 until Dedup.EmbLshBits).forall(k =>
+      math.abs(Dedup.hyperplane(k, 7)) == 1.0))
+    // two runs produce the same pair set (no randomness anywhere)
+    val p1 = Dedup.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p2)
+  }
 }
