@@ -34,6 +34,7 @@ object SparkEntry {
     "q_events_funnel"     -> Relational.qEventsFunnel _,
     "q_events_retention"  -> Relational.qEventsRetention _,
     "q_events_anomaly"    -> Relational.qEventsAnomaly _,
+    "q_events_percentiles" -> Relational.qEventsPercentiles _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -386,6 +387,37 @@ object SparkEntry {
         |  CASE WHEN std = 0 THEN FALSE
         |       ELSE abs((CAST(n_events AS DOUBLE) - mean) / std) > 2.0 END AS is_anomaly
         |FROM j""".stripMargin,
+
+    "q_events_percentiles" ->
+      """WITH bv AS (SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, c,
+        |          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        |        FROM bv),
+        |c2 AS (SELECT event_type, value, c, cum_end, cum_end - c AS cum_start,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+        |       FROM cum),
+        |c3 AS (SELECT *, CAST(cnt - 1 AS DOUBLE) * 0.50 AS k50,
+        |         CAST(cnt - 1 AS DOUBLE) * 0.95 AS k95,
+        |         CAST(cnt - 1 AS DOUBLE) * 0.99 AS k99
+        |       FROM c2),
+        |g AS (SELECT event_type, max(cnt) AS n_events,
+        |        min(value) AS v_min, max(value) AS v_max,
+        |        max(CASE WHEN cum_start <= floor(k50) AND floor(k50) < cum_end THEN value END) AS lo50,
+        |        max(CASE WHEN cum_start <= ceil(k50) AND ceil(k50) < cum_end THEN value END) AS hi50,
+        |        max(k50) AS kk50,
+        |        max(CASE WHEN cum_start <= floor(k95) AND floor(k95) < cum_end THEN value END) AS lo95,
+        |        max(CASE WHEN cum_start <= ceil(k95) AND ceil(k95) < cum_end THEN value END) AS hi95,
+        |        max(k95) AS kk95,
+        |        max(CASE WHEN cum_start <= floor(k99) AND floor(k99) < cum_end THEN value END) AS lo99,
+        |        max(CASE WHEN cum_start <= ceil(k99) AND ceil(k99) < cum_end THEN value END) AS hi99,
+        |        max(k99) AS kk99
+        |      FROM c3 GROUP BY 1)
+        |SELECT event_type, n_events, round(v_min, 6) AS v_min, round(v_max, 6) AS v_max,
+        |  round(lo50 + (hi50 - lo50) * (kk50 - floor(kk50)), 6) AS p50,
+        |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) AS p95,
+        |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
+        |FROM g""".stripMargin,
 
     "q_events_asof" ->
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),

@@ -163,6 +163,47 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** SURVEY §2 `q_events_percentiles`: exact per-type value percentiles
+    * (p50/p95/p99 with linear interpolation) — the standard observability
+    * query over an event stream. Rank positions come from cumulative
+    * counts over (event_type, DISTINCT value) — the chunk_stats pattern —
+    * so ties collapse before the per-key window; the windows partition by
+    * event_type (no global single-partition sort). This is the
+    * oracle-exact form; at 100 TB the serving path swaps in
+    * `approx_percentile` (t-digest) with this as its audit.
+    */
+  def qEventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ps = Seq("50" -> 0.50, "95" -> 0.95, "99" -> 0.99)
+    var cum = byVal
+      .withColumn("cum_end", sum(col("c")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    ps.foreach { case (nm, p) =>
+      cum = cum.withColumn(s"k$nm", (col("cnt") - 1).cast("double") * p)
+    }
+    val aggs =
+      Seq(max(col("cnt")).as("n_events"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max")) ++
+      ps.flatMap { case (nm, _) => Seq(
+        max(when(col("cum_start") <= floor(col(s"k$nm")) &&
+          floor(col(s"k$nm")) < col("cum_end"), col("value"))).as(s"lo$nm"),
+        max(when(col("cum_start") <= ceil(col(s"k$nm")) &&
+          ceil(col(s"k$nm")) < col("cum_end"), col("value"))).as(s"hi$nm"),
+        max(col(s"k$nm")).as(s"kk$nm"))
+      }
+    cum.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("event_type"), col("n_events"),
+        round(col("v_min"), 6).as("v_min"), round(col("v_max"), 6).as("v_max")) ++
+        ps.map { case (nm, _) =>
+          round(col(s"lo$nm") + (col(s"hi$nm") - col(s"lo$nm")) *
+            (col(s"kk$nm") - floor(col(s"kk$nm"))), 6).as(s"p$nm")
+        }: _*)
+  }
+
   /** Top-3 parts per brand by retail price: rank-over-partition. Single
     * shuffle on p_brand; a WindowGroupLimit (Spark 4) prunes to 3 rows per
     * group before the sort at scale.

@@ -195,4 +195,23 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == wantKeys)
     assert(math.abs(revs.head - mx.toDouble) < 1e-6)
   }
+  test("q_events_percentiles matches a scala interpolation replica") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = graft.sources.Tables.events(spark, dir).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val want = ev.groupBy(_._1).map { case (t, rs) =>
+      val v = rs.map(_._2).sorted
+      def pct(p: Double) = {
+        val k = (v.length - 1).toDouble * p
+        val lo = v(math.floor(k).toInt); val hi = v(math.ceil(k).toInt)
+        r6(lo + (hi - lo) * (k - math.floor(k)))
+      }
+      (t, v.length.toLong, r6(v.head), r6(v.last), pct(0.50), pct(0.95), pct(0.99))
+    }.toSet
+    val got = Relational.qEventsPercentiles(spark, dir).collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("v_min"), r.getAs[Double]("v_max"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toSet
+    assert(got == want)
+  }
 }
