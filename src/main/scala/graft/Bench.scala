@@ -25,10 +25,14 @@ object Bench {
 
   val Headliners: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q5_nation_revenue", "q6_filter_agg",
+    "q4_order_priority", "q15_top_supplier",
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "q_events_funnel", "q_events_retention", "q_events_anomaly",
+    "q_events_percentiles",
     "chunk_fixed", "chunk_tokens", "text_fingerprint", "text_quality", "text_surprisal",
+    "text_tfidf", "corpus_stats",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
+    "dedup_embedding_lsh",
     "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "vec_pca", "bm25_topk", "hybrid_rrf",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam")

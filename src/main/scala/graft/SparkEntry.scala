@@ -72,6 +72,7 @@ object SparkEntry {
     "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
     "vec_pca"             -> VectorOps.vecPca _,
+    "cluster_terms"       -> VectorOps.clusterTerms _,
     "vec_norm_stats"      -> VectorOps.vecNormStats _,
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
@@ -710,6 +711,7 @@ object SparkEntry {
     "ivfpq_recall" -> graft.operators.VectorOps.ivfpqRecallOracleSql(ivfCents, pqBooks),
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
     "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
+    "cluster_terms" -> graft.operators.VectorOps.clusterTermsOracleSql(ivfCents),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

@@ -221,6 +221,48 @@ object VectorOps {
       round(array_max(transform(diffs, v => abs(v))), 6).as("max_abs_err"))
   }
 
+  /** SURVEY §2 `cluster_terms`: label each embedding cluster with its top
+    * terms — documents join their vector's IVF cell (vec_id = doc_id in
+    * the testdata: embedding i encodes document i), then each cell ranks
+    * its summed term frequencies, top-3 per cell. This is how
+    * embedding-clustered corpora get human-readable names (cluster-based
+    * curation reports "cluster 7 ≈ {spark, shuffle, join}" instead of a
+    * centroid). Cell assignment is the narrow IvfProbes map; term counts
+    * come from the shared perDocTerms maps; the id join co-locates two
+    * corpus-sized sides on their primary key (AQE picks the strategy);
+    * the rank window partitions by cell.
+    */
+  def clusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val cells = assignCells(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        IvfModel.centroids(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val terms = Search.perDocTerms(spark, dir)
+      .select(col("doc_id"), explode(col("tc")).as(Seq("term", "f")))
+    cells.join(terms, Seq("doc_id"))
+      .groupBy(col("cell"), col("term")).agg(sum(col("f")).as("tf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("cell"), col("rk").cast("long").as("rk"), col("term"), col("tf"))
+  }
+
+  /** DuckDB oracle for cluster_terms: centroid literals + the token CTEs. */
+  def clusterTermsOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |$assignCtes,
+       |toks AS (
+       |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS term
+       |  FROM documents),
+       |ct AS (SELECT asg.cell, t.term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks t JOIN asg ON t.doc_id = asg.vec_id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT cell, term, tf,
+       |        row_number() OVER (PARTITION BY cell ORDER BY tf DESC, term) AS rk
+       |      FROM ct)
+       |SELECT cell, rk, term, tf FROM r WHERE rk <= 3""".stripMargin
+
   /** SURVEY §2 `vec_pca`: deterministic 2-component PCA projection — each
     * vector's coordinates in the corpus's top-2 principal directions plus
     * the rank-2 reconstruction error (what a drift dashboard plots, and

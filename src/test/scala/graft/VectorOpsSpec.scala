@@ -149,4 +149,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("norm_avg") - mean) < 1e-6)
     assert(r.getAs[Double]("norm_std") >= 0.0)
   }
+  test("cluster_terms labels every cell with its top-3 summed-tf terms") {
+    val cents = graft.operators.IvfModel.centroids(spark, dir)
+    val embs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cellOf(x: Array[Float]): Int =
+      cents.indices.minBy { c =>
+        val d = x.indices.map(j => (x(j).toDouble - cents(c)(j)) * (x(j).toDouble - cents(c)(j))).sum
+        // the kernel ranks on the 6dp-rounded distance with cell tiebreak
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, c)
+      }
+    val cellMap = embs.map { case (id, x) => id -> cellOf(x) }.toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.GraftText.wsTokens(r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(Int, String), Long]
+    docs.foreach { case (id, toks) =>
+      cellMap.get(id).foreach { c =>
+        toks.foreach(t => counts((c, t)) = counts.getOrElse((c, t), 0L) + 1L)
+      }
+    }
+    val want = counts.groupBy(_._1._1).flatMap { case (c, m) =>
+      m.toSeq.map { case ((_, t), n) => (t, n) }
+        .sortBy { case (t, n) => (-n, t) }.take(3)
+        .zipWithIndex.map { case ((t, n), i) => (c.toLong, i + 1L, t, n) }
+    }.toSet
+    val got = VectorOps.clusterTerms(spark, dir).collect().map(r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("rk"),
+        r.getAs[String]("term"), r.getAs[Long]("tf"))).toSet
+    assert(got == want)
+  }
 }
