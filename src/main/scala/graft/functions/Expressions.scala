@@ -1036,3 +1036,56 @@ object PairCounts {
 
   def column(c: Column): Column = Bridge.column(PairCounts(Bridge.expression(c)))
 }
+
+/** Random-hyperplane sign-bit chunk keys of a float-array embedding, as one
+  * native kernel: for each of the `planes.length` hyperplanes, the sign bit
+  * of `Σ_j x_j·h_kj` (f64, ascending j — the list_sum order), packed into
+  * `planes.length / chunkBits` chunk keys of `chunkBits` bits each.
+  *
+  * The equivalent column program is one interpreted `aggregate` fold PER
+  * BIT (16 boxed 64-element folds per row — ~180 µs/row at sf0.1); this is
+  * a single JVM pass. CodegenFallback: the surrounding stage stays
+  * codegen'd with one call per row (the WordShingles rationale). The
+  * hyperplanes ride inside the expression as literals — nothing shuffles
+  * to learn them — and the arithmetic is bit-identical to the generated
+  * DuckDB oracle's list_sum folds.
+  */
+case class VecSignChunks(child: Expression, planes: Array[Array[Double]], chunkBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_sign_chunks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val nChunks = planes.length / chunkBits
+    val keys = new Array[Long](nChunks)
+    var k = 0
+    while (k < planes.length) {
+      val h = planes(k)
+      val lim = math.min(n, h.length)
+      var acc = 0.0
+      var j = 0
+      while (j < lim) { acc += x.getFloat(j).toDouble * h(j); j += 1 }
+      if (acc >= 0.0) keys(k / chunkBits) |= 1L << (k % chunkBits)
+      k += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSignChunks =
+    copy(child = newChild)
+}
+
+object VecSignChunks {
+  def column(c: Column, planes: Array[Array[Double]], chunkBits: Int): Column =
+    Bridge.column(VecSignChunks(Bridge.expression(c), planes, chunkBits))
+}

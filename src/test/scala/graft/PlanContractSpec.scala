@@ -112,6 +112,13 @@ class PlanContractSpec extends SparkSpec {
   }
 
 
+  test("dedup_embedding_lsh: fused sign-bit kernel, bucket-keyed pairs, no cartesian") {
+    val p = executedPlan(Dedup.dedupEmbeddingLsh(spark, dir))
+    assert(p.contains("graft_vec_sign_chunks"), "the fused VecSignChunks kernel is missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay bucket-keyed")
+  }
+
   test("vec_pca is a narrow projection map: zero exchanges") {
     val plan = executedPlan(VectorOps.vecPca(spark, dir))
     assert(!plan.contains("Exchange"), s"PCA projection must not shuffle:\n$plan")
