@@ -69,20 +69,30 @@ object TextOps {
     * (entering via a Generate so projection collapse can't inline the
     * call per score column — the TextStats pattern).
     */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    withLangid(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(
+        (col("doc_id") +: Profiles.map(p => col(s"score_${p._1}"))) :+
+          col("pred_lang"): _*)
+
+  /** The langid scoring as a reusable transform over ANY frame with a
+    * `text` column — the [[withQuality]] counterpart: adds the four
+    * profile scores and `pred_lang`, other columns pass through (same
+    * single ProfileHits kernel pass entering via a Generate).
+    */
+  def withLangid(df: DataFrame): DataFrame = {
     val ph = graft.functions.ProfileHits.column(col("text"), Profiles.map(_._2))
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array(ph)).as("ph"))
-      .select(Seq(col("doc_id")) ++
+    val passthrough = df.columns.map(col).toSeq
+    val scored = df.select(passthrough :+ explode(array(ph)).as("ph"): _*)
+      .select(passthrough ++
         Profiles.zipWithIndex.map { case ((l, _), i) =>
           col("ph").getItem(i).as(s"score_$l") }: _*)
     val best = greatest(Profiles.map(p => col(s"score_${p._1}")): _*)
     val pred = Profiles.foldRight(lit("unknown")) { case ((l, _), acc) =>
       when(col(s"score_$l") === best, lit(l)).otherwise(acc)
     }
-    scored.select(
-      (col("doc_id") +: Profiles.map(p => col(s"score_${p._1}"))) :+
-        when(best === 0, lit("unknown")).otherwise(pred).as("pred_lang"): _*)
+    scored.select((passthrough ++ Profiles.map(p => col(s"score_${p._1}"))) :+
+      when(best === 0, lit("unknown")).otherwise(pred).as("pred_lang"): _*)
   }
 
   /** SURVEY §2 `text_quality`: length/punct/stopword/word-length features +
