@@ -35,6 +35,7 @@ object SparkEntry {
     "q_events_retention"  -> Relational.qEventsRetention _,
     "q_events_anomaly"    -> Relational.qEventsAnomaly _,
     "q_events_percentiles" -> Relational.qEventsPercentiles _,
+    "q_events_dau_wau"    -> Relational.qEventsDauWau _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -72,6 +73,7 @@ object SparkEntry {
     "ann_recall"          -> VectorOps.annRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
     "vec_pca"             -> VectorOps.vecPca _,
+    "vec_outliers"        -> VectorOps.vecOutliers _,
     "cluster_terms"       -> VectorOps.clusterTerms _,
     "vec_norm_stats"      -> VectorOps.vecNormStats _,
     "vec_pq"              -> VectorOps.vecPq _,
@@ -420,6 +422,16 @@ object SparkEntry {
         |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
         |FROM g""".stripMargin,
 
+    "q_events_dau_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+        |wau AS (SELECT day, count(*) AS wau FROM (
+        |          SELECT DISTINCT user_id, day + CAST(t.k AS INT) AS day
+        |          FROM act, UNNEST(range(0, 7)) AS t(k))
+        |        GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
     "q_events_asof" ->
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
         |r AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
@@ -712,6 +724,7 @@ object SparkEntry {
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
     "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
     "cluster_terms" -> graft.operators.VectorOps.clusterTermsOracleSql(ivfCents),
+    "vec_outliers" -> graft.operators.VectorOps.vecOutliersOracleSql(ivfCents),
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

@@ -163,6 +163,27 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** SURVEY §2 `q_events_dau_wau`: daily and trailing-7-day active users —
+    * the product-analytics pair next to funnel/retention. DAU is a
+    * distinct-(user, day) count; WAU materializes each active (user, day)
+    * into the 7 observation days it covers (the q_events_sliding
+    * union trick, as an explode) and distinct-counts per observation day.
+    * Integer-exact; both aggs shuffle on bounded keys (day, user×day).
+    */
+  def qEventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
   /** SURVEY §2 `q_events_percentiles`: exact per-type value percentiles
     * (p50/p95/p99 with linear interpolation) — the standard observability
     * query over an event stream. Rank positions come from cumulative

@@ -221,6 +221,54 @@ object VectorOps {
       round(array_max(transform(diffs, v => abs(v))), 6).as("max_abs_err"))
   }
 
+  /** SURVEY §2 `vec_outliers`: embedding outliers by cell-relative
+    * distance z-score — vectors far from their own cluster's centroid
+    * (z > 2 on the assignment distance) flag encoder failures and
+    * out-of-distribution rows before they pollute an index. Per-cell
+    * moments come from exact DECIMAL sums of the (6dp-rounded) d2 (the
+    * vec_norm_stats arithmetic); the ≤[[NumCells]]-row stats table
+    * broadcasts back onto the narrow assignment scan.
+    */
+  def vecOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfBuild(spark, dir)
+    val d = col("d2").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val stats = asg.groupBy(col("cell")).agg(
+      count(lit(1)).as("n"), sum(d).as("sd"), sum(d * d).as("sd2"))
+    val mean = col("sd").cast("double") / col("n")
+    val variance = col("sd2").cast("double") / col("n") - mean * mean
+    val st = stats.select(col("cell"),
+      mean.as("mean"),
+      sqrt(when(variance < 0, lit(0.0)).otherwise(variance)).as("std"))
+    asg.join(broadcast(st), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("d2"),
+        when(col("std") === 0, lit(0.0))
+          .otherwise(round((col("d2") - col("mean")) / col("std"), 6)).as("z"),
+        (col("std") =!= 0 && (col("d2") - col("mean")) / col("std") > 2.0)
+          .as("is_outlier"))
+  }
+
+  /** DuckDB oracle for vec_outliers: assignment CTEs + the identical
+    * decimal-moment arithmetic.
+    */
+  def vecOutliersOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |$assignCtes,
+       |s AS (SELECT cell, count(*) AS n,
+       |        sum(CAST(d2 AS DECIMAL(18,6))) AS sd,
+       |        sum(CAST(d2 AS DECIMAL(18,6)) * CAST(d2 AS DECIMAL(18,6))) AS sd2
+       |      FROM asg GROUP BY 1),
+       |st AS (SELECT cell, CAST(sd AS DOUBLE) / n AS mean,
+       |        sqrt(CASE WHEN CAST(sd2 AS DOUBLE) / n -
+       |            (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) < 0 THEN 0.0
+       |          ELSE CAST(sd2 AS DOUBLE) / n -
+       |            (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) END) AS std
+       |      FROM s)
+       |SELECT asg.vec_id, asg.cell, asg.d2,
+       |  CASE WHEN st.std = 0 THEN 0.0
+       |       ELSE round((asg.d2 - st.mean) / st.std, 6) END AS z,
+       |  st.std <> 0 AND (asg.d2 - st.mean) / st.std > 2.0 AS is_outlier
+       |FROM asg JOIN st ON asg.cell = st.cell""".stripMargin
+
   /** SURVEY §2 `cluster_terms`: label each embedding cluster with its top
     * terms — documents join their vector's IVF cell (vec_id = doc_id in
     * the testdata: embedding i encodes document i), then each cell ranks

@@ -214,4 +214,23 @@ class RelationalSpec extends SparkSpec {
         r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toSet
     assert(got == want)
   }
+  test("q_events_dau_wau counts trailing-7-day distinct users") {
+    val act = graft.sources.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val days = act.map(_._2).distinct
+    val want = days.map { d =>
+      val dau = act.count(_._2 == d).toLong
+      val wau = act.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+      (d.toString, dau, wau)
+    }.toSet
+    val got = Relational.qEventsDauWau(spark, dir).collect().map(r =>
+      (r.getAs[String]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toSet
+    assert(got == want)
+  }
 }

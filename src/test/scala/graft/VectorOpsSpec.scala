@@ -178,4 +178,24 @@ class VectorOpsSpec extends SparkSpec {
         r.getAs[String]("term"), r.getAs[Long]("tf"))).toSet
     assert(got == want)
   }
+  test("vec_outliers z-scores replay the per-cell assignment moments") {
+    val asg = VectorOps.ivfBuild(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("d2")))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = asg.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      val ds = rows.toSeq.map(d => BigDecimal(d._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val n = rows.length
+      val mean = (ds.sum / n).toDouble
+      val v = (ds.map(d => d * d).sum / n).toDouble - mean * mean
+      val std = math.sqrt(math.max(0.0, v))
+      rows.toSeq.map { case (id, _, d2) =>
+        val z = if (std == 0) 0.0 else r6((d2 - mean) / std)
+        (id, c, d2, z, std != 0 && (d2 - mean) / std > 2.0)
+      }
+    }.toSet
+    val got = VectorOps.vecOutliers(spark, dir).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("d2"),
+        r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toSet
+    assert(got == want)
+  }
 }
