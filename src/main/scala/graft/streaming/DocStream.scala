@@ -55,6 +55,24 @@ object DocStream {
                         maxBucket: Int = Dedup.MaxBucketSize): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bucketCandidates(
+      docs
+        .select(col("doc_id"), col("ts"),
+          posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
+        .as[BandHit],
+      withinMinutes, maxBucket)
+  }
+
+  /** The keyed bucket-state machine shared by every streaming LSH
+    * candidate generator (text minhash bands, vector sign chunks): pairs
+    * emit inside a bucket, residents age out with the watermark, over-cap
+    * buckets poison themselves. Callers map their modality into
+    * [[BandHit]] rows.
+    */
+  def bucketCandidates(hits: Dataset[BandHit], withinMinutes: Int,
+                       maxBucket: Int): Dataset[CandPair] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
     val windowMs = withinMinutes * 60L * 1000L
 
     def fold(bk: (Int, String), hits: Iterator[BandHit],
@@ -84,10 +102,7 @@ object DocStream {
       }
     }
 
-    docs
-      .select(col("doc_id"), col("ts"),
-        posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
-      .as[BandHit]
+    hits
       .withWatermark("ts", s"$withinMinutes minutes")
       .groupByKey(h => (h.band, h.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)

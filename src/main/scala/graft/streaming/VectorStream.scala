@@ -42,6 +42,36 @@ object VectorStream {
         PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb).as("score"))
   }
 
+  /** Streaming embedding near-dup candidates — the continuous form of the
+    * batch [[graft.operators.Dedup.dedupEmbeddingLsh]]: each arriving
+    * vector's sign-chunk keys (one fused
+    * [[graft.functions.VecSignChunks]] kernel pass, same deterministic
+    * hyperplanes) route it to chunk buckets over the SAME keyed
+    * bucket-state machine as the text stream
+    * ([[DocStream.bucketCandidates]]) — watermark-evicted residents,
+    * stop-bucket poisoning. Emitted pairs feed an exact-cosine verify,
+    * exactly like the batch operator's verify join.
+    *
+    * `vectors` needs (`vec_id`, `ts`, `embedding array<float>`).
+    */
+  def nearDupCandidates(vectors: DataFrame, dim: Int, withinMinutes: Int = 60,
+                        maxBucket: Int = graft.operators.Dedup.MaxBucketSize)
+      : org.apache.spark.sql.Dataset[DocStream.CandPair] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(graft.operators.Dedup.EmbLshBits, dim)(
+      (k, j) => graft.operators.Dedup.hyperplane(k, j))
+    DocStream.bucketCandidates(
+      vectors.select(col("vec_id").as("doc_id"), col("ts"),
+          posexplode(graft.functions.VecSignChunks.column(
+            col("embedding"), planes, graft.operators.Dedup.EmbLshChunkBits))
+            .as(Seq("band", "key")))
+        .select(col("band"), col("key").cast("string").as("key"),
+          col("doc_id"), col("ts"))
+        .as[DocStream.BandHit],
+      withinMinutes, maxBucket)
+  }
+
   /** Per-micro-batch top-k ranking of [[adcCandidates]] output (run it
     * inside `foreachBatch`): deterministic 6dp-score ordering with id
     * tiebreak — identical to the batch serving path.

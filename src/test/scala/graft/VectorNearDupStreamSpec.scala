@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.streaming.VectorStream
+
+case class TimedVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
+/** Streaming embedding-LSH near-dup candidates: batch parity against the
+  * bucket pair set of [[Dedup.dedupEmbeddingLsh]] on the real testdata
+  * embeddings.
+  */
+class VectorNearDupStreamSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val T0 = 1700000000000L
+
+  test("streamed candidate pairs match the batch chunk-bucket pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val embs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = embs.head._2.length
+
+    val mem = MemoryStream[TimedVec]
+    mem.addData(embs.map { case (id, v) =>
+      TimedVec(id, new Timestamp(T0 + id), v) }.toIndexedSeq: _*)
+    val q = VectorStream.nearDupCandidates(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("vec_neardup").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vec_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    // batch reference: the chunk-bucket candidate pairs (pre-verify) —
+    // replicate with the same hyperplanes and packing
+    val planes = Array.tabulate(Dedup.EmbLshBits, dim)((k, j) => Dedup.hyperplane(k, j))
+    def keys(v: Array[Float]): Seq[(Int, Long)] = {
+      val ks = new Array[Long](Dedup.EmbLshBits / Dedup.EmbLshChunkBits)
+      for (k <- 0 until Dedup.EmbLshBits) {
+        var acc = 0.0
+        for (j <- 0 until dim) acc += v(j).toDouble * planes(k)(j)
+        if (acc >= 0.0) ks(k / Dedup.EmbLshChunkBits) |= 1L << (k % Dedup.EmbLshChunkBits)
+      }
+      ks.zipWithIndex.map { case (key, c) => (c, key) }.toSeq
+    }
+    val buckets = embs.flatMap { case (id, v) => keys(v).map(ck => ck -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      .filter { case (_, ids) => ids.length >= 2 && ids.length <= Dedup.MaxBucketSize }
+    val want = buckets.values.flatMap { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    assert(streamed == want)
+    assert(want.nonEmpty, "testdata should produce at least one candidate")
+  }
+}
