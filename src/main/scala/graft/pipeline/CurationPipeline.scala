@@ -92,13 +92,14 @@ object CurationPipeline {
           .withColumn("seq_offset", col("tokens_before") % cfg.packBudget)
           .drop("__src", "tokens_before")
       }
+    // sums over an EMPTY frame are NULL, not 0 — coalesce before collect
     val r = decisions.agg(
         count(lit(1)).as("n"),
-        sum(when(col("quality") < cfg.qualityBar, 1L).otherwise(0L)).as("nq"),
-        sum(when(col("pred_lang") =!= cfg.targetLang, 1L).otherwise(0L)).as("nl"),
-        sum(when(!col("dup_keep"), 1L).otherwise(0L)).as("nd"),
-        sum(when(!col("sample_keep"), 1L).otherwise(0L)).as("ns"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("nk"))
+        coalesce(sum(when(col("quality") < cfg.qualityBar, 1L).otherwise(0L)), lit(0L)).as("nq"),
+        coalesce(sum(when(col("pred_lang") =!= cfg.targetLang, 1L).otherwise(0L)), lit(0L)).as("nl"),
+        coalesce(sum(when(!col("dup_keep"), 1L).otherwise(0L)), lit(0L)).as("nd"),
+        coalesce(sum(when(!col("sample_keep"), 1L).otherwise(0L)), lit(0L)).as("ns"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("nk"))
       .collect()(0)
     val report = Report(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5),
