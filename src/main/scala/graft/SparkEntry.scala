@@ -39,6 +39,7 @@ object SparkEntry {
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
+    "text_langid_confusion" -> TextOps.textLangidConfusion _,
     "text_quality"        -> TextOps.textQuality _,
     "text_fingerprint"    -> TextOps.textFingerprint _,
     "text_vocab"          -> TextOps.textVocab _,
@@ -51,6 +52,7 @@ object SparkEntry {
     "text_entropy"        -> TextOps.textEntropy _,
     "chunk_fixed"         -> Chunking.chunkFixed _,
     "chunk_tokens"        -> Chunking.chunkTokens _,
+    "chunk_boilerplate"   -> Chunking.chunkBoilerplate _,
     "chunk_sentences"     -> Chunking.chunkSentences _,
     "chunk_headings"      -> Chunking.chunkHeadings _,
     "chunk_stats"         -> Chunking.chunkStats _,
@@ -510,6 +512,34 @@ object SparkEntry {
         |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
 
+    "text_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS score_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS score_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','de','es','y','un'], x))) AS score_es,
+        |    len(list_filter(toks, x -> list_contains(['le','les','et','est','un','une','de'], x))) AS score_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+        |         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM s),
+        |cm AS (SELECT d.lang, l.pred_lang, count(*) AS n_docs
+        |       FROM documents d JOIN l ON d.doc_id = l.doc_id GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) /
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+        |FROM cm""".stripMargin,
+
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, length(text) AS n_chars,
@@ -615,6 +645,8 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "chunk_tokens" -> graft.operators.Chunking.chunkTokensOracleSql,
+
+    "chunk_boilerplate" -> graft.operators.Chunking.chunkBoilerplateOracleSql,
 
     "chunk_sentences" -> graft.operators.Chunking.chunkSentencesOracleSql,
 

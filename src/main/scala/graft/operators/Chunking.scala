@@ -52,6 +52,48 @@ object Chunking {
     chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
 
+  /** SURVEY §2 `chunk_boilerplate`: per-document share of chunks that
+    * recur in OTHER documents — the C4-style boilerplate signal (headers,
+    * footers, navigation shared across pages show up as corpus-duplicated
+    * windows). Chunks key on their [[graft.operators.TextOps.fingerprint]]
+    * rolling hash, so the duplicate-count shuffle carries an 8-byte key
+    * instead of chunk text; the ≥2-distinct-docs count joins back on the
+    * same key; per-doc ratios are one final doc_id agg.
+    */
+  def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.fingerprint(col("chunk")).as("fp"))
+    val dup = ch.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(dup, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
+      .withColumn("boiler_ratio",
+        round(col("n_boilerplate").cast("double") / col("n_chunks").cast("double"), 6))
+  }
+
+  /** DuckDB oracle for chunk_boilerplate: the chunk_fixed CTE + the same
+    * rolling-hash key (the dedup_exact list_reduce replication).
+    */
+  def chunkBoilerplateOracleSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |e AS (SELECT doc_id, substr(text, CAST(t.j * 80 + 1 AS INT), 100) AS chunk
+      |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j)),
+      |f AS (SELECT doc_id,
+      |        CASE WHEN length(chunk) < 1 THEN 0
+      |             ELSE list_reduce(list_transform(range(1, length(chunk) + 1),
+      |                    i -> CAST(ord(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
+      |                    (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+      |      FROM e),
+      |g AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
+      |SELECT f.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+      |  round(CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+      |FROM f JOIN g ON f.fp = g.fp
+      |GROUP BY f.doc_id""".stripMargin
+
   /** `chunk_preview` (reference `api/chunk_preview.py`): try alternative
     * chunking params on a small sample of documents — same column program
     * with (size=50, overlap=10) over doc_id < 5.

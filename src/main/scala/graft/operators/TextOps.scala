@@ -95,6 +95,24 @@ object TextOps {
       when(best === 0, lit("unknown")).otherwise(pred).as("pred_lang"): _*)
   }
 
+  /** SURVEY §2 `text_langid_confusion`: the classifier-eval confusion
+    * matrix — labeled language (the `lang` column) × predicted language
+    * counts with per-label shares. This is how a pipeline decides whether
+    * its langid stage is good enough to gate data on: the diagonal is the
+    * per-language recall. One doc_id join + one tiny (lang, pred) agg;
+    * the share window partitions over ≤|langs|² rows.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val lab = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    lab.join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))).cast("double"), 6))
+  }
+
   /** SURVEY §2 `text_quality`: length/punct/stopword/word-length features +
     * a bounded weighted score, arithmetic written identically to the DuckDB
     * oracle (int/int divisions are IEEE-exact; final score rounded 6dp).

@@ -71,4 +71,28 @@ class ChunkingQuerySpec extends SparkSpec {
       if (j.toInt < lastOf(d)) assert(n == size.toLong, s"chunk $k")
     }
   }
+  test("chunk_boilerplate counts corpus-duplicated chunk fingerprints per doc") {
+    def polyhash(t: String): Long = {
+      var acc = 0L
+      t.foreach(c => acc = (acc * graft.operators.TextOps.FpBase + c.toLong) %
+        graft.operators.TextOps.FpMod)
+      acc
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, text) =>
+      TextChunk.chunkFixed(text, Chunking.Size, Chunking.Overlap)
+        .map(chunk => (id, polyhash(chunk)))
+    }
+    val nd = chunks.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = chunks.groupBy(_._1).map { case (id, cs) =>
+      val boiler = cs.count(c => nd(c._2) >= 2).toLong
+      (id, cs.length.toLong, boiler, r6(boiler.toDouble / cs.length))
+    }.toSet
+    val got = Chunking.chunkBoilerplate(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_boilerplate"), r.getAs[Double]("boiler_ratio"))).toSet
+    assert(got == want)
+  }
 }

@@ -231,4 +231,25 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Double]("ttr"))).toSet
     assert(got == want)
   }
+  test("text_langid_confusion is consistent with textLangid and the labels") {
+    val pred = TextOps.textLangid(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val lab = Tables.documents(spark, dir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cm = lab.toSeq.map { case (id, l) => (l, pred(id)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val perLang = cm.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = cm.map { case ((l, p), n) =>
+      (l, p, n, r6(n.toDouble / perLang(l)))
+    }.toSet
+    val got = TextOps.textLangidConfusion(spark, dir).collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("share"))).toSet
+    assert(got == want)
+    // shares per labeled language sum to 1 within rounding
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.toSeq.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
 }
