@@ -36,6 +36,7 @@ object SparkEntry {
     "q_events_anomaly"    -> Relational.qEventsAnomaly _,
     "q_events_percentiles" -> Relational.qEventsPercentiles _,
     "q_events_dau_wau"    -> Relational.qEventsDauWau _,
+    "q_orders_growth"     -> Relational.qOrdersGrowth _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -422,6 +423,18 @@ object SparkEntry {
         |  round(lo50 + (hi50 - lo50) * (kk50 - floor(kk50)), 6) AS p50,
         |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) AS p95,
         |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
+        |FROM g""".stripMargin,
+
+    "q_orders_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT month, revenue, n_orders,
+        |        lag(revenue) OVER (ORDER BY month) AS prev FROM m)
+        |SELECT month, revenue, n_orders,
+        |  round((revenue - prev) / prev, 6) AS mom_growth
         |FROM g""".stripMargin,
 
     "q_events_dau_wau" ->

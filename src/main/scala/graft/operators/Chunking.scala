@@ -56,9 +56,14 @@ object Chunking {
     * recur in OTHER documents — the C4-style boilerplate signal (headers,
     * footers, navigation shared across pages show up as corpus-duplicated
     * windows). Chunks key on their [[graft.operators.TextOps.fingerprint]]
-    * rolling hash, so the duplicate-count shuffle carries an 8-byte key
+    * rolling hash, so the duplicate-count shuffle carries a scalar key
     * instead of chunk text; the ≥2-distinct-docs count joins back on the
     * same key; per-doc ratios are one final doc_id agg.
+    *
+    * Named limit: the 30-bit polyhash keyspace collides at corpus scale
+    * (birthday ≈ 50k chunks) — identically on BOTH engines, so the oracle
+    * stays exact, but a production run swaps in a 128-bit hash
+    * (xxhash64 twice / sha) for semantic exactness at 100 TB.
     */
   def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))

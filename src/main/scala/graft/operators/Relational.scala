@@ -163,6 +163,25 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** SURVEY §2 `q_orders_growth`: monthly revenue with month-over-month
+    * growth — the lag-window time-series shape. Revenue is one
+    * month-keyed decimal agg (map-side combined); the lag window orders
+    * the MONTH table, which is bounded (one row per month, like
+    * curation_budget's quality bands), so the single-partition window
+    * frame never sees the fact table. Growth divides exact-decimal-cast
+    * doubles, IEEE-identical across engines; the first month is NULL on
+    * both.
+    */
+  def qOrdersGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    m.withColumn("prev", lag(col("revenue"), 1).over(Window.orderBy(col("month"))))
+      .select(col("month"), col("revenue"), col("n_orders"),
+        round((col("revenue") - col("prev")) / col("prev"), 6).as("mom_growth"))
+  }
+
   /** SURVEY §2 `q_events_dau_wau`: daily and trailing-7-day active users —
     * the product-analytics pair next to funnel/retention. DAU is a
     * distinct-(user, day) count; WAU materializes each active (user, day)
@@ -189,9 +208,13 @@ object Relational {
     * query over an event stream. Rank positions come from cumulative
     * counts over (event_type, DISTINCT value) — the chunk_stats pattern —
     * so ties collapse before the per-key window; the windows partition by
-    * event_type (no global single-partition sort). This is the
-    * oracle-exact form; at 100 TB the serving path swaps in
-    * `approx_percentile` (t-digest) with this as its audit.
+    * event_type (no global single-partition sort). Named limit: with few
+    * event types the per-key cumulative window still concentrates each
+    * type's distinct values in one task — exact percentiles over a
+    * continuous column fundamentally need a per-key ordered pass. This is
+    * the oracle-exact AUDIT form (run on a slice); at 100 TB the serving
+    * path is `approx_percentile` (t-digest), whose per-key state is a
+    * constant-size sketch merged map-side.
     */
   def qEventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val byVal = Tables.events(spark, dir)

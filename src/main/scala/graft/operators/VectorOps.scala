@@ -230,6 +230,10 @@ object VectorOps {
     * broadcasts back onto the narrow assignment scan.
     */
   def vecOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // asg feeds both the stats agg and the z join — two narrow kernel
+    // scans by choice: materializing a corpus-sized assignment frame
+    // costs more memory than re-running a zero-shuffle map (the simhash
+    // checkpoint lesson applies to frames feeding SHUFFLES, not scans).
     val asg = ivfBuild(spark, dir)
     val d = col("d2").cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val stats = asg.groupBy(col("cell")).agg(

@@ -233,4 +233,24 @@ class RelationalSpec extends SparkSpec {
       (r.getAs[String]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toSet
     assert(got == want)
   }
+  test("q_orders_growth computes MoM deltas over the month table") {
+    val rows = Relational.qOrdersGrowth(spark, dir).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Double]("revenue"),
+        r.getAs[Long]("n_orders"),
+        Option(r.get(r.fieldIndex("mom_growth"))).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.head._4.isEmpty, "first month has no previous to grow from")
+    rows.toSeq.sliding(2).foreach {
+      case Seq((_, prevRev, _, _), (_, rev, _, Some(g))) =>
+        val want = BigDecimal((rev - prevRev) / prevRev)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(g - want) < 1e-9)
+      case _ => fail("non-first month must carry a growth value")
+    }
+    // months are distinct and the order totals add up
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val nOrders = graft.sources.Tables.orders(spark, dir).count()
+    assert(rows.map(_._3).sum == nOrders)
+  }
 }
