@@ -28,8 +28,9 @@ object Bench {
     "q4_order_priority", "q15_top_supplier",
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "q_events_funnel", "q_events_retention", "q_events_anomaly",
-    "q_events_percentiles",
-    "chunk_fixed", "chunk_tokens", "text_fingerprint", "text_quality", "text_surprisal",
+    "q_events_percentiles", "q_events_dau_wau",
+    "chunk_fixed", "chunk_tokens", "chunk_boilerplate",
+    "text_fingerprint", "text_quality", "text_surprisal",
     "text_tfidf", "corpus_stats",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
     "dedup_embedding_lsh",
