@@ -107,6 +107,7 @@ object SparkEntry {
     "curation_pack"       -> Curation.curationPack _,
     "curation_report"     -> Curation.curationReport _,
     "curation_weight"     -> Curation.curationWeight _,
+    "curation_crossmodal" -> Curation.curationCrossmodal _,
   )
 
   /** DuckDB CTE block computing a per-query ranked neighbor list, mirroring
@@ -770,6 +771,28 @@ object SparkEntry {
     "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
     "cluster_terms" -> graft.operators.VectorOps.clusterTermsOracleSql(ivfCents),
     "vec_outliers" -> graft.operators.VectorOps.vecOutliersOracleSql(ivfCents),
+
+    "curation_crossmodal" ->
+      s"""WITH ${graft.operators.VectorOps.vecOutliersCtes(ivfCents)},
+         |qt AS (
+         |  SELECT doc_id, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |qf AS (
+         |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS stops
+         |  FROM qt),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+         |        + 0.3 * (1.0 - least(1.0, CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0))
+         |        + 0.3 * least(1.0, CAST(stops AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0), 6) AS quality
+         |  FROM qf WHERE n_tokens > 0)
+         |SELECT q.doc_id, q.quality, vo.z, vo.is_outlier,
+         |  q.quality >= 0.75 AND NOT vo.is_outlier AS keep
+         |FROM q JOIN vo ON q.doc_id = vo.vec_id""".stripMargin,
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 

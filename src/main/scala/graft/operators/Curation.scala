@@ -255,6 +255,23 @@ object Curation {
           .as("weight"))
   }
 
+  /** SURVEY §2 `curation_crossmodal`: the text×embedding fused keep
+    * decision — a document survives iff its TEXT clears the quality bar
+    * AND its EMBEDDING is not an outlier in its own cluster
+    * ([[VectorOps.vecOutliers]]). This is how a multimodal pipeline
+    * actually gates: each modality's verified signal computed in its own
+    * narrow plan, fused by one primary-key join (vec_id = doc_id in the
+    * testdata: embedding i encodes document i).
+    */
+  def curationCrossmodal(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val o = VectorOps.vecOutliers(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("z"), col("is_outlier"))
+    q.join(o, Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("z"), col("is_outlier"),
+        (col("quality") >= QualityBar && !col("is_outlier")).as("keep"))
+  }
+
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(spark, dir).select(col("doc_id"), col("quality"))
     val lang = TextOps.textLangid(spark, dir).select(col("doc_id"), col("pred_lang"))

@@ -251,27 +251,35 @@ object VectorOps {
           .as("is_outlier"))
   }
 
-  /** DuckDB oracle for vec_outliers: assignment CTEs + the identical
-    * decimal-moment arithmetic.
+  /** CTE chain BODY ending in `vo(vec_id, cell, d2, z, is_outlier)` —
+    * the vec_outliers computation, composable into fused oracles
+    * (curation_crossmodal).
     */
-  def vecOutliersOracleSql(cents: Array[Array[Double]]): String =
-    s"""WITH ${IvfModel.centsCte(cents)},
+  def vecOutliersCtes(cents: Array[Array[Double]]): String =
+    s"""${IvfModel.centsCte(cents)},
        |$assignCtes,
-       |s AS (SELECT cell, count(*) AS n,
+       |vs AS (SELECT cell, count(*) AS n,
        |        sum(CAST(d2 AS DECIMAL(18,6))) AS sd,
        |        sum(CAST(d2 AS DECIMAL(18,6)) * CAST(d2 AS DECIMAL(18,6))) AS sd2
        |      FROM asg GROUP BY 1),
-       |st AS (SELECT cell, CAST(sd AS DOUBLE) / n AS mean,
+       |vst AS (SELECT cell, CAST(sd AS DOUBLE) / n AS mean,
        |        sqrt(CASE WHEN CAST(sd2 AS DOUBLE) / n -
        |            (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) < 0 THEN 0.0
        |          ELSE CAST(sd2 AS DOUBLE) / n -
        |            (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n) END) AS std
-       |      FROM s)
-       |SELECT asg.vec_id, asg.cell, asg.d2,
-       |  CASE WHEN st.std = 0 THEN 0.0
-       |       ELSE round((asg.d2 - st.mean) / st.std, 6) END AS z,
-       |  st.std <> 0 AND (asg.d2 - st.mean) / st.std > 2.0 AS is_outlier
-       |FROM asg JOIN st ON asg.cell = st.cell""".stripMargin
+       |      FROM vs),
+       |vo AS (SELECT asg.vec_id, asg.cell, asg.d2,
+       |        CASE WHEN vst.std = 0 THEN 0.0
+       |             ELSE round((asg.d2 - vst.mean) / vst.std, 6) END AS z,
+       |        vst.std <> 0 AND (asg.d2 - vst.mean) / vst.std > 2.0 AS is_outlier
+       |      FROM asg JOIN vst ON asg.cell = vst.cell)""".stripMargin
+
+  /** DuckDB oracle for vec_outliers: assignment CTEs + the identical
+    * decimal-moment arithmetic.
+    */
+  def vecOutliersOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${vecOutliersCtes(cents)}
+       |SELECT vec_id, cell, d2, z, is_outlier FROM vo""".stripMargin
 
   /** SURVEY §2 `cluster_terms`: label each embedding cluster with its top
     * terms — documents join their vector's IVF cell (vec_id = doc_id in

@@ -132,4 +132,23 @@ class CurationSpec extends SparkSpec {
       assert(rep == reps.getOrElse(id, id))
     }
   }
+  test("curation_crossmodal fuses the quality and outlier signals consistently") {
+    val q = graft.operators.TextOps.textQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val o = graft.operators.VectorOps.vecOutliers(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toMap
+    val rows = Curation.curationCrossmodal(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // one row per doc that has BOTH signals, decisions replayed exactly
+    assert(rows.length == q.keySet.intersect(o.keySet).size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("quality") == q(id))
+      assert(r.getAs[Double]("z") == o(id)._1)
+      assert(r.getAs[Boolean]("is_outlier") == o(id)._2)
+      assert(r.getAs[Boolean]("keep") ==
+        (q(id) >= Curation.QualityBar && !o(id)._2))
+    }
+  }
 }
