@@ -37,6 +37,8 @@ object SparkEntry {
     "q_events_percentiles" -> Relational.qEventsPercentiles _,
     "q_events_dau_wau"    -> Relational.qEventsDauWau _,
     "q_orders_growth"     -> Relational.qOrdersGrowth _,
+    "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
+    "q18_large_orders"    -> Relational.q18LargeOrders _,
     "doc_normalize"       -> TextOps.docNormalize _,
     "text_tokens"         -> TextOps.textTokens _,
     "text_langid"         -> TextOps.textLangid _,
@@ -425,6 +427,27 @@ object SparkEntry {
         |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) AS p95,
         |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
         |FROM g""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS n_customers
+        |FROM pc GROUP BY c_count""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) >= 300)
+        |SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_orders_growth" ->
       """WITH m AS (

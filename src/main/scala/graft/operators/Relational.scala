@@ -163,6 +163,42 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q13-style: the customer order-count distribution — how many
+    * customers placed k orders, INCLUDING the zero bucket (customer LEFT
+    * JOIN orders). The double-aggregate shape: a custkey-keyed count
+    * (map-side combined), then a count-of-counts over the tiny histogram
+    * domain. Integer-exact.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q18-style: large orders — orders whose line items total ≥ 300
+    * units (the HAVING-on-aggregate shape), top-10 by quantity. The
+    * lineitem agg keys on orderkey; HAVING prunes before the orders join
+    * (the big side shrinks first); the result is a TakeOrdered head with
+    * a deterministic orderkey tiebreak. Quantity sums are decimal-exact.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") >= 300)
+    big.join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** SURVEY §2 `q_orders_growth`: monthly revenue with month-over-month
     * growth — the lag-window time-series shape. Revenue is one
     * month-keyed decimal agg (map-side combined); the lag window orders

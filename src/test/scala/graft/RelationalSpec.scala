@@ -253,4 +253,36 @@ class RelationalSpec extends SparkSpec {
     val nOrders = graft.sources.Tables.orders(spark, dir).count()
     assert(rows.map(_._3).sum == nOrders)
   }
+  test("q13 histogram covers every customer exactly once, zero bucket included") {
+    val rows = Relational.q13CustomerDistribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("n_customers"))
+    val nCust = graft.sources.Tables.customer(spark, dir).count()
+    assert(rows.map(_._2).sum == nCust, "histogram must partition the customers")
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select("o_custkey").collect().map(_.getLong(0))
+    val perCust = orders.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val zeros = nCust - perCust.size
+    val want = (perCust.values.groupBy(identity).view.mapValues(_.size.toLong).toMap ++
+      (if (zeros > 0) Map(0L -> zeros) else Map.empty)).toSet
+    assert(rows.toSet == want)
+  }
+
+  test("q18 returns the largest orders above the quantity bar, ranked") {
+    val rows = Relational.q18LargeOrders(spark, dir).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("total_qty")))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (_, q) => assert(q >= 300.0) }
+    val qs = rows.map(_._2).toSeq
+    assert(qs == qs.sorted.reverse, "must be ordered by quantity desc")
+    // replica: top orders by summed quantity
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val want = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .filter(_._2 >= 300)
+      .sortBy { case (k, q) => (-q, k) }.take(10)
+      .map { case (k, q) => (k, q.toDouble) }
+    assert(rows.toSeq == want)
+  }
 }
