@@ -1089,3 +1089,67 @@ object VecSignChunks {
   def column(c: Column, planes: Array[Array[Double]], chunkBits: Int): Column =
     Bridge.column(VecSignChunks(Bridge.expression(c), planes, chunkBits))
 }
+
+/** PCA projection + rank-2 residual of a float-array embedding in one
+  * kernel pass: pc1/pc2 = ascending-order folds of `(x_j − μ_j)·c_kj`,
+  * rounded to 6 dp exactly like Spark's `round` (BigDecimal.valueOf,
+  * HALF_UP), then the residual fold uses the ROUNDED projections — the
+  * identical arithmetic as the generated DuckDB oracle. Returns
+  * `[pc1, pc2, err_l2]`. The equivalent column program ran three
+  * interpreted 64-element folds per row; this is one JVM call
+  * (CodegenFallback, the WordShingles rationale).
+  */
+case class PcaProject(child: Expression, mean: Array[Double],
+                      comps: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pca_project"
+
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val lim = math.min(x.numElements(), mean.length)
+    val p = new Array[Double](comps.length)
+    var k = 0
+    while (k < comps.length) {
+      val c = comps(k)
+      var acc = 0.0
+      var j = 0
+      while (j < lim) {
+        acc = acc + (x.getFloat(j).toDouble - mean(j)) * c(j)
+        j += 1
+      }
+      p(k) = round6(acc)
+      k += 1
+    }
+    var err = 0.0
+    var j = 0
+    while (j < lim) {
+      var d = x.getFloat(j).toDouble - mean(j)
+      var kk = 0
+      while (kk < comps.length) { d -= p(kk) * comps(kk)(j); kk += 1 }
+      err = err + d * d
+      j += 1
+    }
+    new GenericArrayData(Array(p(0), p(1), round6(math.sqrt(err))))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
+    copy(child = newChild)
+}
+
+object PcaProject {
+  def column(c: Column, mean: Array[Double], comps: Array[Array[Double]]): Column =
+    Bridge.column(PcaProject(Bridge.expression(c), mean, comps))
+}

@@ -340,25 +340,16 @@ object VectorOps {
     */
   def vecPca(spark: SparkSession, dir: String): DataFrame = {
     val (mean, comps) = PcaModel.model(spark, dir)
-    val dim = mean.length
-    val muA = array(mean.map(lit).toIndexedSeq: _*)
-    val c1A = array(comps(0).map(lit).toIndexedSeq: _*)
-    val c2A = array(comps(1).map(lit).toIndexedSeq: _*)
-    def xc(i: Column): Column =
-      element_at(col("embedding"), i + 1).cast("double") - element_at(muA, i + 1)
-    def proj(cA: Column): Column =
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (acc, i) => acc + xc(i) * element_at(cA, i + 1))
-    val p = struct(round(proj(c1A), 6).as("pc1"), round(proj(c2A), 6).as("pc2"))
-    val err2 = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) => {
-      val d = xc(i) - col("p.pc1") * element_at(c1A, i + 1) -
-        col("p.pc2") * element_at(c2A, i + 1)
-      acc + d * d
-    })
+    // One fused kernel pass (graft.functions.PcaProject): both projection
+    // folds + the residual in a single JVM call — the column-program form
+    // ran three interpreted 64-element folds per row. Entering through a
+    // Generate so the three column references don't inline the kernel
+    // (the textQuality pattern).
+    val p = graft.functions.PcaProject.column(col("embedding"), mean, comps)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), explode(array(p)).as("p"))
-      .select(col("vec_id"), col("p.pc1").as("pc1"), col("p.pc2").as("pc2"),
-        round(sqrt(err2), 6).as("err_l2"))
+      .select(col("vec_id"), explode(array(p)).as("p"))
+      .select(col("vec_id"), col("p").getItem(0).as("pc1"),
+        col("p").getItem(1).as("pc2"), col("p").getItem(2).as("err_l2"))
   }
 
   /** DuckDB oracle for vec_pca: identical folds over the same literals. */
