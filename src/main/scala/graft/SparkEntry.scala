@@ -35,6 +35,7 @@ object SparkEntry {
     "q_events_retention"  -> Relational.qEventsRetention _,
     "q_events_anomaly"    -> Relational.qEventsAnomaly _,
     "q_events_percentiles" -> Relational.qEventsPercentiles _,
+    "q_events_percentiles_approx" -> Relational.qEventsPercentilesApprox _,
     "q_events_dau_wau"    -> Relational.qEventsDauWau _,
     "q_orders_growth"     -> Relational.qOrdersGrowth _,
     "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
@@ -212,6 +213,18 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     oracleSqlFor(SparkSession.active, "/root/testdata/sf0.01")
+
+  /** Queries deliberately WITHOUT a DuckDB oracle (driver falls back to its
+    * weaker rows-only check). Membership is a named design decision — each
+    * entry must document WHY no SQL oracle can exist, and ContractSpec pins
+    * `queries == oracles ∪ rowsOnlyQueries` so nothing lands here silently.
+    *
+    *  - q_events_percentiles_approx: the result is a Greenwald-Khanna sketch
+    *    query; no SQL engine replays Spark's sketch bit-for-bit. The
+    *    approximation is pinned instead by RelationalSpec's rank-error bound
+    *    against the exact operator (|CDF(approx_p) − p| ≤ 1e-3).
+    */
+  val rowsOnlyQueries: Set[String] = Set("q_events_percentiles_approx")
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
     * files; same output column names as the Spark result), for the
@@ -398,7 +411,8 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     "q_events_percentiles" ->
-      """WITH bv AS (SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+      """WITH bv AS (SELECT event_type, value, count(*) AS c FROM events
+        |            WHERE value IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT event_type, value, c,
         |          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end

@@ -253,7 +253,10 @@ object Relational {
     * constant-size sketch merged map-side.
     */
   def qEventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    // NULL guard: Spark orders NULLs first in ASC windows, DuckDB last —
+    // filter before the cumulative window so both engines see the same frame.
     val byVal = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -282,6 +285,35 @@ object Relational {
           round(col(s"lo$nm") + (col(s"hi$nm") - col(s"lo$nm")) *
             (col(s"kk$nm") - floor(col(s"kk$nm"))), 6).as(s"p$nm")
         }: _*)
+  }
+
+  /** SURVEY §2 `q_events_percentiles_approx`: the sketch-based SERVING twin
+    * of [[qEventsPercentiles]]. `percentile_approx` aggregates a
+    * constant-size quantile sketch per event_type (Spark's implementation is
+    * Greenwald-Khanna; it fills the same role as a t-digest): partial
+    * sketches build map-side and merge associatively, so the per-key state
+    * through the shuffle is O(accuracy), independent of row count — this is
+    * the 100 TB path, closing the named per-key ordered-pass limit of the
+    * exact form. Rank-error guarantee: each returned value's true rank is
+    * within n/accuracy of the target rank (accuracy = 10000 → ±0.01% of
+    * rows). No DuckDB oracle can replay a GK sketch bit-for-bit, so this
+    * query is gated rows-only by the driver; RelationalSpec pins the
+    * approximation against the exact operator's empirical CDF instead.
+    */
+  def qEventsPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        percentile_approx(col("value"),
+          array(lit(0.50), lit(0.95), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type"), col("n_events"),
+        round(col("mn"), 6).as("v_min"), round(col("mx"), 6).as("v_max"),
+        round(col("ps")(0), 6).as("p50"),
+        round(col("ps")(1), 6).as("p95"),
+        round(col("ps")(2), 6).as("p99"))
   }
 
   /** Top-3 parts per brand by retail price: rank-over-partition. Single

@@ -26,9 +26,13 @@ class ContractSpec extends SparkSpec {
     assert(missingDoc.isEmpty, s"queries without a SURVEY row: $missingDoc")
   }
 
-  test("every registered query has a DuckDB oracle") {
+  test("every registered query has a DuckDB oracle or a declared rows-only slot") {
     val oracles = SparkEntry.oracleSqlFor(spark, "/root/testdata/sf0.001").keySet
-    val missing = SparkEntry.queries.keySet -- oracles
+    val missing = SparkEntry.queries.keySet -- oracles -- SparkEntry.rowsOnlyQueries
     assert(missing.isEmpty, s"queries without an oracle: $missing")
+    val stale = SparkEntry.rowsOnlyQueries -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only declarations without a query: $stale")
+    val both = SparkEntry.rowsOnlyQueries & oracles
+    assert(both.isEmpty, s"rows-only declarations that DO have an oracle: $both")
   }
 }

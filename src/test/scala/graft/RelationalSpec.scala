@@ -214,6 +214,30 @@ class RelationalSpec extends SparkSpec {
         r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toSet
     assert(got == want)
   }
+  test("q_events_percentiles_approx stays within the GK rank-error bound of exact") {
+    // The sketch guarantee is in RANK space: the returned value's empirical
+    // CDF position must be within 1/accuracy (=1e-4) of the target
+    // percentile. Assert a 10× slack (1e-3) so the spec is robust to ties.
+    val vals = graft.sources.Tables.events(spark, dir)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val got = Relational.qEventsPercentilesApprox(spark, dir).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet == vals.keySet)
+    got.foreach { r =>
+      val v = vals(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == v.length.toLong)
+      for ((cn, p) <- Seq("p50" -> 0.50, "p95" -> 0.95, "p99" -> 0.99)) {
+        val a = r.getAs[Double](cn)
+        // rank interval of values == a (ties give a range; any rank in it ok)
+        val lo = v.count(_ < a - 5e-7).toDouble / v.length
+        val hi = v.count(_ <= a + 5e-7).toDouble / v.length
+        val err = if (p < lo) p - lo else if (p > hi) p - hi else 0.0
+        assert(math.abs(err) <= 1e-3,
+          s"$cn=$a rank window [$lo,$hi] misses $p by $err")
+      }
+    }
+  }
   test("q_events_dau_wau counts trailing-7-day distinct users") {
     val act = graft.sources.Tables.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("user_id"),
