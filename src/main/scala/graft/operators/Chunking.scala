@@ -60,14 +60,15 @@ object Chunking {
     * instead of chunk text; the ≥2-distinct-docs count joins back on the
     * same key; per-doc ratios are one final doc_id agg.
     *
-    * Named limit: the 30-bit polyhash keyspace collides at corpus scale
-    * (birthday ≈ 50k chunks) — identically on BOTH engines, so the oracle
-    * stays exact, but a production run swaps in a 128-bit hash
-    * (xxhash64 twice / sha) for semantic exactness at 100 TB.
+    * The key is [[graft.operators.TextOps.fingerprintWide]] — four
+    * independent polyhash lanes (~120-bit combined keyspace), so birthday
+    * collisions are impossible at any corpus size; the oracle replays the
+    * identical four lanes in SQL. (A single 30-bit lane — the previous
+    * form — starts colliding at ~50k chunks.)
     */
   def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), TextOps.fingerprint(col("chunk")).as("fp"))
+      .select(col("doc_id"), TextOps.fingerprintWide(col("chunk")).as("fp"))
     val dup = ch.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     ch.join(dup, Seq("fp"))
@@ -79,25 +80,37 @@ object Chunking {
   }
 
   /** DuckDB oracle for chunk_boilerplate: the chunk_fixed CTE + the same
-    * rolling-hash key (the dedup_exact list_reduce replication).
+    * four polyhash lanes as [[graft.operators.TextOps.fingerprintWide]]
+    * (the dedup_exact list_reduce replication, once per lane).
     */
-  def chunkBoilerplateOracleSql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      |e AS (SELECT doc_id, substr(text, CAST(t.j * 80 + 1 AS INT), 100) AS chunk
-      |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j)),
-      |f AS (SELECT doc_id,
-      |        CASE WHEN length(chunk) < 1 THEN 0
-      |             ELSE list_reduce(list_transform(range(1, length(chunk) + 1),
-      |                    i -> CAST(ord(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
-      |                    (a, b) -> (a * 31 + b) % 1000000007) END AS fp
-      |      FROM e),
-      |g AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
-      |SELECT f.doc_id, count(*) AS n_chunks,
-      |  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
-      |  round(CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
-      |    CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
-      |FROM f JOIN g ON f.fp = g.fp
-      |GROUP BY f.doc_id""".stripMargin
+  def chunkBoilerplateOracleSql: String = {
+    val lanes = graft.operators.TextOps.FpLanes.zipWithIndex.map {
+      case ((b, m), i) =>
+        s"""        CASE WHEN length(chunk) < 1 THEN 0
+           |             ELSE list_reduce(cps, (a, b) -> (a * $b + b) % $m) END AS fp$i""".stripMargin
+    }.mkString(",\n")
+    val key = graft.operators.TextOps.FpLanes.indices
+      .map(i => s"fp$i").mkString(", ")
+    val joinOn = graft.operators.TextOps.FpLanes.indices
+      .map(i => s"f.fp$i = g.fp$i").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |e AS (SELECT doc_id, substr(text, CAST(t.j * 80 + 1 AS INT), 100) AS chunk
+       |      FROM d, UNNEST(range(CASE WHEN n <= 100 THEN 1 ELSE 1 + (n - 21) // 80 END)) AS t(j)),
+       |e2 AS (SELECT doc_id, chunk,
+       |         list_transform(range(1, length(chunk) + 1),
+       |           i -> CAST(ord(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)) AS cps
+       |       FROM e),
+       |f AS (SELECT doc_id,
+       |$lanes
+       |      FROM e2),
+       |g AS (SELECT $key, count(DISTINCT doc_id) AS nd FROM f GROUP BY ALL)
+       |SELECT f.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       |  round(CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+       |FROM f JOIN g ON $joinOn
+       |GROUP BY f.doc_id""".stripMargin
+  }
 
   /** `chunk_preview` (reference `api/chunk_preview.py`): try alternative
     * chunking params on a small sample of documents — same column program

@@ -235,6 +235,28 @@ object TextOps {
   def fingerprint(c: Column): Column =
     graft.functions.PolyHash.column(c, FpBase, FpMod)
 
+  /** Four independent (base, prime-modulus) lanes for the wide fingerprint:
+    * ~120-bit combined keyspace, collision-free at 100 TB corpus scale
+    * (birthday bound ~2^60 chunks), while every lane stays replicable in
+    * plain SQL integer arithmetic (products < 2^62, no overflow on either
+    * engine).
+    */
+  val FpLanes: Seq[(Long, Long)] = Seq(
+    (31L, 1000000007L), (131L, 998244353L),
+    (257L, 2147483629L), (1009L, 2130706433L))
+
+  /** 128-bit-class fingerprint of a string column: a struct of four
+    * independent [[graft.functions.PolyHash]] lanes (distinct base/modulus
+    * pairs). Grouping on the struct keys the shuffle on 4 longs — still a
+    * scalar-width key, but with a keyspace where birthday collisions are
+    * impossible at any realistic corpus size. This is the production form
+    * of [[fingerprint]] (whose single 30-bit lane collides at ~50k chunks).
+    */
+  def fingerprintWide(c: Column): Column =
+    struct(FpLanes.zipWithIndex.map { case ((b, m), i) =>
+      graft.functions.PolyHash.column(c, b, m).as(s"fp$i")
+    }: _*)
+
   /** `text_vocab`: corpus vocabulary with collection frequency and
     * document frequency, top-100 by (tf, term) — the input table for
     * tokenizer/vocab construction in a training-data pipeline. One

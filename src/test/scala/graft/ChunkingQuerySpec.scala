@@ -72,17 +72,19 @@ class ChunkingQuerySpec extends SparkSpec {
     }
   }
   test("chunk_boilerplate counts corpus-duplicated chunk fingerprints per doc") {
-    def polyhash(t: String): Long = {
+    // replica of the 4-lane wide fingerprint (TextOps.fingerprintWide)
+    def polyhash(t: String, base: Long, mod: Long): Long = {
       var acc = 0L
-      t.foreach(c => acc = (acc * graft.operators.TextOps.FpBase + c.toLong) %
-        graft.operators.TextOps.FpMod)
+      t.foreach(c => acc = (acc * base + c.toLong) % mod)
       acc
     }
+    def wide(t: String): Seq[Long] =
+      graft.operators.TextOps.FpLanes.map { case (b, m) => polyhash(t, b, m) }
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val chunks = docs.flatMap { case (id, text) =>
       TextChunk.chunkFixed(text, Chunking.Size, Chunking.Overlap)
-        .map(chunk => (id, polyhash(chunk)))
+        .map(chunk => (id, wide(chunk)))
     }
     val nd = chunks.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length).toMap
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
