@@ -112,6 +112,16 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dedup_embedding refuses to run above the audit-scale row cap") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val big = spark.range(Dedup.EmbeddingAuditMaxRows + 1)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException](Dedup.dedupEmbeddingDf(big))
+    assert(e.getMessage.contains("dedup_embedding_lsh"),
+      "guard must point callers at the LSH serving path")
+  }
+
   test("dedup_verified = exact jaccard restricted to minhash candidates") {
     val cand = graft.operators.Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
