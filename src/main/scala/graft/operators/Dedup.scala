@@ -127,13 +127,21 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
     // Group per bucket instead of self-joining: a self-join would execute
-    // the signature pipeline once per side (verified in the plan), and the
-    // bucket view is where degenerate buckets get dropped (`MaxBucketSize`
-    // stop-bucket guard — the standard LSH answer to skew; the oracle SQL
-    // applies the same cap, so they cannot diverge).
-    val buckets = banded.groupBy(col("band"), col("key"))
+    // the signature pipeline once per side (verified in the plan). The
+    // `MaxBucketSize` stop-bucket guard (mirrored in the oracle SQL, so
+    // they cannot diverge) is applied the simhash way: find over-cap
+    // buckets with a SALTED two-phase count and anti-join the tiny
+    // blacklist away BEFORE collect_list — so even when one band key
+    // dominates the corpus, no reducer ever materializes the degenerate
+    // bucket's row list just to drop it.
+    val hot = graft.functions.Salting
+      .saltedCount(banded, struct(col("band"), col("key")), col("doc_id"))
+      .filter(col("n") > MaxBucketSize)
+      .select(col("key.band").as("band"), col("key.key").as("key"))
+    val buckets = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .groupBy(col("band"), col("key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucketSize)
+      .filter(size(col("ids")) >= 2)
     buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
@@ -586,9 +594,13 @@ object Dedup {
     dimCache.getOrElseUpdate(dir,
       Tables.embeddings(spark, dir).select(size(col("embedding"))).head.getInt(0))
 
-  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val dim = embeddingDim(spark, dir)
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLshDf(Tables.embeddings(spark, dir), embeddingDim(spark, dir))
+
+  /** Frame form of [[dedupEmbeddingLsh]] (columns: vec_id, embedding of
+    * `dim` floats) — the library/spec entry point.
+    */
+  def dedupEmbeddingLshDf(emb: DataFrame, dim: Int): DataFrame = {
     // One fused kernel pass per row (graft.functions.VecSignChunks): all 16
     // sign-bit folds + chunk packing in a single JVM call — the equivalent
     // per-bit `aggregate` folds ran interpreted with boxing (~3.5× the
@@ -597,9 +609,18 @@ object Dedup {
     val keyed = emb.select(col("vec_id"),
         posexplode(graft.functions.VecSignChunks.column(
           col("embedding"), planes, EmbLshChunkBits)).as(Seq("chunk", "key")))
-    val buckets = keyed.groupBy(col("chunk"), col("key"))
+    // Stop-bucket guard, salted (the simhash pattern): over-cap buckets —
+    // e.g. the all-ones code of an all-positive corpus — are found by a
+    // two-phase count and anti-joined away BEFORE collect_list, so the
+    // degenerate bucket never lands on one reducer.
+    val hot = graft.functions.Salting
+      .saltedCount(keyed, struct(col("chunk"), col("key")), col("vec_id"))
+      .filter(col("n") > MaxBucketSize)
+      .select(col("key.chunk").as("chunk"), col("key.key").as("key"))
+    val buckets = keyed.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
+      .groupBy(col("chunk"), col("key"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucketSize)
+      .filter(size(col("ids")) >= 2)
     val cand = buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>

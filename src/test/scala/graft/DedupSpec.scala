@@ -122,6 +122,43 @@ class DedupSpec extends SparkSpec {
       "guard must point callers at the LSH serving path")
   }
 
+  test("dedup_minhash drops a synthetic hot bucket without materializing it") {
+    val s = spark
+    import s.implicits._
+    // 300 copies of one text → every band bucket it keys is over the cap
+    // (degenerate boilerplate, not near-duplication); plus one legitimate
+    // near-identical pair that must survive the guard.
+    val boiler = (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val legit = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs = (boiler ++ legit).toDF("doc_id", "text")
+    val pairs = Dedup.dedupMinhashDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1001L, 1002L)), "legitimate pair must survive")
+    assert(!pairs.exists(p => p._1 <= 300 || p._2 <= 300),
+      s"over-cap bucket must produce no pairs, got ${pairs.size}")
+  }
+
+  test("dedup_embedding_lsh drops a synthetic hot bucket without materializing it") {
+    val s = spark
+    import s.implicits._
+    // 300 identical all-positive vectors land on the all-ones sign code —
+    // the structural degenerate bucket; one near-identical pair elsewhere
+    // must survive.
+    val dim = 4
+    val boiler = (1L to 300L).map(i => (i, Array(1.0f, 1.0f, 1.0f, 1.0f)))
+    val legit = Seq(
+      (1001L, Array(-0.9f, 0.8f, -0.7f, 0.6f)),
+      (1002L, Array(-0.9f, 0.8f, -0.7f, 0.6f)))
+    val emb = (boiler ++ legit).toDF("vec_id", "embedding")
+    val pairs = Dedup.dedupEmbeddingLshDf(emb, dim).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(pairs.contains((1001L, 1002L)), "legitimate pair must survive")
+    assert(!pairs.exists(p => p._1 <= 300 || p._2 <= 300),
+      s"over-cap bucket must produce no pairs, got ${pairs.size}")
+  }
+
   test("dedup_verified = exact jaccard restricted to minhash candidates") {
     val cand = graft.operators.Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
