@@ -12,9 +12,12 @@ object Defaults {
     sys.env.getOrElse(name, default)
 
   def allowedModels: Seq[String] =
-    env("GRAFT_ALLOWED_MODELS", "stub-hash-projection")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-  def defaultModel: String = env("GRAFT_EMBEDDING_MODEL", "stub-hash-projection")
+    sys.env.get("GRAFT_ALLOWED_MODELS") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None    => graft.functions.Encoders.names // whatever is registered
+    }
+  def defaultModel: String =
+    env("GRAFT_EMBEDDING_MODEL", graft.functions.StubEncoder.name)
   def normalizeEmbeddings: Boolean =
     env("GRAFT_NORMALIZE_EMBEDDINGS", "true").toLowerCase == "true"
 
@@ -33,7 +36,7 @@ object Defaults {
   def pipelineConfig(name: String): IndexPipeline.Config =
     IndexPipeline.Config(name = name, backend = defaultBackend,
       chunkMode = chunkMode, chunkSize = chunkSize, chunkOverlap = chunkOverlap,
-      normalize = normalizeEmbeddings)
+      normalize = normalizeEmbeddings, model = defaultModel)
 
   /** The GET `/config` payload (api/config.py): allowed lists + defaults. */
   def configPayload: Map[String, Any] = Map(

@@ -30,7 +30,8 @@ object IndexPipeline {
       dim: Int = Embedder.DefaultDim,
       normalize: Boolean = true,
       nlist: Int = graft.operators.VectorOps.NumCells,
-      nprobe: Int = graft.operators.VectorOps.NProbe)
+      nprobe: Int = graft.operators.VectorOps.NProbe,
+      model: String = graft.functions.StubEncoder.name)
 
   /** Chunked text with the reference's `{doc}#{j}` chunk ids — both the
     * embedder input and the docs sidecar (`pipeline.py:65-69`); the
@@ -42,9 +43,13 @@ object IndexPipeline {
       .select(col("chunk_id").as("id"), col("chunk").as("text"))
       .filter(length(col("text")) > 0)
 
-  /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors. */
+  /** Chunk + embed a (doc_id, text) frame into (id, vec) vectors. The
+    * encoder is resolved from the config's model name via the
+    * [[graft.functions.Encoders]] registry — the ONNX/JNI drop-in point.
+    */
   def vectorize(docs: DataFrame, cfg: Config): DataFrame =
-    Embedder.embed(chunked(docs, cfg), cfg.dim, cfg.normalize)
+    Embedder.embed(chunked(docs, cfg), cfg.dim, cfg.normalize,
+        graft.functions.Encoders.get(cfg.model))
       .toDF().select(col("id"), col("vec"))
 
   /** Full build: docs frame → persisted, versioned index + chunk-text
@@ -56,7 +61,7 @@ object IndexPipeline {
       vectorize(docs, cfg), root, cfg.name, cfg.backend,
       params = IndexStore.Params(cfg.nlist, cfg.nprobe),
       chunking = IndexStore.Chunking(cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap),
-      model = "stub-hash-projection", normalize = cfg.normalize,
+      model = cfg.model, normalize = cfg.normalize,
       metric = "ip", docs = Some(chunked(docs, cfg)))
 
   /** [[build]] with progress events (reference `pipeline.py:46-66,174-185`:
@@ -71,15 +76,16 @@ object IndexPipeline {
       try {
         onEvent("Chunking")
         val ch = chunked(docs, cfg)
-        onEvent(s"Embedding with stub-hash-projection (dim=${cfg.dim})")
-        val vecs = Embedder.embed(ch, cfg.dim, cfg.normalize)
+        onEvent(s"Embedding with ${cfg.model} (dim=${cfg.dim})")
+        val vecs = Embedder.embed(ch, cfg.dim, cfg.normalize,
+            graft.functions.Encoders.get(cfg.model))
           .toDF().select(col("id"), col("vec"))
         onEvent(s"Building index [${cfg.backend}]")
         val manifest = IndexStore.build(
           vecs, root, cfg.name, cfg.backend,
           params = IndexStore.Params(cfg.nlist, cfg.nprobe),
           chunking = IndexStore.Chunking(cfg.chunkMode, cfg.chunkSize, cfg.chunkOverlap),
-          model = "stub-hash-projection", normalize = cfg.normalize,
+          model = cfg.model, normalize = cfg.normalize,
           metric = "ip", docs = Some(ch))
         onEvent("DONE")
         manifest
@@ -193,7 +199,9 @@ object IndexPipeline {
   def search(spark: SparkSession, root: String, name: String,
              query: String, k: Int, cfg: Config = Config("q"),
              version: Option[String] = None): DataFrame = {
-    val qv = Embedder.encodeStub(query, cfg.dim, cfg.normalize)
+    // embed the query with the SAME encoder the index was built with
+    val qv = graft.functions.Encoders.get(cfg.model)
+      .openPartition(cfg.dim, cfg.normalize)(query)
     // Dispatch on the PERSISTED backend (the manifest travels with the
     // artifact), not the caller's cfg — a shipped index searches correctly
     // whatever the caller assumes. Indexes without a manifest (e.g. the
