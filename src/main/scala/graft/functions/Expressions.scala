@@ -1050,8 +1050,14 @@ object PairCounts {
   * to learn them — and the arithmetic is bit-identical to the generated
   * DuckDB oracle's list_sum folds.
   */
-case class VecSignChunks(child: Expression, planes: Array[Array[Double]], chunkBits: Int)
+case class VecSignChunks(child: Expression, planes: Seq[Seq[Double]], chunkBits: Int)
     extends UnaryExpression with CodegenFallback {
+
+  // Seq params give value-based equals/hashCode (the IvfProbes pattern), so
+  // Catalyst canonicalization and subexpression elimination see two
+  // identical kernels as equal; the hot loop runs on a cached array view.
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -1066,11 +1072,11 @@ case class VecSignChunks(child: Expression, planes: Array[Array[Double]], chunkB
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val nChunks = planes.length / chunkBits
+    val nChunks = planeArr.length / chunkBits
     val keys = new Array[Long](nChunks)
     var k = 0
-    while (k < planes.length) {
-      val h = planes(k)
+    while (k < planeArr.length) {
+      val h = planeArr(k)
       val lim = math.min(n, h.length)
       var acc = 0.0
       var j = 0
@@ -1087,7 +1093,8 @@ case class VecSignChunks(child: Expression, planes: Array[Array[Double]], chunkB
 
 object VecSignChunks {
   def column(c: Column, planes: Array[Array[Double]], chunkBits: Int): Column =
-    Bridge.column(VecSignChunks(Bridge.expression(c), planes, chunkBits))
+    Bridge.column(VecSignChunks(Bridge.expression(c),
+      planes.map(_.toIndexedSeq).toIndexedSeq, chunkBits))
 }
 
 /** PCA projection + rank-2 residual of a float-array embedding in one
@@ -1095,13 +1102,21 @@ object VecSignChunks {
   * rounded to 6 dp exactly like Spark's `round` (BigDecimal.valueOf,
   * HALF_UP), then the residual fold uses the ROUNDED projections — the
   * identical arithmetic as the generated DuckDB oracle. Returns
-  * `[pc1, pc2, err_l2]`. The equivalent column program ran three
+  * `[pc1 … pcK, err_l2]` for K components (PCA-2 ⇒ `[pc1, pc2, err_l2]`).
+  * The equivalent column program ran three
   * interpreted 64-element folds per row; this is one JVM call
   * (CodegenFallback, the WordShingles rationale).
   */
-case class PcaProject(child: Expression, mean: Array[Double],
-                      comps: Array[Array[Double]])
+case class PcaProject(child: Expression, mean: Seq[Double],
+                      comps: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
+
+  // Seq params for value equality (canonicalization); array views for the
+  // hot loop. Output is comps.length projections + the residual, so the
+  // kernel works for any component count, not just the PCA-2 default.
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val compArr: Array[Array[Double]] =
+    comps.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -1119,15 +1134,15 @@ case class PcaProject(child: Expression, mean: Array[Double],
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
-    val lim = math.min(x.numElements(), mean.length)
-    val p = new Array[Double](comps.length)
+    val lim = math.min(x.numElements(), meanArr.length)
+    val p = new Array[Double](compArr.length)
     var k = 0
-    while (k < comps.length) {
-      val c = comps(k)
+    while (k < compArr.length) {
+      val c = compArr(k)
       var acc = 0.0
       var j = 0
       while (j < lim) {
-        acc = acc + (x.getFloat(j).toDouble - mean(j)) * c(j)
+        acc = acc + (x.getFloat(j).toDouble - meanArr(j)) * c(j)
         j += 1
       }
       p(k) = round6(acc)
@@ -1136,13 +1151,16 @@ case class PcaProject(child: Expression, mean: Array[Double],
     var err = 0.0
     var j = 0
     while (j < lim) {
-      var d = x.getFloat(j).toDouble - mean(j)
+      var d = x.getFloat(j).toDouble - meanArr(j)
       var kk = 0
-      while (kk < comps.length) { d -= p(kk) * comps(kk)(j); kk += 1 }
+      while (kk < compArr.length) { d -= p(kk) * compArr(kk)(j); kk += 1 }
       err = err + d * d
       j += 1
     }
-    new GenericArrayData(Array(p(0), p(1), round6(math.sqrt(err))))
+    val out = new Array[Double](p.length + 1)
+    System.arraycopy(p, 0, out, 0, p.length)
+    out(p.length) = round6(math.sqrt(err))
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PcaProject =
@@ -1151,5 +1169,6 @@ case class PcaProject(child: Expression, mean: Array[Double],
 
 object PcaProject {
   def column(c: Column, mean: Array[Double], comps: Array[Array[Double]]): Column =
-    Bridge.column(PcaProject(Bridge.expression(c), mean, comps))
+    Bridge.column(PcaProject(Bridge.expression(c), mean.toIndexedSeq,
+      comps.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -44,10 +44,13 @@ object PcaModel {
       fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding"))
 
   def fitFromDf(df: DataFrame, idCol: String, vecCol: String): Model = {
-    val sample = df.select(col(idCol), col(vecCol))
+    // cast to array<double> up front: a double- or decimal-typed vector
+    // column fits fine (typed analysis error for non-numeric elements)
+    // instead of a runtime ClassCastException on getSeq[Float]
+    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(SampleSize)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(_.getSeq[Double](1).toArray)
     fit(sample)
   }
 

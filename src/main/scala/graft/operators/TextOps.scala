@@ -283,8 +283,9 @@ object TextOps {
     *
     * Scale shape: per-doc term counts come from the shared materialized
     * [[Search.perDocTerms]] maps (no corpus-sized (doc, token) shuffle),
-    * the unigram table is one vocabulary-sized agg, `T+V` is a bounded
-    * driver scalar (the vec_quantize collect pattern), and the per-doc
+    * the unigram table is one vocabulary-sized agg, `T+V` is a one-row
+    * aggregate inlined via crossJoin(broadcast(…)) (the chunk_histogram
+    * pattern — one job, no driver round-trip), and the per-doc
     * mean folds over the TERM-SORTED contribution list — collect_list +
     * array_sort + sequential fold, the identical op order as the oracle's
     * `list(bits ORDER BY term)` + `list_sum`, so double summation can
@@ -294,11 +295,12 @@ object TextOps {
     val pd = Search.perDocTerms(spark, dir)
       .select(col("doc_id"), col("dl"), explode(col("tc")).as(Seq("term", "f")))
     val vocab = pd.groupBy(col("term")).agg(sum(col("f")).as("cf"))
-    val g = pd.agg(sum(col("f")), countDistinct(col("term"))).collect()(0)
-    val tPlusV = g.getLong(0) + g.getLong(1)
+    val tv = pd.agg(
+      (sum(col("f")) + countDistinct(col("term"))).as("tv"))
     val bits = col("f").cast("double") *
-      -log2((col("cf") + 1).cast("double") / lit(tPlusV).cast("double"))
+      -log2((col("cf") + 1).cast("double") / col("tv").cast("double"))
     pd.join(vocab, Seq("term"))
+      .crossJoin(broadcast(tv))
       .select(col("doc_id"), col("dl"), struct(col("term"), bits.as("bits")).as("tb"))
       .groupBy(col("doc_id"), col("dl"))
       .agg(array_sort(collect_list(col("tb"))).as("tbs"))

@@ -25,6 +25,26 @@ class PolyHashSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("array-parameterized kernels compare equal by value (canonicalization)") {
+    // Two independently-built identical kernels must be == so Catalyst
+    // canonicalization / subexpression elimination can merge them — the
+    // reason VecSignChunks/PcaProject take Seq params, not Arrays.
+    // one shared child Column so the comparison isolates the kernel params
+    // (fresh col("x") calls differ by capture Origin, a test artifact)
+    val x = col("x")
+    def planes() = Array(Array(1.0, -2.0), Array(0.5, 3.0))
+    val v1 = org.apache.spark.sql.graft.Bridge.expression(
+      graft.functions.VecSignChunks.column(x, planes(), 8))
+    val v2 = org.apache.spark.sql.graft.Bridge.expression(
+      graft.functions.VecSignChunks.column(x, planes(), 8))
+    assert(v1 == v2)
+    val p1 = org.apache.spark.sql.graft.Bridge.expression(
+      graft.functions.PcaProject.column(x, Array(0.1, 0.2), planes()))
+    val p2 = org.apache.spark.sql.graft.Bridge.expression(
+      graft.functions.PcaProject.column(x, Array(0.1, 0.2), planes()))
+    assert(p1 == p2)
+  }
+
   test("works inside higher-order-function lambdas (minhash path)") {
     val s = spark
     import s.implicits._
