@@ -28,15 +28,16 @@ object Bench {
     "q4_order_priority", "q15_top_supplier",
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "q_events_funnel", "q_events_retention", "q_events_anomaly",
-    "q_events_percentiles", "q_events_dau_wau",
+    "q_events_percentiles", "q_events_percentiles_approx", "q_events_dau_wau",
     "chunk_fixed", "chunk_tokens", "chunk_boilerplate",
     "text_fingerprint", "text_quality", "text_surprisal",
     "text_tfidf", "corpus_stats",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_verified",
-    "dedup_embedding_lsh",
-    "knn_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq", "vec_pca", "bm25_topk", "hybrid_rrf",
+    "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
+    "dedup_verified", "dedup_clusters", "dedup_embedding_lsh",
+    "knn_bruteforce", "ivf_search", "ann_ivf", "ann_pq", "ann_ivfpq",
+    "vec_pca", "bm25_topk", "hybrid_rrf", "eval_recall",
     "search_highlights", "pipeline_filter",
-    "multimodal_phash_pairs", "curation_decontam")
+    "multimodal_phash_pairs", "curation_decontam", "curation_pack")
 
   val WarmupDir = "/root/testdata/sf0.001"
   val Passes = 3

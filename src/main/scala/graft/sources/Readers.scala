@@ -129,6 +129,17 @@ object Readers {
       case "html" | "htm" => readHtml(spark, path)
       case "xlsx" => readXlsx(spark, path)
       case "docx" => readDocx(spark, path)
+      // Named exclusions (reference reader.py:139-161 accepts these):
+      // .xls is the pre-2007 OLE2/BIFF8 binary — out of scope until a
+      // compound-file parser lands (xlsx covers the modern format);
+      // .chm is Windows-only in the reference too (shells out to
+      // hh.exe / 7-Zip), declared out of scope.
+      case "xls" => throw new IllegalArgumentException(
+        "legacy .xls (OLE2/BIFF8) is not supported — convert to .xlsx " +
+          "(supported, dependency-free) or CSV")
+      case "chm" => throw new IllegalArgumentException(
+        ".chm is not supported (the reference shells out to Windows " +
+          "hh.exe/7-Zip for it) — extract the HTML and ingest that")
       case f => throw new IllegalArgumentException(s"unknown format: $f")
     }
 }

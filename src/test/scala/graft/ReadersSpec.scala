@@ -64,4 +64,15 @@ class ReadersSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown format"))
   }
+
+  test("named exclusions .xls/.chm fail with a remediation message") {
+    val xls = intercept[IllegalArgumentException] {
+      Readers.readAny(spark, "/tmp/legacy.xls")
+    }
+    assert(xls.getMessage.contains(".xlsx"), "must point at the supported path")
+    val chm = intercept[IllegalArgumentException] {
+      Readers.readAny(spark, "/tmp/help.chm")
+    }
+    assert(chm.getMessage.contains("not supported"))
+  }
 }
