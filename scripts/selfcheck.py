@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage:  python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
+Usage:  python3 scripts/selfcheck.py <verify_out_dir> <sf_dir> [name ...]
+
+With trailing names, checks only those queries (resume / shard big runs).
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify), runs
 the matching oracle SQL from <verify_out_dir>/oracle_sql.json in DuckDB
@@ -11,7 +13,7 @@ and exact cell values after sorting rows by all columns.
 This is a dev-only harness (driver-side python env); the shipped library is
 pure Scala/Spark.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,7 +28,7 @@ def canon(v):
     return repr(v)
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -35,8 +37,11 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        names = [n for n in names if n in only]
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        t0 = time.time()
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output")
@@ -71,11 +76,11 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(got)} rows")
+            print(f"PASS {name}: {len(got)} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))

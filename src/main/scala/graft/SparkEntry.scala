@@ -184,13 +184,13 @@ object SparkEntry {
       |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
       |  FROM t),
       |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM f),
-      |sz AS (SELECT doc_id, len(sh) AS n FROM f),
+      |ex AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM f),
+      |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM f),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b,
       |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
       |  FROM inter
@@ -240,8 +240,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2)) * CAST(1 + CAST(l_tax AS DECIMAL(5,2)) AS DECIMAL(5,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2)) * CAST(1 + CAST(l_tax AS DECIMAL(5,2)) AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -266,7 +266,7 @@ object SparkEntry {
 
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -305,7 +305,7 @@ object SparkEntry {
 
     "q6_filter_agg" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -325,7 +325,7 @@ object SparkEntry {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(25,10))), 6) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
@@ -356,7 +356,7 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS win_start, event_type, value FROM events)
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(25,10))), 6) AS DOUBLE) AS sum_value
         |FROM w
         |GROUP BY win_start, event_type""".stripMargin,
 
@@ -516,7 +516,7 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(25,10))), 6) AS DOUBLE) AS sum_value,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events
@@ -761,7 +761,7 @@ object SparkEntry {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ngramCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),
          |reach AS (
@@ -773,7 +773,7 @@ object SparkEntry {
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $ngramCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),
          |reach AS (
@@ -1066,7 +1066,7 @@ object SparkEntry {
 
     "curation_weight" ->
       s"""WITH RECURSIVE $ngramCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),
          |reach AS (
@@ -1106,7 +1106,7 @@ object SparkEntry {
     */
   private def pipelineFilterCtes: String =
       s"""${graft.operators.Dedup.verifiedPairsCtes},
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc FROM edges),
          |reach AS (

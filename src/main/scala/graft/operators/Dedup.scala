@@ -266,7 +266,7 @@ object Dedup {
     */
   def verifiedPairsCtes: String =
     s"""$verifiedScoredCtes,
-       |pairs AS (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold)""".stripMargin
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold)""".stripMargin
 
   /** The shared minhash CTE chain (`WITH t … bf`): tokenize → shingle →
     * hash → signatures → band keys → capped buckets. Reused by the
@@ -288,7 +288,7 @@ object Dedup {
        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
        |  FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
        |         ELSE list_transform(range(1, len(toks) - 1), i ->
@@ -304,10 +304,10 @@ object Dedup {
        |  SELECT doc_id,
        |    $sigExprs
        |  FROM h),
-       |b AS (
+       |b AS MATERIALIZED (
        |  $bandSelects),
        |bc AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
-       |bf AS (SELECT b.band, b.key, b.doc_id FROM b JOIN bc
+       |bf AS MATERIALIZED (SELECT b.band, b.key, b.doc_id FROM b JOIN bc
        |         ON b.band = bc.band AND b.key = bc.key
        |       WHERE bc.n BETWEEN 2 AND $MaxBucketSize)""".stripMargin
   }

@@ -295,7 +295,7 @@ object Multimodal {
     s"""$pairCte,
        |pp AS (SELECT doc_a, doc_b FROM cand
        |       WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pp
        |          UNION ALL SELECT doc_b, doc_a FROM pp),
        |nodes AS (SELECT DISTINCT src AS doc FROM edges),
        |reach AS (

@@ -43,8 +43,13 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * discFactor).cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * discFactor * taxFactor).cast("double").as("sum_charge"),
+        // Round the exact decimal sum to scale 2 BEFORE the double cast:
+        // above ~9e15 the unscaled decimal exceeds 2^53 and engines differ
+        // in how they round decimal→double (one- vs two-step), so a scale-6
+        // sum diverges by 1 ulp at ~10× sf0.1. Scale 2 keeps the unscaled
+        // value exactly double-representable to ~9e13 in VALUE terms.
+        round(sum(dec(col("l_extendedprice")) * discFactor), 2).cast("double").as("sum_disc_price"),
+        round(sum(dec(col("l_extendedprice")) * discFactor * taxFactor), 2).cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"), 5, 2)).cast("double") / count(lit(1))).as("avg_disc"),
@@ -99,7 +104,8 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * discFactor).cast("double").as("revenue"))
+      // round-to-2 before the cast: see q1Agg's 2^53 note
+      .agg(round(sum(dec(col("l_extendedprice")) * discFactor), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -158,7 +164,7 @@ object Relational {
               col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
               col("l_quantity") < 24)
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2))
+        round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 5, 2)), 2)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -339,7 +345,10 @@ object Relational {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"))
+        // decimal-exact sum rounded to scale 6 before the double cast —
+        // scale 10 crosses the 2^53 unscaled threshold at ~1e6 in VALUE
+        // terms, scale 6 holds to ~9e9 (see q1Agg's 2^53 note)
+        round(sum(col("value").cast(DecimalType(25, 10))), 6).cast("double").as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -428,7 +437,7 @@ object Relational {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"))
+        round(sum(col("value").cast(DecimalType(25, 10))), 6).cast("double").as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -447,7 +456,7 @@ object Relational {
       .groupBy(col("event_type"), (col("k") / 10).cast("long").as("k_decile"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 10))).cast("double").as("sum_value"),
+        round(sum(col("value").cast(DecimalType(25, 10))), 6).cast("double").as("sum_value"),
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
   }
