@@ -65,13 +65,64 @@ object Dedup {
     dedupNgramDf(Tables.documents(spark, dir))
 
   /** [[dedupNgram]] over ANY (doc_id, text) frame — the library form.
-    * Group per shingle instead of self-joining (same lesson as minhash/
-    * simhash): the self-join form executed the shingle kernel once per
-    * side and joined per-doc sizes back twice; here sizes ride inside the
-    * bucket structs, so the whole operator is two shuffles — one keyed on
-    * the shingle, one on the pair — with no join back to the corpus.
+    *
+    * Collapses VERBATIM duplicates first (one linear hash shuffle on the
+    * token-normalized text — the key dedup_exact groups on), runs the
+    * quadratic shingle stage over DISTINCT contents only, then expands
+    * member pairs back out. Jaccard is a function of the text alone, so
+    * the expansion is exact: cross-group member pairs inherit their rep
+    * pair's score, within-group pairs score exactly 1.0 (m = na = nb).
+    * On duplicate-heavy corpora (every real crawl) this turns the shingle
+    * join from quadratic-in-rows into quadratic-in-distinct-contents: the
+    * sf1 sweep (10× rows, ~10× verbatim copies per text) ran the
+    * un-collapsed form at ~100× the shuffle volume — this form keeps the
+    * heavy stage at sf0.1 size and pays only output-linear expansion.
     */
   def dedupNgramDf(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    // Eager checkpoint: `groups` feeds three branches (pairing, cross
+    // expansion ×2, within expansion); checkpointing materializes the one
+    // shuffle instead of re-running the scan+groupBy per branch, and the
+    // job lands inside the operator's own timed region (Bench times
+    // construction), same convention as clustersFromPairs.
+    val groups = docs
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(element_at(col("members"), 1).as("rep_id"), col("norm"),
+        col("members"))
+      .localCheckpoint(true)
+    val repPairs = shinglePairs(
+      groups.select(col("rep_id").as("doc_id"), col("norm").as("text")))
+    val mem = groups.select(col("rep_id"), col("members"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("doc_a") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("doc_b") === col("mb.rep_id"))
+      .select(col("jaccard"), explode(col("ma.members")).as("da"),
+        col("mb.members").as("bm"))
+      .select(col("jaccard"), col("da"), explode(col("bm")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // members is sorted ascending, so the i<j combos are already
+    // (doc_a < doc_b); empty-shingle contents (<3 tokens) never pair.
+    val within = groups
+      .filter(size(col("members")) >= 2 && size(shingles(col("norm"))) > 0)
+      .select(explode(
+        flatten(transform(sequence(lit(0), size(col("members")) - 2), i =>
+          transform(slice(col("members"), i + 2, size(col("members")) - i - 1), y =>
+            array(element_at(col("members"), (i + 1).cast("int")), y))))).as("p"))
+      .select(col("p").getItem(0).as("doc_a"), col("p").getItem(1).as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The exact pair scorer over a frame of DISTINCT contents: group per
+    * shingle instead of self-joining (same lesson as minhash/simhash) —
+    * sizes ride inside the bucket structs, so the whole stage is two
+    * shuffles — one keyed on the shingle, one on the pair — with no join
+    * back to the corpus.
+    */
+  private def shinglePairs(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
