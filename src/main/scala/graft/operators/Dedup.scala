@@ -180,19 +180,19 @@ object Dedup {
     // Group per bucket instead of self-joining: a self-join would execute
     // the signature pipeline once per side (verified in the plan). The
     // `MaxBucketSize` stop-bucket guard (mirrored in the oracle SQL, so
-    // they cannot diverge) is applied the simhash way: find over-cap
-    // buckets with a SALTED two-phase count and anti-join the tiny
-    // blacklist away BEFORE collect_list — so even when one band key
-    // dominates the corpus, no reducer ever materializes the degenerate
-    // bucket's row list just to drop it.
-    val hot = graft.functions.Salting
-      .saltedCount(banded, struct(col("band"), col("key")), col("doc_id"))
-      .filter(col("n") > MaxBucketSize)
-      .select(col("key.band").as("band"), col("key.key").as("key"))
-    val buckets = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    // they cannot diverge) is fused into the collection itself:
+    // BoundedSortedCollect keeps at most cap+1 smallest ids with
+    // constant-size state, so an under-cap bucket comes back exact and an
+    // over-cap bucket comes back saturated at cap+1 (→ filtered). One
+    // aggregation pass, one signature-kernel execution, and a degenerate
+    // bucket ships at most cap+1 longs per map partition — the two-phase
+    // salted-count + anti-join form ran the kernel twice for the same
+    // guarantee.
+    val buckets = banded
       .groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(graft.functions.BoundedSortedCollect
+        .column(col("doc_id"), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucketSize))
     buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
@@ -660,18 +660,17 @@ object Dedup {
     val keyed = emb.select(col("vec_id"),
         posexplode(graft.functions.VecSignChunks.column(
           col("embedding"), planes, EmbLshChunkBits)).as(Seq("chunk", "key")))
-    // Stop-bucket guard, salted (the simhash pattern): over-cap buckets —
-    // e.g. the all-ones code of an all-positive corpus — are found by a
-    // two-phase count and anti-joined away BEFORE collect_list, so the
-    // degenerate bucket never lands on one reducer.
-    val hot = graft.functions.Salting
-      .saltedCount(keyed, struct(col("chunk"), col("key")), col("vec_id"))
-      .filter(col("n") > MaxBucketSize)
-      .select(col("key.chunk").as("chunk"), col("key.key").as("key"))
-    val buckets = keyed.join(broadcast(hot), Seq("chunk", "key"), "left_anti")
+    // Stop-bucket guard fused into the collection (BoundedSortedCollect,
+    // see dedupMinhashDf): over-cap buckets — e.g. the all-ones code of an
+    // all-positive corpus — saturate the cap+1-bounded buffer and are
+    // filtered; under-cap buckets come back exact. One aggregation pass
+    // (one VecSignChunks kernel execution), constant per-bucket state on
+    // every reducer.
+    val buckets = keyed
       .groupBy(col("chunk"), col("key"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(graft.functions.BoundedSortedCollect
+        .column(col("vec_id"), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucketSize))
     val cand = buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
