@@ -79,19 +79,7 @@ object Dedup {
     * heavy stage at sf0.1 size and pays only output-linear expansion.
     */
   def dedupNgramDf(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    // Eager checkpoint: `groups` feeds three branches (pairing, cross
-    // expansion ×2, within expansion); checkpointing materializes the one
-    // shuffle instead of re-running the scan+groupBy per branch, and the
-    // job lands inside the operator's own timed region (Bench times
-    // construction), same convention as clustersFromPairs.
-    val groups = docs
-      .select(col("doc_id"), norm.as("norm"))
-      .groupBy(col("norm"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .select(element_at(col("members"), 1).as("rep_id"), col("norm"),
-        col("members"))
-      .localCheckpoint(true)
+    val groups = normGroups(docs)
     val repPairs = shinglePairs(
       groups.select(col("rep_id").as("doc_id"), col("norm").as("text")))
     val mem = groups.select(col("rep_id"), col("members"))
@@ -114,6 +102,57 @@ object Dedup {
       .select(col("p").getItem(0).as("doc_a"), col("p").getItem(1).as("doc_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** Verbatim-duplicate groups of `docs`: one row per distinct
+    * token-normalized text with the ascending-sorted member id list and
+    * its first member as `rep_id`. Eagerly checkpointed — the frame feeds
+    * multiple branches in every consumer (pairing + expansions in
+    * [[dedupNgramDf]], rep edges + stars in [[ngramComponentEdgesDf]]),
+    * and the checkpoint materializes the one groupBy shuffle instead of
+    * re-running the scan per branch, with the job landing inside the
+    * operator's own timed region (Bench times construction), same
+    * convention as [[clustersFromPairs]].
+    */
+  private def normGroups(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(element_at(col("members"), 1).as("rep_id"), col("norm"),
+        col("members"))
+      .localCheckpoint(true)
+  }
+
+  /** A SPARSE graph with exactly the connected components of the
+    * [[dedupNgramDf]] pair graph: one rep–rep edge per scored distinct-
+    * content pair plus one star edge per non-rep member of each verbatim
+    * group (only groups that pair at all, i.e. with ≥ 3 tokens — matching
+    * [[dedupNgramDf]], whose empty-shingle groups produce no pairs).
+    *
+    * Connectivity proof: within a verbatim group the full graph has the
+    * complete i<j pair set (jaccard 1.0) and the star spans the same
+    * vertex set; across groups every cross pair connects members whose
+    * reps share the inherited rep pair, which the rep–rep edge plus the
+    * two stars already connect. So components — and therefore
+    * [[clustersFromPairs]] output — are identical, at O(members + rep
+    * pairs) edges instead of the full graph's per-group quadratic blowup.
+    * This is the graph [[dedupClusters]] iterates over: the propagation
+    * loop's per-round join cost is edge-linear, so feeding it the sparse
+    * equivalent is the difference between O(Σ g²) and O(Σ g) loop work on
+    * a duplicate-heavy corpus.
+    */
+  def ngramComponentEdgesDf(docs: DataFrame): DataFrame = {
+    val groups = normGroups(docs)
+    val repEdges = shinglePairs(
+      groups.select(col("rep_id").as("doc_id"), col("norm").as("text")))
+      .select(col("doc_a"), col("doc_b"))
+    val starEdges = groups
+      .filter(size(col("members")) >= 2 && size(shingles(col("norm"))) > 0)
+      .select(col("rep_id").as("doc_a"),
+        explode(slice(col("members"), lit(2), size(col("members")) - 1)).as("doc_b"))
+    repEdges.unionByName(starEdges)
   }
 
   /** The exact pair scorer over a frame of DISTINCT contents: group per
@@ -498,7 +537,9 @@ object Dedup {
 
   /** `dedup_clusters`: connected components over the n-gram near-dup
     * graph — the step that turns candidate PAIRS into KEEP/DROP decisions
-    * (one canonical doc per duplicate cluster, rep = min doc_id).
+    * (one canonical doc per duplicate cluster, rep = min doc_id). Iterates
+    * over [[ngramComponentEdgesDf]], the sparse connectivity-equivalent of
+    * the full pair graph (identical components, edge-linear loop work).
     *
     * Min-label propagation to fixpoint. The iteration count is bounded by
     * the component diameter; near-dup clusters are small and dense, so
@@ -515,7 +556,7 @@ object Dedup {
     * graph the jump variant is the known fix.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(dedupNgram(spark, dir).select(col("doc_a"), col("doc_b")))
+    clustersFromPairs(ngramComponentEdgesDf(Tables.documents(spark, dir)))
 
   /** Connected components over ANY undirected near-dup pair frame
     * (`doc_a`, `doc_b`) — the generic cluster/keeper primitive behind

@@ -82,6 +82,41 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._2) == want.values.toSet.size)
   }
 
+  test("ngram component edges give the full pair graph's components (sparse)") {
+    val s = spark
+    import s.implicits._
+    // Two verbatim groups whose contents are near-duplicates of each other
+    // (must merge into ONE component via the rep edge + stars), one
+    // isolated doc, and a verbatim group of <3-token texts (no shingles —
+    // must produce NO component at all, as the full graph has no pairs).
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = (
+      (1L to 5L).map(i => (i, txtA)) ++
+      (11L to 13L).map(i => (i, txtB)) ++
+      Seq((21L, "completely different content about ships and sails and sea travel")) ++
+      (31L to 33L).map(i => (i, "too short"))
+    ).toDF("doc_id", "text")
+    val full = Dedup.dedupNgramDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // union-find over the FULL pair graph = expected components
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    full.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(d => d -> find(d)).toMap
+    val got = Dedup.clustersFromPairs(Dedup.ngramComponentEdgesDf(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(got == want)
+    assert(want.values.toSet == Set(1L), "near-dup verbatim groups must merge into one component")
+    assert(!got.keySet.exists(_ >= 21L), "isolated and shingle-less docs must not appear")
+  }
+
   test("dedup_simhash pairs are within the hamming budget and symmetric-free") {
     val rows = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
