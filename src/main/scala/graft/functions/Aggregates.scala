@@ -117,3 +117,126 @@ object BoundedSortedCollect {
     Bridge.column(
       BoundedSortedCollect(Bridge.expression(c), maxSize).toAggregateExpression())
 }
+
+/** [[BoundedSortedCollect]] for STRUCT rows carrying a payload next to the
+  * id: keeps the `maxSize` rows with the smallest leading BIGINT field,
+  * emitting them id-ascending. The leading field must be unique within a
+  * group (true for every LSH bucket: one row per doc per band), making
+  * the order identical to `array_sort(collect_list(struct(...)))`.
+  *
+  * This is the single-pass stop-bucket guard for bucket stages whose
+  * pairing needs the signature IN the bucket row (simhash chunk arrays,
+  * phash fingerprints — hamming is scored in-bucket with no join back to
+  * the corpus). Replacing the two-pass count + anti-join also removes the
+  * eager signature checkpoint those stages needed to avoid running the
+  * kernel once per consumer — at 100 TB that checkpoint pins a
+  * corpus-sized signature table in executor block storage; this form
+  * streams it through one aggregation.
+  */
+case class BoundedSortedCollectRows(
+    child: Expression,
+    maxSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, InternalRow]]
+  with UnaryLike[Expression] {
+
+  require(maxSize > 0, s"maxSize must be positive, got $maxSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.nonEmpty && s.head.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct child with a leading BIGINT field, " +
+        s"got ${other.catalogString}")
+  }
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(structType)
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_sorted_collect_rows"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, InternalRow] =
+    new java.util.TreeMap[java.lang.Long, InternalRow]()
+
+  override def update(
+      buf: java.util.TreeMap[java.lang.Long, InternalRow],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      buf.put(row.getLong(0), row.copy())
+      if (buf.size > maxSize) buf.pollLastEntry()
+    }
+    buf
+  }
+
+  override def merge(
+      a: java.util.TreeMap[java.lang.Long, InternalRow],
+      b: java.util.TreeMap[java.lang.Long, InternalRow]): java.util.TreeMap[java.lang.Long, InternalRow] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.put(e.getKey, e.getValue)
+      if (a.size > maxSize) a.pollLastEntry()
+    }
+    a
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, InternalRow]): Any =
+    new GenericArrayData(buf.values().toArray(new Array[AnyRef](buf.size)))
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, InternalRow]): Array[Byte] = {
+    val rows = new Array[Array[Byte]](buf.size)
+    var total = 4
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) {
+      // copy() before getBytes: the projection reuses its output buffer,
+      // and getBytes returns the BACKING array uncopied when exact-sized —
+      // without the copy every serialized row aliases the last one.
+      val bytes = toUnsafe(it.next()).copy().getBytes
+      rows(i) = bytes
+      total += 4 + bytes.length
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(rows.length)
+    rows.foreach { r => bb.putInt(r.length); bb.put(r) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, InternalRow] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.TreeMap[java.lang.Long, InternalRow]()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(structType.length)
+      row.pointTo(arr, len)
+      m.put(row.getLong(0), row)
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedSortedCollectRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedSortedCollectRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedSortedCollectRows =
+    copy(child = newChild)
+}
+
+object BoundedSortedCollectRows {
+  /** `bounded_sorted_collect_rows(structCol, maxSize)` as a Column aggregate. */
+  def column(c: Column, maxSize: Int): Column =
+    Bridge.column(
+      BoundedSortedCollectRows(Bridge.expression(c), maxSize).toAggregateExpression())
+}

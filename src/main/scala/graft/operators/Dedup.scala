@@ -437,28 +437,22 @@ object Dedup {
     * so hamming is computed in-bucket with no join back.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures materialized ONCE (they feed both the size pre-pass and
-    // the bucket grouping; without this the kernel would run per consumer).
-    val chunks = Tables.documents(spark, dir)
+    val banded = Tables.documents(spark, dir)
       .select(col("doc_id"), graft.functions.SimHashConf.column(col("text")).as("cs"))
       .filter(size(col("cs")) > 0)
-      .localCheckpoint(true)
-    val banded = chunks.select(col("doc_id"), col("cs"),
-      posexplode(col("cs")).as(Seq("j", "chunk")))
-    // Stop buckets are STRUCTURAL here (only 32 768 chunk values, so bucket
-    // size grows ~N/32k): find them with a salted two-phase count
-    // (functions.Salting — the aggregation stays flat even when one chunk
-    // value dominates the banded rows) and anti-join the tiny blacklist
-    // away BEFORE collect_list, so no reducer ever materializes a
-    // degenerate bucket's row list.
-    val hot = graft.functions.Salting
-      .saltedCount(banded, struct(col("j"), col("chunk")), col("doc_id"))
-      .filter(col("n") > MaxBucketSize)
-      .select(col("key.j").as("j"), col("key.chunk").as("chunk"))
-    val buckets = banded.join(broadcast(hot), Seq("j", "chunk"), "left_anti")
+      .select(col("doc_id"), col("cs"), posexplode(col("cs")).as(Seq("j", "chunk")))
+    // Stop buckets are STRUCTURAL here (only 32 768 chunk values, so
+    // bucket size grows ~N/32k). The guard is fused into the collection
+    // (functions.BoundedSortedCollectRows): under-cap buckets come back as
+    // the exact sorted (doc_id, cs) rows, over-cap buckets saturate at
+    // cap+1 and are filtered — one aggregation pass, ONE kernel execution
+    // with no signature checkpoint, and a dominant chunk value ships at
+    // most cap+1 rows per map partition.
+    val buckets = banded
       .groupBy(col("j"), col("chunk"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("cs")))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(graft.functions.BoundedSortedCollectRows
+        .column(struct(col("doc_id"), col("cs")), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucketSize))
     val ham = (0 until SimhashChunks).map(j =>
       bit_count(element_at(col("p.a.cs"), j + 1)
         .bitwiseXOR(element_at(col("p.b.cs"), j + 1)))).reduce(_ + _)

@@ -228,21 +228,20 @@ object Multimodal {
     * skew-sensitive collect_list sits behind the stop-bucket anti-join.
     */
   def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // one kernel pass, materialized: feeds the hot-bucket count and the
-    // bucket grouping (the simhash-chunks lesson)
-    val ph = multimodalPhash(spark, dir).select(col("doc_id"), col("phash"))
-      .localCheckpoint(true)
-    val banded = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until PhashChunks).map(j =>
-        shiftright(col("phash"), j * PhashChunkBits)
-          .bitwiseAND(lit((1L << PhashChunkBits) - 1))): _*)).as(Seq("j", "chunk")))
-    val hot = banded.groupBy(col("j"), col("chunk"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > Dedup.MaxBucketSize)
-      .select(col("j"), col("chunk"))
-    val buckets = banded.join(broadcast(hot), Seq("j", "chunk"), "left_anti")
+    val banded = multimodalPhash(spark, dir).select(col("doc_id"), col("phash"))
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until PhashChunks).map(j =>
+          shiftright(col("phash"), j * PhashChunkBits)
+            .bitwiseAND(lit((1L << PhashChunkBits) - 1))): _*)).as(Seq("j", "chunk")))
+    // Stop-bucket guard fused into the collection (the simhash shape,
+    // functions.BoundedSortedCollectRows): one aggregation pass, one
+    // SliceHash kernel execution, no fingerprint checkpoint; a dominant
+    // chunk value ships at most cap+1 rows per map partition.
+    val buckets = banded
       .groupBy(col("j"), col("chunk"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("phash")))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(graft.functions.BoundedSortedCollectRows
+        .column(struct(col("doc_id"), col("phash")), Dedup.MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")).between(2, Dedup.MaxBucketSize))
     buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>

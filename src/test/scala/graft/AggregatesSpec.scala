@@ -63,6 +63,55 @@ class AggregatesSpec extends SparkSpec {
     assert(kept == Set(1L, 2L), s"expected groups of size 2 and $cap, got $kept")
   }
 
+  test("rows variant equals array_sort(collect_list(struct)) under capacity") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(0, 3000)
+      // doc_id must be UNIQUE per group (the aggregate's contract; LSH
+      // buckets hold one row per doc): odd-constant multiply is a
+      // bijection on longs, so ids are distinct but sort-shuffled.
+      .select((col("id") % 23).as("k"),
+        struct((col("id") * 2654435761L).as("doc_id"),
+          array(col("id"), col("id") * 2).as("cs")).as("r"))
+      .repartition(8)
+    val got = df.groupBy("k")
+      .agg(graft.functions.BoundedSortedCollectRows.column(col("r"), 1000).as("ids"))
+      .selectExpr("k", "transform(ids, x -> x.doc_id) AS ids", "transform(ids, x -> x.cs) AS cs")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Seq[Long]](2))).toMap
+    val want = df.groupBy("k")
+      .agg(array_sort(collect_list(col("r"))).as("ids"))
+      .selectExpr("k", "transform(ids, x -> x.doc_id) AS ids", "transform(ids, x -> x.cs) AS cs")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Seq[Long]](2))).toMap
+    assert(got == want)
+  }
+
+  test("rows variant saturates at maxSize smallest-id rows across partitions") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(0, 400)
+      .select(lit(0L).as("k"),
+        struct(xxhash64(col("id")).as("doc_id"), col("id").as("payload")).as("r"))
+      .repartition(16)
+    val row = df.groupBy("k")
+      .agg(graft.functions.BoundedSortedCollectRows.column(col("r"), 101).as("ids"))
+      .selectExpr("transform(ids, x -> x.doc_id) AS ids").collect().head
+    val got = row.getSeq[Long](0)
+    val want = df.selectExpr("r.doc_id").collect().map(_.getLong(0)).sorted.take(101).toSeq
+    assert(got.size == 101 && got == want)
+  }
+
+  test("rows variant rejects a non-struct or non-bigint-led child") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val e = intercept[Exception] {
+      df.groupBy("k")
+        .agg(graft.functions.BoundedSortedCollectRows.column(struct(col("v")), 5))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("rejects a non-bigint child with a typed analysis error") {
     val s = spark
     import s.implicits._
