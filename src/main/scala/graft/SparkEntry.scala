@@ -37,6 +37,7 @@ object SparkEntry {
     "q_events_percentiles" -> Relational.qEventsPercentiles _,
     "q_events_percentiles_approx" -> Relational.qEventsPercentilesApprox _,
     "q_events_dau_wau"    -> Relational.qEventsDauWau _,
+    "q_events_dau_wau_approx" -> Relational.qEventsDauWauApprox _,
     "q_orders_growth"     -> Relational.qOrdersGrowth _,
     "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
     "q18_large_orders"    -> Relational.q18LargeOrders _,
@@ -223,8 +224,14 @@ object SparkEntry {
     *    query; no SQL engine replays Spark's sketch bit-for-bit. The
     *    approximation is pinned instead by RelationalSpec's rank-error bound
     *    against the exact operator (|CDF(approx_p) − p| ≤ 1e-3).
+    *  - q_events_dau_wau_approx: mergeable per-day HLL sketches
+    *    (DataSketches); register hashing is engine-specific, so no SQL
+    *    engine reproduces the exact estimates. Pinned by RelationalSpec's
+    *    relative-error bound against the exact q_events_dau_wau
+    *    (≤ 3%; lgK=14 → rsd ≈ 0.8%).
     */
-  val rowsOnlyQueries: Set[String] = Set("q_events_percentiles_approx")
+  val rowsOnlyQueries: Set[String] =
+    Set("q_events_percentiles_approx", "q_events_dau_wau_approx")
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
     * files; same output column names as the Spark result), for the

@@ -245,6 +245,46 @@ object Relational {
         col("dau"), col("wau"))
   }
 
+  /** HLL accuracy knob for [[qEventsDauWauApprox]]: 2^14 registers,
+    * rsd = 1.04/√2^14 ≈ 0.8% (3σ ≈ 2.4%), ~16 KB per daily sketch.
+    */
+  val DauWauLgK = 14
+
+  /** SURVEY §2 `q_events_dau_wau_approx`: the sketch-based serving twin of
+    * [[qEventsDauWau]], built on MERGEABLE per-day HLL sketches
+    * (DataSketches `hll_sketch_agg`). The exact operator shuffles every
+    * distinct (user, day) and re-materializes each activity row ×7 for
+    * the trailing window; here the corpus is read ONCE into one
+    * constant-size sketch per day (no distinct pre-pass — HLL absorbs
+    * duplicates map-side), DAU is the sketch estimate, and WAU is a
+    * 7-day `hll_union_agg` over the ~n_days sketch rows — set union is
+    * exactly what HLL merges compute, so the window costs per-DAY work,
+    * not per-event work. This is the serving design every 100 TB
+    * observability store uses: daily sketches persisted once, ANY
+    * trailing window (7/28/90-day) derived by merge without touching
+    * events again. Register hashing is engine-specific → rows-only gate;
+    * RelationalSpec pins the relative error vs the exact twin.
+    */
+  def qEventsDauWauApprox(spark: SparkSession, dir: String): DataFrame = {
+    // One corpus pass → ~n_days rows of (day, 16 KB sketch). Checkpointed
+    // because both branches consume it (the dedupNgram groups convention;
+    // the materialized frame is KB-sized).
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), DauWauLgK).as("sk"))
+      .localCheckpoint(true)
+    val dau = daily.select(col("day"), hll_sketch_estimate(col("sk")).as("dau_approx"))
+    val wau = daily
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("sk"))
+      .select(date_add(col("day"), col("k")).as("day"), col("sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_approx"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau_approx"), col("wau_approx"))
+  }
+
   /** SURVEY §2 `q_events_percentiles`: exact per-type value percentiles
     * (p50/p95/p99 with linear interpolation) — the standard observability
     * query over an event stream. Rank positions come from cumulative

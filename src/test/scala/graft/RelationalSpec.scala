@@ -214,6 +214,21 @@ class RelationalSpec extends SparkSpec {
         r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toSet
     assert(got == want)
   }
+  test("q_events_dau_wau_approx stays within the HLL relative-error bound of exact") {
+    // rsd 0.5% → 3σ ≈ 1.5%; assert 3% slack per day on both counts.
+    val exact = Relational.qEventsDauWau(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val approx = Relational.qEventsDauWauApprox(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("dau_approx"), r.getAs[Long]("wau_approx"))).toMap
+    assert(approx.keySet == exact.keySet, "day coverage must match the exact twin")
+    approx.foreach { case (day, (da, wa)) =>
+      val (de, we) = exact(day)
+      assert(math.abs(da - de).toDouble / de <= 0.03, s"$day dau $da vs $de")
+      assert(math.abs(wa - we).toDouble / we <= 0.03, s"$day wau $wa vs $we")
+    }
+  }
   test("q_events_percentiles_approx stays within the GK rank-error bound of exact") {
     // The sketch guarantee is in RANK space: the returned value's empirical
     // CDF position must be within 1/accuracy (=1e-4) of the target
