@@ -193,6 +193,65 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[WordShingles]] emitting the 122-bit combined double polyhash of each
+  * distinct shingle (`PolyHash(s, 31, 1e9+7) * (1e9+9) + PolyHash(s, 131,
+  * 1e9+9)` — the SimHashConf token-hash program over the shingle string)
+  * instead of the shingle string itself: one JVM pass, no string column
+  * materialized, 8-byte join keys. Distinctness is still BY STRING (the
+  * oracle's `list_distinct` then hashes), so a double-hash collision
+  * between distinct shingles yields the same duplicate hash values in
+  * both engines. For set-membership consumers (decontamination) this is
+  * the exact-parity drop-in whose broadcast is ~6× smaller than the
+  * string form and whose probe compares longs.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordShingleHashes.hashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  def hashes(text: String, n: Int): Array[Long] = {
+    val toks = GraftText.wsTokens(text)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        out += PolyHash.hash(s, SimHashConf.Base1, SimHashConf.Mod1) * SimHashConf.Mod2 +
+          PolyHash.hash(s, SimHashConf.Base2, SimHashConf.Mod2)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  def column(c: Column, n: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(c), n))
+}
+
 object WordShingles {
   def shingles(text: String, n: Int): Array[String] = {
     val toks = GraftText.wsTokens(text)

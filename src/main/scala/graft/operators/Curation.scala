@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The canonical training-data curation decision, composed from the
@@ -87,28 +87,47 @@ object Curation {
     * the dedup family.
     */
   def curationDecontam(spark: SparkSession, dir: String): DataFrame = {
+    // WordShingleHashes: the shingle kernel emitting 122-bit double
+    // polyhashes (the simhash token-hash program over the shingle string,
+    // REPLAYED IDENTICALLY in the oracle SQL — a collision changes both
+    // engines the same way, so the gate stays exact by construction).
+    // Broadcasting 8-byte hashes instead of ~50-byte shingle strings makes
+    // the eval side ~6× smaller over the wire and the probe compares longs.
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"),
-        graft.functions.WordShingles.column(col("text"), DecontamNgram).as("sh"))
-    val evalShingles = docs.filter(col("doc_id") % DecontamEvalMod === 0)
-      .select(explode(col("sh")).as("s")).distinct()
+        graft.functions.WordShingleHashes.column(col("text"), DecontamNgram).as("hs"))
+    val evalIds = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    // ONE pass over the train side (the old shape consumed it twice —
+    // once for hits, once for n_ngrams — running the shingle kernel per
+    // consumer): carry n_ngrams through the explode and left-join the
+    // broadcast hash set, so empty-shingle docs survive via explode_outer
+    // and per-doc counts come from one agg.
     val train = docs.filter(col("doc_id") % DecontamEvalMod =!= 0)
-    val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(broadcast(evalShingles), Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    train.select(col("doc_id"), size(col("sh")).cast("long").as("n_ngrams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("n"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n"), lit(0L)) > 0L).as("contaminated"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
+        explode_outer(col("hs")).as("h"))
+    train.join(broadcast(evalIds.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated") > 0L).as("contaminated"))
   }
 
   /** DuckDB oracle for curation_decontam — same 8-gram construction as the
-    * dedup ngram CTEs, eval slice by the same modulus.
+    * dedup ngram CTEs, eval slice by the same modulus, and the SAME
+    * double-polyhash join key as the Spark side (the simhash oracle's
+    * poly program over the shingle string), so hash collisions cannot
+    * diverge the engines.
     */
   def decontamOracleSql: String = {
+    import graft.functions.SimHashConf.{Base1, Base2, Mod1, Mod2}
     val gram = (0 until DecontamNgram)
       .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+    def poly(base: Long, mod: Long): String =
+      s"""list_reduce(list_transform(range(1, length(s) + 1),
+         |      c -> CAST(ord(substr(s, CAST(c AS INT), 1)) AS BIGINT)),
+         |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -120,10 +139,12 @@ object Curation {
        |         ELSE list_transform(range(1, len(toks) - ${DecontamNgram - 2}), i ->
        |           $gram) END) AS sh
        |  FROM t),
-       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % $DecontamEvalMod = 0),
+       |ev AS (SELECT DISTINCT ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)} AS h
+       |       FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % $DecontamEvalMod = 0)),
        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % $DecontamEvalMod <> 0),
-       |tx AS (SELECT doc_id, unnest(sh) AS s FROM tr),
-       |h AS (SELECT tx.doc_id, count(*) AS n FROM tx JOIN ev ON tx.s = ev.s GROUP BY 1)
+       |tx AS (SELECT doc_id, ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)} AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM tr)),
+       |h AS (SELECT tx.doc_id, count(*) AS n FROM tx JOIN ev ON tx.h = ev.h GROUP BY 1)
        |SELECT tr.doc_id, CAST(len(tr.sh) AS BIGINT) AS n_ngrams,
        |  COALESCE(h.n, 0) AS n_contaminated, COALESCE(h.n, 0) > 0 AS contaminated
        |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin
