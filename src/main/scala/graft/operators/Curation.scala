@@ -300,10 +300,14 @@ object Curation {
     // LSH-propose → exact-Jaccard-verify pipeline (dedup_verified), not
     // the corpus-sized exact shingle join (dedup_ngram / dedup_clusters,
     // which remain the oracle-exact measurement forms — dedup_recall pins
-    // what the LSH stage trades away). The oracle replays the identical
-    // verified pair set, so the gate stays exact.
+    // what the LSH stage trades away). Propagation iterates the SPARSE
+    // connectivity-equivalent of that pair graph (rep edges + verbatim-
+    // group stars — identical components, edge-linear loop work); the
+    // oracle replays the full verified pair set, whose components are the
+    // same, so the gate stays exact.
     val dup = Dedup.clustersFromPairs(
-        Dedup.dedupVerified(spark, dir).select(col("doc_a"), col("doc_b")))
+        Dedup.verifiedComponentEdgesDf(
+          graft.sources.Tables.documents(spark, dir)))
       .select(col("doc_id"), col("keep").as("dk"))
     quality.join(lang, Seq("doc_id"))
       .join(dup, Seq("doc_id"), "left")

@@ -211,34 +211,108 @@ object Dedup {
     * (functions.MinHashBandKeys): shingles → rolling hashes → 16 affine
     * mins → 4 keys in a single JVM pass, no intermediate arrays. Docs
     * without shingles produce an empty array and drop out on the explode.
+    *
+    * Verbatim duplicates are collapsed FIRST (the [[dedupNgramDf]] lesson
+    * at sf1: 10× verbatim copies blow a row-quadratic pair stage up
+    * ~100×): the kernel tokenizes exactly like [[normGroups]]'s key
+    * (lower/trim/ws-collapse), so same-norm texts have identical
+    * signatures and the LSH stage runs over DISTINCT contents only.
+    * Member pairs expand back out exactly — cross-group pairs inherit the
+    * rep pair's shared-band count, within-group pairs share every band
+    * their content survives in.
+    *
+    * The [[MaxBucketSize]] stop-bucket guard therefore counts distinct
+    * CONTENTS, not documents (mirrored in the oracle SQL): a bucket of
+    * 10 000 verbatim copies of one page is true duplication the operator
+    * must report, not boilerplate degeneracy — only a bucket shared by
+    * >cap distinct contents is dropped. (The old doc-level guard silently
+    * dropped exactly the heavy verbatim clusters a dedup pass exists to
+    * find.)
     */
   def dedupMinhashDf(docs: DataFrame): DataFrame = {
-    val banded = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHashConf.column(col("text"))).as(Seq("band", "key")))
-    // Group per bucket instead of self-joining: a self-join would execute
-    // the signature pipeline once per side (verified in the plan). The
-    // `MaxBucketSize` stop-bucket guard (mirrored in the oracle SQL, so
-    // they cannot diverge) is fused into the collection itself:
-    // BoundedSortedCollect keeps at most cap+1 smallest ids with
-    // constant-size state, so an under-cap bucket comes back exact and an
-    // over-cap bucket comes back saturated at cap+1 (→ filtered). One
-    // aggregation pass, one signature-kernel execution, and a degenerate
-    // bucket ships at most cap+1 longs per map partition — the two-phase
-    // salted-count + anti-join form ran the kernel twice for the same
-    // guarantee.
-    val buckets = banded
+    val (groups, buckets) = minhashRepBuckets(docs)
+    expandRepPairs(groups, repPairsFromBuckets(buckets),
+      survivingBandCounts(buckets).withColumn("v", col("nb")), "n_shared_bands")
+  }
+
+  /** The collapsed LSH stage shared by [[dedupMinhashDf]],
+    * [[dedupVerifiedDf]] and [[verifiedComponentEdgesDf]]: verbatim-dup
+    * groups plus the surviving (band, key) buckets of their distinct
+    * contents.
+    *
+    * The stop-bucket guard is fused into the collection itself
+    * (BoundedSortedCollect keeps at most cap+1 smallest rep ids with
+    * constant-size state, so an under-cap bucket comes back exact and an
+    * over-cap bucket comes back saturated at cap+1 → filtered). One
+    * aggregation pass, one signature-kernel execution, and a degenerate
+    * bucket ships at most cap+1 longs per map partition. Size-1 buckets
+    * are KEPT: they cannot pair across contents, but they witness a band
+    * survival for within-group expansion. The bucket frame is eagerly
+    * checkpointed — every consumer reads it twice (content pairs + band
+    * survival counts) and the checkpoint materializes the one shuffle
+    * instead of re-running the kernel per branch.
+    */
+  private def minhashRepBuckets(docs: DataFrame): (DataFrame, DataFrame) = {
+    val groups = normGroups(docs)
+    val buckets = groups
+      .select(col("rep_id"),
+        posexplode(graft.functions.MinHashConf.column(col("norm"))).as(Seq("band", "key")))
       .groupBy(col("band"), col("key"))
       .agg(graft.functions.BoundedSortedCollect
-        .column(col("doc_id"), MaxBucketSize + 1).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucketSize))
-    buckets.select(explode(
+        .column(col("rep_id"), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")) <= MaxBucketSize)
+      .localCheckpoint(true)
+    (groups, buckets)
+  }
+
+  /** Distinct-content candidate pairs from the surviving buckets:
+    * `(doc_a, doc_b, n_shared_bands)` at REP level, ids ascending within
+    * the sorted bucket arrays.
+    */
+  private def repPairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets.filter(size(col("ids")) >= 2)
+      .select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
             struct(element_at(col("ids"), (i + 1).cast("int")).as("doc_a"),
               y.as("doc_b")))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .agg(count(lit(1)).as("v"))
+
+  /** Per-content surviving-band count `(rep_id, nb)` — how many of a
+    * content's band buckets cleared the stop guard. Within-group member
+    * pairs share exactly these bands.
+    */
+  private def survivingBandCounts(buckets: DataFrame): DataFrame =
+    buckets.select(explode(col("ids")).as("rep_id"))
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("nb"))
+
+  /** Expand rep-level pair values to member-level pairs (the
+    * [[dedupNgramDf]] expansion): cross-group pairs inherit the rep
+    * pair's `v`, within-group i<j member combos (groups of ≥2 docs whose
+    * content appears in `withinVals`) take that group's `v`. Both unions
+    * are output-linear; the quadratic stage never sees member rows.
+    */
+  private def expandRepPairs(groups: DataFrame, repPairs: DataFrame,
+      withinVals: DataFrame, out: String): DataFrame = {
+    val mem = groups.select(col("rep_id"), col("members"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("doc_a") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("doc_b") === col("mb.rep_id"))
+      .select(col("v"), explode(col("ma.members")).as("da"),
+        col("mb.members").as("bm"))
+      .select(col("v"), col("da"), explode(col("bm")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("v"))
+    val within = withinVals.select(col("rep_id"), col("v"))
+      .join(mem.filter(size(col("members")) >= 2), Seq("rep_id"))
+      .select(col("v"), explode(
+        flatten(transform(sequence(lit(0), size(col("members")) - 2), i =>
+          transform(slice(col("members"), i + 2, size(col("members")) - i - 1), y =>
+            array(element_at(col("members"), (i + 1).cast("int")), y))))).as("p"))
+      .select(col("p").getItem(0).as("doc_a"), col("p").getItem(1).as("doc_b"),
+        col("v"))
+    cross.unionByName(within).withColumnRenamed("v", out)
   }
 
   /** SURVEY §2 `dedup_verified`: the 100 TB two-stage near-dup pipeline as
@@ -256,20 +330,60 @@ object Dedup {
   def dedupVerified(spark: SparkSession, dir: String): DataFrame =
     dedupVerifiedDf(Tables.documents(spark, dir))
 
-  /** [[dedupVerified]] over ANY (doc_id, text) frame — the library form. */
+  /** [[dedupVerified]] over ANY (doc_id, text) frame — the library form.
+    *
+    * Both stages run over DISTINCT contents ([[minhashRepBuckets]]):
+    * exact Jaccard is a function of the normalized text alone, so the
+    * verify join scores only rep pairs and the expansion is exact —
+    * cross-group member pairs inherit the rep score, within-group pairs
+    * (verbatim duplicates whose content survives ≥1 band bucket) score
+    * exactly 1.0. On a duplicate-heavy corpus the verify join shrinks by
+    * the duplication factor squared.
+    */
   def dedupVerifiedDf(docsIn: DataFrame): DataFrame = {
-    val cand = dedupMinhashDf(docsIn).select(col("doc_a"), col("doc_b"))
-    val docs = docsIn
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val (groups, buckets) = minhashRepBuckets(docsIn)
+    expandRepPairs(groups, verifiedRepScored(groups, buckets),
+      survivingBandCounts(buckets).select(col("rep_id"), lit(1.0).as("v")),
+      "jaccard")
+  }
+
+  /** Rep-level verified pairs `(doc_a, doc_b, v = round(jaccard, 6))`:
+    * exact word-3-gram Jaccard over the distinct-content candidate pairs
+    * only, thresholded at [[NgramJaccardThreshold]].
+    */
+  private def verifiedRepScored(groups: DataFrame, buckets: DataFrame): DataFrame = {
+    val reps = groups
+      .select(col("rep_id"), shingles(col("norm")).as("sh"))
       .filter(size(col("sh")) > 0)
-    cand.join(docs.as("da"), col("da.doc_id") === col("doc_a"))
-      .join(docs.as("db"), col("db.doc_id") === col("doc_b"))
+    repPairsFromBuckets(buckets)
+      .join(reps.as("da"), col("da.rep_id") === col("doc_a"))
+      .join(reps.as("db"), col("db.rep_id") === col("doc_b"))
       .withColumn("m", size(array_intersect(col("da.sh"), col("db.sh"))).cast("long"))
-      .withColumn("jaccard",
+      .withColumn("j",
         col("m").cast("double") /
           (size(col("da.sh")) + size(col("db.sh")) - col("m")).cast("double"))
-      .filter(col("jaccard") >= NgramJaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("j") >= NgramJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("v"))
+  }
+
+  /** A SPARSE graph with exactly the connected components of the
+    * [[dedupVerifiedDf]] pair graph — the [[ngramComponentEdgesDf]]
+    * construction applied to the two-stage LSH-verified pair source: one
+    * rep–rep edge per verified distinct-content pair plus one star edge
+    * per non-rep member of each verbatim group whose content survives ≥1
+    * band bucket (exactly the groups whose within pairs exist in the full
+    * graph). Same components, O(members + rep pairs) edges — what
+    * cluster propagation should iterate over at scale.
+    */
+  def verifiedComponentEdgesDf(docs: DataFrame): DataFrame = {
+    val (groups, buckets) = minhashRepBuckets(docs)
+    val repEdges = verifiedRepScored(groups, buckets)
+      .select(col("doc_a"), col("doc_b"))
+    val starEdges = groups.filter(size(col("members")) >= 2)
+      .join(survivingBandCounts(buckets), Seq("rep_id"))
+      .select(col("rep_id").as("doc_a"),
+        explode(slice(col("members"), lit(2), size(col("members")) - 1)).as("doc_b"))
+    repEdges.unionByName(starEdges)
   }
 
   /** SURVEY §2 `dedup_recall`: the quality measurement of the two-stage
@@ -310,10 +424,14 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
        |  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |ep AS (
-       |  SELECT doc_a, doc_b
+       |erp AS (
+       |  SELECT doc_a AS rep_a, doc_b AS rep_b, 1 AS one
        |  FROM ei JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
        |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold),
+       |ep AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${expandSql("erp", "one", "1", "JOIN exx ON g.rep_id = exx.doc_id")}
+       |)),
        |j AS (
        |  SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
        |  FROM (SELECT doc_a, doc_b, 1 AS one FROM ep) e
@@ -340,16 +458,14 @@ object Dedup {
     */
   def verifiedScoredCtes: String =
     s"""${minhashCtesBody},
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
-       |  GROUP BY 1, 2),
-       |vsc AS (
-       |  SELECT doc_a, doc_b,
+       |rvsc AS (
+       |  SELECT rep_a, rep_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
-       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-       |            JOIN sh sb ON cand.doc_b = sb.doc_id)""".stripMargin
+       |  FROM rp JOIN sh sa ON rp.rep_a = sa.doc_id
+       |          JOIN sh sb ON rp.rep_b = sb.doc_id),
+       |vsc AS (
+       |${expandSql("rvsc", "j", "1.0")})""".stripMargin
 
   /** CTE chain BODY ending in `pairs(doc_a, doc_b)` — the verified
     * two-stage pair SET (what cluster propagation consumes).
@@ -373,11 +489,21 @@ object Dedup {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, $key AS key FROM s"
     }.mkString("\n  UNION ALL ")
-    s"""t AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-       |  FROM documents),
+    // Collapsed form, mirroring the Spark stage: verbatim-dup groups `g`
+    // (rep_id = min member, members ascending), the shingle/signature/band
+    // chain over DISTINCT contents only, the stop-bucket guard counting
+    // contents, plus `nbv` (per-content surviving-band count) for the
+    // within-group expansion.
+    s"""g AS MATERIALIZED (
+       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)
+       |  GROUP BY norm),
+       |t AS (
+       |  SELECT rep_id AS doc_id,
+       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(norm, '\\s+') END AS toks
+       |  FROM g),
        |sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
@@ -399,17 +525,42 @@ object Dedup {
        |bc AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
        |bf AS MATERIALIZED (SELECT b.band, b.key, b.doc_id FROM b JOIN bc
        |         ON b.band = bc.band AND b.key = bc.key
-       |       WHERE bc.n BETWEEN 2 AND $MaxBucketSize)""".stripMargin
+       |       WHERE bc.n <= $MaxBucketSize),
+       |nbv AS (SELECT doc_id AS rep_id, count(*) AS nb FROM bf GROUP BY 1),
+       |rp AS (
+       |  SELECT a.doc_id AS rep_a, b2.doc_id AS rep_b, count(*) AS n
+       |  FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Member-level expansion of a rep-level pair CTE `src(rep_a, rep_b,
+    * $v)` plus the within-group arm valued by `$withinV` per rep — the SQL
+    * twin of the Spark expansion. `withinJoin` states when a group's
+    * within pairs exist at all (band survival for the LSH graphs, shingle
+    * nonemptiness for the exact graph).
+    */
+  private def expandSql(src: String, v: String, withinV: String,
+      withinJoin: String = "JOIN nbv ON g.rep_id = nbv.rep_id"): String =
+    s"""  SELECT least(ta.ma, tb.mb) AS doc_a, greatest(ta.ma, tb.mb) AS doc_b, $src.$v AS $v
+       |  FROM $src
+       |  JOIN g ga ON $src.rep_a = ga.rep_id
+       |  JOIN g gb ON $src.rep_b = gb.rep_id
+       |  CROSS JOIN UNNEST(ga.members) AS ta(ma)
+       |  CROSS JOIN UNNEST(gb.members) AS tb(mb)
+       |  UNION ALL
+       |  SELECT ta.ma AS doc_a, tb.mb AS doc_b, $withinV AS $v
+       |  FROM g $withinJoin
+       |  CROSS JOIN UNNEST(g.members) AS ta(ma)
+       |  CROSS JOIN UNNEST(g.members) AS tb(mb)
+       |  WHERE ta.ma < tb.mb""".stripMargin
 
   /** DuckDB oracle for dedup_minhash, generated from the same constants so
     * Spark and the oracle can never drift.
     */
   def minhashOracleSql: String =
-    s"""$minhashCtes
-       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
-       |FROM bf a JOIN bf b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
-       |GROUP BY 1, 2""".stripMargin
+    s"""$minhashCtes,
+       |rpn AS (SELECT rep_a, rep_b, n AS n_shared_bands FROM rp)
+       |${expandSql("rpn", "n_shared_bands", "nbv.nb")}""".stripMargin
 
   // Constants live in functions.SimHashConf, shared by the native kernel
   // and the generated DuckDB oracle.

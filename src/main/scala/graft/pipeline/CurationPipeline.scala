@@ -44,8 +44,7 @@ object CurationPipeline {
     val base = docs.select(col("doc_id"), col("text"))
     val quality = TextOps.withQuality(base).select(col("doc_id"), col("quality"))
     val lang = TextOps.withLangid(base).select(col("doc_id"), col("pred_lang"))
-    val dup = Dedup.clustersFromPairs(
-        Dedup.dedupVerifiedDf(base).select(col("doc_a"), col("doc_b")))
+    val dup = Dedup.clustersFromPairs(Dedup.verifiedComponentEdgesDf(base))
       .select(col("doc_id"), col("keep").as("dk"))
     val rate = cfg.sampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("pred_lang") === l, lit(r)).otherwise(acc)

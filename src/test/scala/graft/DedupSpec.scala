@@ -160,10 +160,13 @@ class DedupSpec extends SparkSpec {
   test("dedup_minhash drops a synthetic hot bucket without materializing it") {
     val s = spark
     import s.implicits._
-    // 300 copies of one text → every band bucket it keys is over the cap
-    // (degenerate boilerplate, not near-duplication); plus one legitimate
-    // near-identical pair that must survive the guard.
-    val boiler = (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    // 300 DISTINCT texts dominated by one long shared boilerplate block:
+    // every minhash minimum comes from the shared shingles, so all 300
+    // contents key the same band buckets — >cap distinct contents =
+    // degenerate boilerplate, dropped. One legitimate near-identical pair
+    // must survive the guard.
+    val boilerBase = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val boiler = (1L to 300L).map(i => (i, s"$boilerBase variant$i"))
     val legit = Seq(
       (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (1002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
@@ -173,6 +176,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1001L, 1002L)), "legitimate pair must survive")
     assert(!pairs.exists(p => p._1 <= 300 || p._2 <= 300),
       s"over-cap bucket must produce no pairs, got ${pairs.size}")
+  }
+
+  test("dedup_minhash reports verbatim-duplicate groups the doc-level guard lost") {
+    val s = spark
+    import s.implicits._
+    // 300 verbatim copies of one page is TRUE duplication, not a hot
+    // bucket: the stop guard counts distinct contents (1 here), so every
+    // member pair must come back, sharing all 4 bands — at O(contents)
+    // LSH cost, since the quadratic stage never sees member rows.
+    val copies = (1L to 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairs = Dedup.dedupMinhashDf(copies.toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
+    assert(pairs.length == 300 * 299 / 2)
+    pairs.foreach { case (a, b, n) => assert(a < b && n == Dedup.Bands.toLong) }
+    // and the two-stage verified form scores them all at exactly 1.0
+    val ver = Dedup.dedupVerifiedDf(copies.toDF("doc_id", "text")).collect()
+    assert(ver.length == 300 * 299 / 2)
+    ver.foreach(r => assert(r.getAs[Double]("jaccard") == 1.0))
   }
 
   test("dedup_embedding_lsh drops a synthetic hot bucket without materializing it") {
