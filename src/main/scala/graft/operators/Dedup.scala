@@ -587,36 +587,60 @@ object Dedup {
     * the oracle) bounds that; the chunk values ride inside the bucket rows,
     * so hamming is computed in-bucket with no join back.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.SimHashConf.column(col("text")).as("cs"))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashDf(Tables.documents(spark, dir))
+
+  /** [[dedupSimhash]] over ANY (doc_id, text) frame — the library form.
+    *
+    * Collapsed like the minhash family: the SimHash kernel tokenizes
+    * exactly like [[normGroups]]'s key, so verbatim duplicates have
+    * identical chunk signatures and the bucket stage runs over DISTINCT
+    * contents; the stop-bucket guard counts contents (a verbatim-copy
+    * pile-up is duplication to report, not degeneracy to drop), and
+    * member pairs expand back out — cross-group pairs inherit the rep
+    * pair's hamming, within-group pairs (content surviving ≥1 chunk
+    * bucket) are hamming 0 by construction.
+    */
+  def dedupSimhashDf(docs: DataFrame): DataFrame = {
+    val groups = normGroups(docs)
+    val banded = groups
+      .select(col("rep_id"), graft.functions.SimHashConf.column(col("norm")).as("cs"))
       .filter(size(col("cs")) > 0)
-      .select(col("doc_id"), col("cs"), posexplode(col("cs")).as(Seq("j", "chunk")))
+      .select(col("rep_id"), col("cs"), posexplode(col("cs")).as(Seq("j", "chunk")))
     // Stop buckets are STRUCTURAL here (only 32 768 chunk values, so
-    // bucket size grows ~N/32k). The guard is fused into the collection
-    // (functions.BoundedSortedCollectRows): under-cap buckets come back as
-    // the exact sorted (doc_id, cs) rows, over-cap buckets saturate at
-    // cap+1 and are filtered — one aggregation pass, ONE kernel execution
-    // with no signature checkpoint, and a dominant chunk value ships at
-    // most cap+1 rows per map partition.
+    // bucket size grows ~distinct-contents/32k). The guard is fused into
+    // the collection (functions.BoundedSortedCollectRows): under-cap
+    // buckets come back as the exact sorted (rep_id, cs) rows, over-cap
+    // buckets saturate at cap+1 and are filtered — one aggregation pass,
+    // ONE kernel execution with no signature checkpoint, and a dominant
+    // chunk value ships at most cap+1 rows per map partition. Size-1
+    // buckets are kept: they witness band survival for the within-group
+    // expansion.
     val buckets = banded
       .groupBy(col("j"), col("chunk"))
       .agg(graft.functions.BoundedSortedCollectRows
-        .column(struct(col("doc_id"), col("cs")), MaxBucketSize + 1).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucketSize))
+        .column(struct(col("rep_id"), col("cs")), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")) <= MaxBucketSize)
+      .localCheckpoint(true)
     val ham = (0 until SimhashChunks).map(j =>
       bit_count(element_at(col("p.a.cs"), j + 1)
         .bitwiseXOR(element_at(col("p.b.cs"), j + 1)))).reduce(_ + _)
-    buckets.select(explode(
+    val repPairs = buckets.filter(size(col("ids")) >= 2)
+      .select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1), y =>
             struct(element_at(col("ids"), (i + 1).cast("int")).as("a"),
               y.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+      .select(col("p.a.rep_id").as("doc_a"), col("p.b.rep_id").as("doc_b"),
         ham.cast("long").as("hamming"))
       // a pair can share several chunks; hamming is identical on each copy
-      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("v"))
+      .filter(col("v") <= SimhashMaxHamming)
+    val withinVals = buckets
+      .select(explode(col("ids")).as("r"))
+      .select(col("r.rep_id").as("rep_id")).distinct()
+      .select(col("rep_id"), lit(0L).as("v"))
+    expandRepPairs(groups, repPairs, withinVals, "hamming")
   }
 
   /** DuckDB oracle for dedup_simhash, generated from the same constants so
@@ -646,11 +670,20 @@ object Dedup {
       s"SELECT doc_id, $j AS j, c$j AS chunk FROM c").mkString("\n  UNION ALL ")
     val ham = (0 until SimhashChunks).map(j =>
       s"bit_count(xor(ca.c$j, cb.c$j))").mkString(" + ")
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-       |  FROM documents),
+    // Collapsed construction mirroring the Spark stage: `g` verbatim-dup
+    // groups, chunk signatures over distinct contents only, content-level
+    // stop guard, `nbv` band survival, member expansion (within pairs are
+    // hamming 0).
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)
+       |  GROUP BY norm),
+       |t AS (
+       |  SELECT rep_id AS doc_id,
+       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(norm, '\\s+') END AS toks
+       |  FROM g),
        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
        |hh AS (
        |  SELECT doc_id,
@@ -668,16 +701,18 @@ object Dedup {
        |b AS (
        |  $bandSelects),
        |bcnt AS (SELECT j, chunk, count(*) AS n FROM b GROUP BY 1, 2),
-       |bf AS (SELECT b.j, b.chunk, b.doc_id FROM b JOIN bcnt
+       |bf AS MATERIALIZED (SELECT b.j, b.chunk, b.doc_id FROM b JOIN bcnt
        |         ON b.j = bcnt.j AND b.chunk = bcnt.chunk
-       |       WHERE bcnt.n BETWEEN 2 AND $MaxBucketSize),
+       |       WHERE bcnt.n <= $MaxBucketSize),
+       |nbv AS (SELECT DISTINCT doc_id AS rep_id FROM bf),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  SELECT DISTINCT a.doc_id AS rep_a, b2.doc_id AS rep_b
        |  FROM bf a JOIN bf b2 ON a.j = b2.j AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
-       |scored AS (
-       |  SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
-       |  FROM cand JOIN c ca ON cand.doc_a = ca.doc_id JOIN c cb ON cand.doc_b = cb.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= $SimhashMaxHamming""".stripMargin
+       |rps AS (
+       |  SELECT rep_a, rep_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand JOIN c ca ON cand.rep_a = ca.doc_id JOIN c cb ON cand.rep_b = cb.doc_id
+       |  WHERE CAST($ham AS BIGINT) <= $SimhashMaxHamming)
+       |${expandSql("rps", "hamming", "CAST(0 AS BIGINT)")}""".stripMargin
   }
 
   /** `dedup_clusters`: connected components over the n-gram near-dup
