@@ -93,25 +93,32 @@ object Curation {
     // engines the same way, so the gate stays exact by construction).
     // Broadcasting 8-byte hashes instead of ~50-byte shingle strings makes
     // the eval side ~6× smaller over the wire and the probe compares longs.
-    val docs = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.WordShingleHashes.column(col("text"), DecontamNgram).as("hs"))
-    val evalIds = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+    //
+    // The dedup-family verbatim collapse applies here too: n-gram overlap
+    // is a function of the normalized text alone, so the kernel and the
+    // probe run once per DISTINCT content and the per-doc rows expand
+    // back out through group membership — only the eval/train SPLIT is
+    // doc-id-based (a content with members on both sides contributes its
+    // hashes to the eval set AND gets flagged on its train copies).
+    val groups = Dedup.normGroups(graft.sources.Tables.documents(spark, dir))
+    val contents = groups.select(col("rep_id"),
+      filter(col("members"), m => m % DecontamEvalMod =!= 0).as("train_members"),
+      exists(col("members"), m => m % DecontamEvalMod === 0).as("has_eval"),
+      graft.functions.WordShingleHashes.column(col("norm"), DecontamNgram).as("hs"))
+    val evalIds = contents.filter(col("has_eval"))
       .select(explode(col("hs")).as("h")).distinct()
-    // ONE pass over the train side (the old shape consumed it twice —
-    // once for hits, once for n_ngrams — running the shingle kernel per
-    // consumer): carry n_ngrams through the explode and left-join the
-    // broadcast hash set, so empty-shingle docs survive via explode_outer
-    // and per-doc counts come from one agg.
-    val train = docs.filter(col("doc_id") % DecontamEvalMod =!= 0)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
+    val train = contents.filter(size(col("train_members")) >= 1)
+      .select(col("rep_id"), size(col("hs")).cast("long").as("n_ngrams"),
         explode_outer(col("hs")).as("h"))
-    train.join(broadcast(evalIds.withColumn("hit", lit(1L))), Seq("h"), "left")
-      .groupBy(col("doc_id"))
+    val perContent = train
+      .join(broadcast(evalIds.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("rep_id"))
       .agg(max(col("n_ngrams")).as("n_ngrams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
-      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
-        (col("n_contaminated") > 0L).as("contaminated"))
+    perContent
+      .join(contents.select(col("rep_id"), col("train_members")), Seq("rep_id"))
+      .select(explode(col("train_members")).as("doc_id"), col("n_ngrams"),
+        col("n_contaminated"), (col("n_contaminated") > 0L).as("contaminated"))
   }
 
   /** DuckDB oracle for curation_decontam — same 8-gram construction as the
@@ -128,26 +135,37 @@ object Curation {
       s"""list_reduce(list_transform(range(1, length(s) + 1),
          |      c -> CAST(ord(substr(s, CAST(c AS INT), 1)) AS BIGINT)),
          |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(toks) < $DecontamNgram THEN CAST([] AS VARCHAR[])
-       |         ELSE list_transform(range(1, len(toks) - ${DecontamNgram - 2}), i ->
-       |           $gram) END) AS sh
+    // Collapsed twin of the Spark stage: shingle-hash once per distinct
+    // normalized content, split eval/train by member doc ids, expand the
+    // per-content verdict through the train members.
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)
+       |  GROUP BY norm),
+       |t AS (
+       |  SELECT rep_id, members,
+       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(norm, '\\s+') END AS toks
+       |  FROM g),
+       |hs AS (
+       |  SELECT rep_id,
+       |    list_filter(members, m -> m % $DecontamEvalMod <> 0) AS tm,
+       |    len(list_filter(members, m -> m % $DecontamEvalMod = 0)) > 0 AS has_eval,
+       |    list_transform(list_distinct(
+       |      CASE WHEN len(toks) < $DecontamNgram THEN CAST([] AS VARCHAR[])
+       |           ELSE list_transform(range(1, len(toks) - ${DecontamNgram - 2}), i ->
+       |             $gram) END),
+       |      s -> ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)}) AS hs
        |  FROM t),
-       |ev AS (SELECT DISTINCT ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)} AS h
-       |       FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % $DecontamEvalMod = 0)),
-       |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % $DecontamEvalMod <> 0),
-       |tx AS (SELECT doc_id, ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)} AS h
-       |       FROM (SELECT doc_id, unnest(sh) AS s FROM tr)),
-       |h AS (SELECT tx.doc_id, count(*) AS n FROM tx JOIN ev ON tx.h = ev.h GROUP BY 1)
-       |SELECT tr.doc_id, CAST(len(tr.sh) AS BIGINT) AS n_ngrams,
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE has_eval),
+       |tr AS (SELECT rep_id, tm, hs FROM hs WHERE len(tm) > 0),
+       |tx AS (SELECT rep_id, unnest(hs) AS h FROM tr),
+       |h AS (SELECT tx.rep_id, count(*) AS n FROM tx JOIN ev ON tx.h = ev.h GROUP BY 1)
+       |SELECT ta.m AS doc_id, CAST(len(tr.hs) AS BIGINT) AS n_ngrams,
        |  COALESCE(h.n, 0) AS n_contaminated, COALESCE(h.n, 0) > 0 AS contaminated
-       |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin
+       |FROM tr LEFT JOIN h ON tr.rep_id = h.rep_id
+       |CROSS JOIN UNNEST(tr.tm) AS ta(m)""".stripMargin
   }
 
   /** SURVEY §2 `curation_mix`: domain-mixing weights — per-source token

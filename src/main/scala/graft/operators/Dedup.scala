@@ -114,15 +114,19 @@ object Dedup {
     * operator's own timed region (Bench times construction), same
     * convention as [[clustersFromPairs]].
     */
-  private def normGroups(docs: DataFrame): DataFrame = {
+  private[operators] def normGroups(docs: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    docs
+    val out = docs
       .select(col("doc_id"), norm.as("norm"))
       .groupBy(col("norm"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .select(element_at(col("members"), 1).as("rep_id"), col("norm"),
         col("members"))
       .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] normGroups t=${(System.nanoTime() - t0) / 1e9}%.3f")
+    out
   }
 
   /** A SPARSE graph with exactly the connected components of the
