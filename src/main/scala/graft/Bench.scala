@@ -29,7 +29,8 @@ object Bench {
     "q_window_topk", "q_events_window", "q_events_sessionize", "q_events_asof",
     "q_events_funnel", "q_events_retention", "q_events_anomaly",
     "q_events_percentiles", "q_events_percentiles_approx", "q_events_dau_wau",
-    "q_events_dau_wau_approx",
+    "q_events_dau_wau_approx", "q_events_heavy_hitters",
+    "q_events_heavy_hitters_approx",
     "chunk_fixed", "chunk_tokens", "chunk_boilerplate",
     "text_fingerprint", "text_quality", "text_surprisal",
     "text_tfidf", "corpus_stats",

@@ -38,6 +38,8 @@ object SparkEntry {
     "q_events_percentiles_approx" -> Relational.qEventsPercentilesApprox _,
     "q_events_dau_wau"    -> Relational.qEventsDauWau _,
     "q_events_dau_wau_approx" -> Relational.qEventsDauWauApprox _,
+    "q_events_heavy_hitters" -> Relational.qEventsHeavyHitters _,
+    "q_events_heavy_hitters_approx" -> Relational.qEventsHeavyHittersApprox _,
     "q_orders_growth"     -> Relational.qOrdersGrowth _,
     "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
     "q18_large_orders"    -> Relational.q18LargeOrders _,
@@ -229,9 +231,17 @@ object SparkEntry {
     *    engine reproduces the exact estimates. Pinned by RelationalSpec's
     *    relative-error bound against the exact q_events_dau_wau
     *    (≤ 3%; lgK=14 → rsd ≈ 0.8%).
+    *  - q_events_heavy_hitters_approx: mergeable frequent-items sketches
+    *    (DataSketches approx_top_k_*); eviction order and tie order inside
+    *    the sketch are engine-specific. Pinned by RelationalSpec: exact
+    *    (day, user, count) agreement with q_events_heavy_hitters at test SF
+    *    (8192 tracked slots ≥ distinct users ⇒ the sketch never evicts and
+    *    is provably exact), plus the saturated ±n/maxTracked bound on a
+    *    synthetic skewed stream.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("q_events_percentiles_approx", "q_events_dau_wau_approx")
+    Set("q_events_percentiles_approx", "q_events_dau_wau_approx",
+      "q_events_heavy_hitters_approx")
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
     * files; same output column names as the Spark result), for the
@@ -491,6 +501,23 @@ object SparkEntry {
         |        GROUP BY 1)
         |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
+    "q_events_heavy_hitters" ->
+      s"""WITH pd AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT pd.day + CAST(t.k AS INT) AS day, user_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_events
+        |  FROM pd, UNNEST(range(0, 7)) AS t(k) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT tr.day, user_id, n_events,
+        |    row_number() OVER (PARTITION BY tr.day
+        |      ORDER BY n_events DESC, user_id) AS rank
+        |  FROM tr JOIN (SELECT DISTINCT day FROM pd) rd ON tr.day = rd.day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rank AS BIGINT) AS rank,
+        |  user_id, n_events
+        |FROM rk WHERE rank <= ${Relational.HeavyHittersK}""".stripMargin,
 
     "q_events_asof" ->
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),

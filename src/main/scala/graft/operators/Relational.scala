@@ -285,6 +285,85 @@ object Relational {
         col("dau_approx"), col("wau_approx"))
   }
 
+  /** Heavy-hitter knobs shared by the exact and sketch twins: top-K users
+    * per trailing window, and the frequent-items sketch capacity. 8192
+    * tracked slots ≥ the distinct-user count at every test SF (so the spec
+    * can pin exact agreement: a non-saturated Misra-Gries-family sketch is
+    * exact); at 100 TB the sketch saturates and the count guarantee
+    * degrades gracefully to ±n/maxItemsTracked (see the approx scaladoc).
+    */
+  val HeavyHittersK = 5
+  val HeavyHittersMaxTracked = 8192
+
+  /** SURVEY §2 `q_events_heavy_hitters`: for each day, the top-K
+    * event-generating users over the TRAILING 7 days — "who is hammering
+    * the system this week", the rate-limiting / abuse-triage companion of
+    * [[qEventsDauWau]]. Exact AUDIT form: per-(day, user) counts (one
+    * map-side-combined shuffle), each ×7 into the trailing windows it
+    * serves (the dau/wau expansion), re-agg, then a per-day top-K rank —
+    * Spark 4's WindowGroupLimit prunes each day's partition to K rows
+    * before the sort, so the window never materializes a full per-day
+    * ranking at scale. The per-day candidate set is still every user
+    * active in the window — at 100 TB the serving path is the sketch twin
+    * [[qEventsHeavyHittersApprox]]. Deterministic tie-break (user_id asc)
+    * keeps the oracle exact.
+    */
+  def qEventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("c"))
+    val trailing = perDay
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"),
+        col("user_id"), col("c"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"), col("c"))
+      .groupBy(col("day"), col("user_id")).agg(sum(col("c")).as("n_events"))
+    // The ×7 expansion invents days past the corpus end; keep real days only.
+    val realDays = perDay.select(col("day")).distinct()
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    trailing.join(broadcast(realDays), Seq("day"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HeavyHittersK)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rank"), col("user_id"), col("n_events"))
+  }
+
+  /** SURVEY §2 `q_events_heavy_hitters_approx`: the sketch-based SERVING
+    * twin of [[qEventsHeavyHitters]], on MERGEABLE frequent-items sketches
+    * (DataSketches via `approx_top_k_accumulate` / `_combine` /
+    * `_estimate`). The corpus is read ONCE into one bounded-size sketch
+    * per day (counts combine map-side; no per-(day, user) shuffle rows),
+    * and each trailing window is a 7-sketch `approx_top_k_combine` — so
+    * ANY window (7/28/90-day) derives from the same persisted daily
+    * sketches without touching events again, the dau_wau_approx design
+    * with counts instead of cardinalities. Guarantee when the sketch
+    * saturates: estimated count ∈ [true, true + n/maxItemsTracked] and
+    * every item with true count > n/maxItemsTracked is present — the
+    * classic heavy-hitter contract. Sketch internals are engine-specific →
+    * rows-only gate; RelationalSpec pins exact agreement with the exact
+    * twin at test SF (non-saturated ⇒ exact) and the saturated bound on a
+    * synthetic skewed stream.
+    */
+  def qEventsHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(expr(s"approx_top_k_accumulate(user_id, $HeavyHittersMaxTracked)").as("st"))
+      .localCheckpoint(true)
+    val combined = daily
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("st"))
+      .select(date_add(col("day"), col("k")).as("day"), col("st"))
+      .groupBy(col("day"))
+      .agg(expr(s"approx_top_k_combine(st, $HeavyHittersMaxTracked)").as("st"))
+    combined.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
+      .select(col("day"),
+        posexplode(expr(s"approx_top_k_estimate(st, $HeavyHittersK)")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("user_id"),
+        col("col.count").as("n_events"))
+  }
+
   /** SURVEY §2 `q_events_percentiles`: exact per-type value percentiles
     * (p50/p95/p99 with linear interpolation) — the standard observability
     * query over an event stream. Rank positions come from cumulative

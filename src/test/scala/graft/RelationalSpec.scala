@@ -253,6 +253,48 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+  test("q_events_heavy_hitters_approx matches exact when the sketch is unsaturated") {
+    // 8192 tracked slots ≥ distinct users at this SF ⇒ the frequent-items
+    // sketch never evicts ⇒ counts are provably exact. Ranks can differ only
+    // in tie ORDER at the K boundary, so compare (day → count multiset) and
+    // pin every reported (day, user) count against the exact per-user count.
+    val exact = Relational.qEventsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events")))
+    val approx = Relational.qEventsHeavyHittersApprox(spark, dir).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events")))
+    assert(approx.nonEmpty)
+    val exactCounts = exact.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(_._3).sorted.toSeq }
+    val approxCounts = approx.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(_._3).sorted.toSeq }
+    assert(approxCounts == exactCounts, "per-day top-K count multisets differ")
+    // Every reported user's count is its TRUE trailing-window count.
+    val truth = exact.map(t => (t._1, t._2) -> t._3).toMap
+    approx.filter(t => truth.contains((t._1, t._2))).foreach { t =>
+      assert(truth((t._1, t._2)) == t._3, s"count drift for $t")
+    }
+  }
+
+  test("heavy-hitter sketch keeps the dominant item within bound when saturated") {
+    // Saturate on purpose: 100 distinct values into an 8-slot sketch, with
+    // one value at ~half the stream. The heavy-hitter contract: the dominant
+    // item survives eviction and estimate ∈ [true, true + n/maxTracked].
+    import spark.implicits._
+    val n = 2000
+    val xs = (0 until n).map(i => if (i % 2 == 0) 7L else (i % 100).toLong + 100L)
+    val est = xs.toDF("x")
+      .agg(org.apache.spark.sql.functions.expr("approx_top_k(x, 1, 8)").as("tk"))
+      .select(org.apache.spark.sql.functions.expr("tk[0].item").as("item"),
+        org.apache.spark.sql.functions.expr("tk[0].count").as("count"))
+      .collect().head
+    val trueCount = n / 2
+    assert(est.getAs[Long]("item") == 7L, "dominant item evicted")
+    val c = est.getAs[Long]("count")
+    assert(c >= trueCount && c <= trueCount + n / 8, s"estimate $c outside bound")
+  }
+
   test("q_events_dau_wau counts trailing-7-day distinct users") {
     val act = graft.sources.Tables.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("user_id"),
