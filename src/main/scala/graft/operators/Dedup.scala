@@ -739,8 +739,13 @@ object Dedup {
     * with the cheapest possible round wins; on an adversarially deep
     * graph the jump variant is the known fix.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(ngramComponentEdgesDf(Tables.documents(spark, dir)))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = clustersFromPairs(ngramComponentEdgesDf(Tables.documents(spark, dir)))
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] construct total t=${(System.nanoTime() - t0) / 1e9}%.3f")
+    out
+  }
 
   /** Connected components over ANY undirected near-dup pair frame
     * (`doc_a`, `doc_b`) — the generic cluster/keeper primitive behind
@@ -748,59 +753,114 @@ object Dedup {
     * embedding pair sets (every pair operator emits this shape).
     */
   def clustersFromPairs(rawPairs: DataFrame): DataFrame = {
-    // Materialize the PAIRS before mirroring them: a union of two branches
-    // over the same pair subtree executes the pair pipeline once per
-    // branch (the checkpoint's RDD materialization path doesn't reuse the
-    // exchange across branches — measured 2× the standalone query). The
-    // mirrored edge list is then a narrow map over the checkpointed blocks,
-    // re-read cheaply by every round's join; the corpus never enters the
-    // loop.
+    // The propagation loop runs on RDDs with ONE fixed HashPartitioner —
+    // the canonical iterative-graph shape (GraphX's): the mirrored edge
+    // list is hash-partitioned ONCE and persisted, so every round's
+    // edge⋈label join is NARROW on the edge side; the only per-round
+    // shuffle is the map-side-combined per-vertex min (label-table-sized,
+    // never edge- or corpus-sized). The earlier Catalyst-loop version paid
+    // twice per round for work a fixed plan does zero times: a full
+    // optimize+codegen pass (~0.25 s/round of driver time, measured — the
+    // loop's plans are new objects every round so nothing caches) and a
+    // re-shuffle of the edge list (the exchange under a checkpointed frame
+    // re-runs in every round's job). At 1000 executors that edge
+    // re-shuffle is the difference between a label-sized and an edge-sized
+    // network pass per round. DataFrames declare plans; loops want the
+    // partitioner pinned across iterations — that is precisely the rare
+    // imperative case the RDD API exists for.
+    val spark = rawPairs.sparkSession
+    import spark.implicits._
     val tE = System.nanoTime()
-    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (src, dst) both directions, keyed by src. The ONE Catalyst plan
+    // compiled here is the pair pipeline itself; it runs exactly once.
+    val raw = rawPairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .rdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }.persist(lvl)
+    // Size the loop's partitioner from the MATERIALIZED edge count — the
+    // AQE coalescing rule applied by hand (RDD stages never see AQE): a
+    // near-dup graph is orders of magnitude smaller than its corpus, and
+    // without this the loop pays per-round scheduling for `shuffle
+    // partitions` tasks of a few rows each (measured 0.5 s/round vs
+    // ~0.1 s at sf1). ~500k edges per partition, capped at the session
+    // shuffle parallelism; a 100 TB pair graph hits the cap.
+    val nEdges = raw.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(nParts, (nEdges / 500000L).toInt + 1)))
+    val edges = raw.partitionBy(part).persist(lvl)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(f"[cc] edges t=${(System.nanoTime() - tE) / 1e9}%.3f")
-    // Seed labels with round 1 for free: the per-node min neighbor comes
-    // out of the same shuffle that a plain `distinct` init would cost, so
-    // the loop starts one propagation step ahead.
+      println(f"[cc] edges t=${(System.nanoTime() - tE) / 1e9}%.3f n=$nEdges")
+    // Seed labels by PER-PARTITION union-find (path-compressed, union-by-
+    // min so the root IS the component's min id) — the two-phase CC
+    // design: each partition contracts its local subgraph in one
+    // imperative pass, and the global loop below only stitches components
+    // that SPAN partitions. When the sized partitioner puts the whole
+    // graph in one partition (any corpus whose pair graph is < ~500k
+    // edges) the seed is already exact and the loop is a single
+    // confirming round; at 100 TB the seed still collapses every
+    // partition-local chain, so the rounds that remain are bounded by the
+    // CROSS-partition diameter, not the raw component diameter. Memory is
+    // O(vertices per partition) — bounded by the same sizing rule.
+    // Init correctness: any seed where label(v) is the id of SOME vertex
+    // in v's component (and ≤ v) preserves the loop's invariant and
+    // fixpoint; the local root qualifies.
     val tL = System.nanoTime()
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("rep"))
-      .localCheckpoint(true)
+    val localCC = edges.mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      it.foreach { case (s, d) =>
+        if (!parent.contains(s)) parent.update(s, s)
+        if (!parent.contains(d)) parent.update(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (rs < rd) parent.update(rd, rs) else parent.update(rs, rd)
+        }
+      }
+      val ks = parent.keysIterator.toArray // find() compresses during emit
+      ks.iterator.map(v => (v, find(v)))
+    }
+    var labels = localCC.reduceByKey(part, math.min(_: Long, _: Long))
+      .persist(lvl)
+    // The RDD actually holding blocks this round (labels may be a narrow
+    // view over it after round 1 — unpersisting the view frees nothing).
+    var pinned: org.apache.spark.rdd.RDD[_] = labels
+    labels.count()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"[cc] init t=${(System.nanoTime() - tL) / 1e9}%.3f")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id2")).agg(min(col("rep")).as("nrep"))
-      // Carry the previous rep through the checkpoint so the convergence
-      // check is a filter-count on the already-materialized frame — a
-      // second labels-join per round (the old shape) doubled the loop's
-      // join work just to count changes. The checkpoint is LAZY so the
-      // count is also the materializing action: one job per round, not a
-      // checkpoint job plus a count job (measured 2× on the whole loop).
-      // Lineage still MUST truncate each round (the plan is flat over the
-      // checkpointed RDD): chaining the update plan across rounds grows
-      // it exponentially and OOMs at scale (observed at sf0.1 with plain
-      // cache()).
-      val updated = labels.join(viaNeighbors, labels("doc_id") === col("doc_id2"), "left")
-        .select(col("doc_id"), col("rep").as("prev_rep"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(false)
       val t0 = System.nanoTime()
-      val changed = updated.filter(col("rep") =!= col("prev_rep")).count()
+      // label(src) rides to each neighbor dst; per-dst min is map-side
+      // combined before the (only) shuffle of the round.
+      val viaNeighbors = edges.join(labels, part)
+        .map { case (_, (dst, rep)) => (dst, rep) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // Both sides share `part` → narrow join; carry prev so the
+      // convergence check is a filter-count on the materialized round.
+      val updated = labels.leftOuterJoin(viaNeighbors, part)
+        .mapValues { case (prev, o) => (prev, math.min(prev, o.getOrElse(prev))) }
+        .persist(lvl)
+      val changed = updated.filter { case (_, (prev, next)) => prev != next }.count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round=$rounds changed=$changed t=${(System.nanoTime() - t0) / 1e9}%.3f")
-      labels.unpersist(blocking = false)
-      labels = updated.select(col("doc_id"), col("rep"))
+      pinned.unpersist(blocking = false)
+      pinned = updated
+      labels = updated.mapValues(_._2)
       converged = changed == 0
       rounds += 1
     }
-    labels.select(col("doc_id"), col("rep").as("cluster_rep"),
-      (col("doc_id") === col("rep")).as("keep"))
+    val out = labels.map { case (v, rep) => (v, rep, v == rep) }
+      .toDF("doc_id", "cluster_rep", "keep")
+    raw.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** SURVEY §2 `dedup_cluster_stats`: the duplicate-cluster size
