@@ -39,7 +39,8 @@ object Bench {
     "knn_bruteforce", "ivf_search", "ann_ivf", "ann_pq", "ann_ivfpq",
     "vec_pca", "bm25_topk", "hybrid_rrf", "eval_recall",
     "search_highlights", "pipeline_filter",
-    "multimodal_phash_pairs", "curation_decontam", "curation_pack")
+    "multimodal_phash_pairs", "curation_decontam", "curation_decontam_bloom",
+    "curation_pack")
 
   val WarmupDir = "/root/testdata/sf0.001"
   val Passes = 3

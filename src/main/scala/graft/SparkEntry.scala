@@ -109,6 +109,7 @@ object SparkEntry {
     "curation_sample"     -> Curation.curationSample _,
     "curation_budget"     -> Curation.curationBudget _,
     "curation_decontam"   -> Curation.curationDecontam _,
+    "curation_decontam_bloom" -> Curation.curationDecontamBloom _,
     "curation_mix"        -> Curation.curationMix _,
     "curation_pack"       -> Curation.curationPack _,
     "curation_report"     -> Curation.curationReport _,
@@ -238,10 +239,15 @@ object SparkEntry {
     *    (8192 tracked slots ≥ distinct users ⇒ the sketch never evicts and
     *    is provably exact), plus the saturated ±n/maxTracked bound on a
     *    synthetic skewed stream.
+    *  - curation_decontam_bloom: the eval set folds into a Bloom filter
+    *    (bloom_filter_agg) whose bit layout is engine-specific; DuckDB
+    *    cannot replay the probe. Pinned by CurationSpec: one-sided
+    *    dominance (no false negatives) vs curation_decontam plus exact
+    *    agreement at test SF, where the 4 MiB filter's FPP is ~0.
     */
   val rowsOnlyQueries: Set[String] =
     Set("q_events_percentiles_approx", "q_events_dau_wau_approx",
-      "q_events_heavy_hitters_approx")
+      "q_events_heavy_hitters_approx", "curation_decontam_bloom")
 
   /** DuckDB-dialect oracle SQL per query (same table names as the parquet
     * files; same output column names as the Spark result), for the

@@ -1231,3 +1231,31 @@ object PcaProject {
     Bridge.column(PcaProject(Bridge.expression(c), mean.toIndexedSeq,
       comps.map(_.toIndexedSeq).toIndexedSeq))
 }
+
+/** Column wrapper over Spark's internal `BloomFilterMightContain` — the
+  * probe side of `bloom_filter_agg` (SQL-registered) which Spark exposes
+  * only to its own runtime-filter rewrite, not the function registry.
+  * Codegen'd by Spark itself; value must be the same LONG hash fed to the
+  * aggregate (curation_decontam_bloom probes WordShingleHashes output).
+  */
+object MightContain {
+  def column(bloom: Column, value: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(Bridge.expression(bloom), Bridge.expression(value)))
+}
+
+/** Column wrapper over Spark's internal `BloomFilterAggregate` (the build
+  * side of the runtime-filter pair above) — registered by Spark as an
+  * internal-only routine, so it is constructed directly here. Input must
+  * be LONG hashes; output is the serialized filter binary, map-side
+  * merged like any typed-imperative aggregate.
+  */
+object BloomAgg {
+  def column(value: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(value),
+        Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+}

@@ -100,11 +100,7 @@ object Curation {
     // back out through group membership — only the eval/train SPLIT is
     // doc-id-based (a content with members on both sides contributes its
     // hashes to the eval set AND gets flagged on its train copies).
-    val groups = Dedup.normGroups(graft.sources.Tables.documents(spark, dir))
-    val contents = groups.select(col("rep_id"),
-      filter(col("members"), m => m % DecontamEvalMod =!= 0).as("train_members"),
-      exists(col("members"), m => m % DecontamEvalMod === 0).as("has_eval"),
-      graft.functions.WordShingleHashes.column(col("norm"), DecontamNgram).as("hs"))
+    val contents = decontamContents(spark, dir)
     val evalIds = contents.filter(col("has_eval"))
       .select(explode(col("hs")).as("h")).distinct()
     val train = contents.filter(size(col("train_members")) >= 1)
@@ -115,6 +111,81 @@ object Curation {
       .groupBy(col("rep_id"))
       .agg(max(col("n_ngrams")).as("n_ngrams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+    perContent
+      .join(contents.select(col("rep_id"), col("train_members")), Seq("rep_id"))
+      .select(explode(col("train_members")).as("doc_id"), col("n_ngrams"),
+        col("n_contaminated"), (col("n_contaminated") > 0L).as("contaminated"))
+  }
+
+  /** The distinct-content frame both decontam forms probe: per normalized
+    * content its train-side members, whether any member falls in the eval
+    * slice, and the shingle-hash array from the shared WordShingleHashes
+    * kernel.
+    */
+  private def decontamContents(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.normGroups(graft.sources.Tables.documents(spark, dir))
+    groups.select(col("rep_id"),
+      filter(col("members"), m => m % DecontamEvalMod =!= 0).as("train_members"),
+      exists(col("members"), m => m % DecontamEvalMod === 0).as("has_eval"),
+      graft.functions.WordShingleHashes.column(col("norm"), DecontamNgram).as("hs"))
+  }
+
+  /** Bloom sizing for [[curationDecontamBloom]]: 2^25 bits (4 MiB) at the
+    * 4M-item estimate → theoretical FPP ~1e-3 at capacity and effectively
+    * zero at test SF. Both constants sit under Spark's runtime-filter
+    * defaults (maxNumBits 2^26, maxNumItems 4M).
+    */
+  val DecontamBloomBits: Long = 1L << 25
+  val DecontamBloomEstItems: Long = 4000000L
+
+  /** SURVEY §2 `curation_decontam_bloom`: the sketch-based SERVING twin of
+    * [[curationDecontam]]. The exact form broadcasts the eval slice's
+    * DISTINCT shingle-hash set — fine while eval sets are small, but a
+    * 100 TB pretraining run decontaminates against MANY benchmarks plus
+    * held-out corpora, and a multi-billion-key exact hash set neither
+    * builds nor broadcasts. Here the eval side folds into ONE 4 MiB Bloom
+    * filter (`bloom_filter_agg`, map-side merged, duplicate-insert
+    * idempotent — the exact path's distinct pre-shuffle disappears), the
+    * filter ships as a scalar crossJoin(broadcast(…)) and the train side
+    * probes it in a NARROW map (no join at all on the corpus). The error
+    * is ONE-SIDED by construction: a Bloom filter has no false negatives,
+    * so every truly contaminated document is flagged with
+    * n_contaminated ≥ the exact count; false positives inflate counts at
+    * the filter's FPP (~1e-3 at the 4M-item capacity). That direction is
+    * the safe one for decontamination — you can only over-drop, never
+    * leak an eval document into training. Bit layout is engine-specific →
+    * rows-only gate; CurationSpec pins the one-sided dominance and exact
+    * agreement at test SF against [[curationDecontam]].
+    */
+  def curationDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val contents = decontamContents(spark, dir)
+      .localCheckpoint(true) // feeds the filter build AND the probe pass
+    // Bounded driver artifact (the IVF-centroid-literal pattern):
+    // `might_contain` requires a CONSTANT filter — Spark's own runtime-
+    // filter rewrite materializes the build side the same way — and the
+    // collect is capped at [[DecontamBloomBits]]/8 = 4 MiB by
+    // construction, independent of eval-set cardinality. That constant
+    // size is the entire point of the sketch.
+    val bfRow = contents.filter(col("has_eval"))
+      .select(explode(col("hs")).as("h"))
+      .agg(graft.functions.BloomAgg.column(col("h"),
+        DecontamBloomEstItems, DecontamBloomBits).as("bf"))
+      .collect()(0)
+    val bf: Array[Byte] =
+      if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]]("bf")
+    val train = contents.filter(size(col("train_members")) >= 1)
+      .select(col("rep_id"), size(col("hs")).cast("long").as("n_ngrams"),
+        explode_outer(col("hs")).as("h"))
+    val perContent = train
+      // null bloom (empty eval slice) and null h (shingle-less doc) both
+      // probe to no-hit; the probe itself is a NARROW codegen'd map.
+      .withColumn("hit",
+        if (bf == null) lit(false)
+        else coalesce(
+          graft.functions.MightContain.column(lit(bf), col("h")), lit(false)))
+      .groupBy(col("rep_id"))
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
     perContent
       .join(contents.select(col("rep_id"), col("train_members")), Seq("rep_id"))
       .select(explode(col("train_members")).as("doc_id"), col("n_ngrams"),

@@ -60,6 +60,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("decontam bloom twin: one-sided dominance, exact agreement at this SF") {
+    // Bloom probes have NO false negatives: every (doc, count) from the
+    // exact operator is dominated by the bloom twin's count. At this SF
+    // the 4 MiB filter holds a few thousand hashes → FPP ≈ 0, so the two
+    // operators must in fact agree cell-for-cell.
+    val exact = Curation.curationDecontam(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_contaminated"))).toMap
+    val bloom = Curation.curationDecontamBloom(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(bloom.keySet == exact.keySet, "train-side doc coverage must match")
+    bloom.foreach { case (id, (ng, nc)) =>
+      val (eng, enc) = exact(id)
+      assert(ng == eng, s"doc $id n_ngrams drift")
+      assert(nc >= enc, s"doc $id: bloom count $nc below exact $enc (false negative!)")
+      assert(nc == enc, s"doc $id: unexpected false positive at test SF ($nc vs $enc)")
+    }
+  }
+
   test("packing: offsets stay under budget and follow the per-shard cumsum") {
     val rows = Curation.curationPack(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
