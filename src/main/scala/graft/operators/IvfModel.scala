@@ -39,9 +39,26 @@ object IvfModel {
     * assumptions.
     */
   def centroids(spark: SparkSession, dir: String,
-                k: Int = VectorOps.NumCells): Array[Array[Double]] =
-    cache.getOrElseUpdate((dir, k),
-      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", k))
+                k: Int = 0): Array[Array[Double]] = {
+    val kk = if (k > 0) k else adaptiveK(spark, dir)
+    cache.getOrElseUpdate((dir, kk),
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", kk))
+  }
+
+  private val countCache = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Corpus-adaptive nlist (see [[VectorOps.TargetCellSize]]): one cached
+    * count job per dir; every gate scale factor lands on the historical
+    * [[VectorOps.NumCells]] floor, larger corpora get proportionally more
+    * cells so mean occupancy — and with it the Θ(n²/nlist) in-cell pair
+    * stage — stays flat.
+    */
+  def adaptiveK(spark: SparkSession, dir: String): Int = {
+    val n = countCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    math.max(VectorOps.NumCells,
+      math.min(VectorOps.MaxCells, ((n + VectorOps.TargetCellSize - 1) /
+        VectorOps.TargetCellSize).toInt))
+  }
 
   /** Fit on the deterministic bounded sample of any (id, array<float>) frame:
     * TakeOrdered(SampleSize) by id, then driver-side Lloyd's.

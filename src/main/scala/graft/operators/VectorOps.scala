@@ -23,7 +23,29 @@ object VectorOps {
 
   val DefaultK = 5
   val NumCells = 16
+
+  /** IVF cell-count sizing (round 6, from the sf10 sweep): with a FIXED
+    * nlist the in-cell pair stage of [[annIvf]] is Θ(n²/nlist) — the sweep
+    * measured 11.4× time at 4× vectors. Production IVF grows nlist with
+    * the corpus so mean cell occupancy stays constant; [[IvfModel
+    * .adaptiveK]] applies `clamp(NumCells, MaxCells, ⌈n/TargetCellSize⌉)`,
+    * which leaves every driver-gate scale factor at the historical
+    * [[NumCells]] (identical results) and caps at [[MaxCells]] so the
+    * bounded [[IvfModel.SampleSize]] fit still has ≥16 sample vectors per
+    * centroid.
+    */
+  val TargetCellSize = 512
+  val MaxCells = 256
   val NProbe = 4
+
+  /** Probe count paired with [[IvfModel.adaptiveK]]: holds the
+    * nprobe/nlist SCAN FRACTION constant as the cell count grows (fixed
+    * nprobe over a growing nlist silently cuts recall; fixed fraction
+    * keeps scanned rows ∝ corpus and recall roughly flat — the faiss
+    * tuning rule). At the [[NumCells]] floor this is exactly [[NProbe]].
+    */
+  def scaledNProbe(nCells: Int): Int =
+    math.max(NProbe, (NProbe.toLong * nCells / NumCells).toInt)
 
   /** Embeddings with precomputed L2 norms (computed once, reused in joins). */
   def embWithNorm(spark: SparkSession, dir: String): DataFrame =
@@ -99,7 +121,8 @@ object VectorOps {
     val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(graft.functions.IvfProbes.column(col("embedding"), cents, NProbe)).as("p"))
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents,
+          scaledNProbe(cents.length))).as("p"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").as("cell"))
     val corpus = assignCells(
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
@@ -142,6 +165,7 @@ object VectorOps {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
+    val nCells = cents.length
     // Materialized once: the assignment kernel feeds the cell-count
     // pre-pass AND both sides of the pair self-join — without the
     // checkpoint each consumer re-runs IvfProbes over the corpus (the
@@ -151,7 +175,7 @@ object VectorOps {
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
-    val e = capHotCells(multi, NumCells, MaxCellFactor)
+    val e = capHotCells(multi, nCells, MaxCellFactor)
       .withColumn("nrm", norm(col("embedding")))
     // Score INSIDE the bucket join and threshold before any dedup: the
     // cell-local pair stream is large (Σ |cell|²/2) and each row drags two
@@ -434,7 +458,8 @@ object VectorOps {
     val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(graft.functions.IvfProbes.column(col("embedding"), cents, NProbe)).as("p"))
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents,
+          scaledNProbe(cents.length))).as("p"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").as("cell"))
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -568,7 +593,7 @@ object VectorOps {
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
        |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
-       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= $NProbe),
+       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
        |p AS (SELECT q.q_id, nn.vec_id AS neighbor_id,
        |        round(${dotSql("q.q_emb", "nn.embedding")} / (q.q_nrm * nn.nrm), 6) AS score
        |      FROM qc JOIN q ON q.q_id = qc.q_id
@@ -584,7 +609,7 @@ object VectorOps {
     * hot-cell cap, cell-local scored pairs. Shared by the ann_ivf oracle
     * and the ann_recall oracle.
     */
-  private def annIvfCtes: String =
+  private def annIvfCtes(nCells: Int): String =
     s"""md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e CROSS JOIN cents c),
        |mr AS (SELECT vec_id, cell,
@@ -593,7 +618,7 @@ object VectorOps {
        |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $AssignProbes),
        |cc AS (SELECT cell, count(*) AS n FROM mp GROUP BY 1),
        |tot AS (SELECT sum(n) AS t FROM cc),
-       |hot AS (SELECT cell FROM cc, tot WHERE n * $NumCells > $MaxCellFactor * t),
+       |hot AS (SELECT cell FROM cc, tot WHERE n * $nCells > $MaxCellFactor * t),
        |mpf AS (SELECT vec_id, cell FROM mp WHERE cell NOT IN (SELECT cell FROM hot)),
        |$normCte,
        |pr AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -605,7 +630,7 @@ object VectorOps {
 
   def annIvfOracleSql(cents: Array[Array[Double]]): String =
     s"""WITH ${IvfModel.centsCte(cents)},
-       |$annIvfCtes
+       |${annIvfCtes(cents.length)}
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
 
@@ -640,7 +665,7 @@ object VectorOps {
     */
   def annRecallOracleSql(cents: Array[Array[Double]]): String =
     s"""WITH ${IvfModel.centsCte(cents)},
-       |$annIvfCtes,
+       |${annIvfCtes(cents.length)},
        |ap AS (SELECT vec_id_a, vec_id_b FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}),
        |exp AS (
        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -753,7 +778,7 @@ object VectorOps {
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
        |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
-       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= $NProbe),
+       |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
        |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
        |        round($pqDotSum / (q.q_nrm * sqrt($pqNormSum)), 6) AS score
        |      FROM qc JOIN q ON q.q_id = qc.q_id
