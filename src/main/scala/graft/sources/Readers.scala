@@ -68,20 +68,23 @@ object Readers {
   private def binaryFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path).select(col("path"), col("content"))
 
-  /** XLSX ingest (reference `reader.py:153-154`: `pd.read_excel` — first
-    * sheet, first row = header). Schema discovery is bounded driver work:
-    * the header row comes from the lexicographically-first file; every
-    * file's data rows then parse distributed and are fitted to that header
-    * (extra cells dropped, missing cells null — the multi-shard contract).
-    * All columns are strings (csv-without-inferSchema convention).
+  /** Spreadsheet ingest (reference `reader.py:153-154`: `pd.read_excel` —
+    * first sheet, first row = header), shared by the xlsx and legacy xls
+    * paths; `parse` is the per-file grid codec. Schema discovery is
+    * bounded driver work: the header row comes from the
+    * lexicographically-first file; every file's data rows then parse
+    * distributed and are fitted to that header (extra cells dropped,
+    * missing cells null — the multi-shard contract). All columns are
+    * strings (csv-without-inferSchema convention).
     */
-  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+  private def readGrid(spark: SparkSession, path: String, fmt: String)(
+      parse: Array[Byte] => Seq[Seq[String]]): DataFrame = {
     val bin = binaryFiles(spark, path)
     val firstBytes = bin.orderBy(col("path")).limit(1).collect()
     require(firstBytes.nonEmpty, s"no files under $path")
-    val header = OfficeParsers.parseXlsx(firstBytes(0).getAs[Array[Byte]]("content"))
+    val header = parse(firstBytes(0).getAs[Array[Byte]]("content"))
       .headOption.getOrElse(Seq.empty)
-    require(header.nonEmpty, s"first xlsx under $path has no header row")
+    require(header.nonEmpty, s"first $fmt under $path has no header row")
     val names = header.zipWithIndex.map { case (h, i) =>
       if (h == null || h.trim.isEmpty) s"col$i" else h
     }
@@ -89,12 +92,23 @@ object Readers {
     val n = names.length
     val parsed = bin.select(col("content")).as(Encoders.BINARY)
       .flatMap { bytes =>
-        OfficeParsers.parseXlsx(bytes).drop(1).map { cells =>
+        parse(bytes).drop(1).map { cells =>
           Row.fromSeq(cells.padTo(n, null).take(n))
         }
       }(Encoders.row(schema))
     normalize(parsed.toDF())
   }
+
+  def readXlsx(spark: SparkSession, path: String): DataFrame =
+    readGrid(spark, path, "xlsx")(OfficeParsers.parseXlsx)
+
+  /** Legacy `.xls` (Excel 97-2003, OLE2/BIFF8) ingest via the
+    * dependency-free [[XlsParser]]; same header-fit contract as
+    * [[readXlsx]] (reference `reader.py:153` routes `.xls` through the
+    * same `pd.read_excel` call as `.xlsx`).
+    */
+  def readXls(spark: SparkSession, path: String): DataFrame =
+    readGrid(spark, path, "xls")(XlsParser.parseXls)
 
   /** DOCX ingest: `word/document.xml` → visible text, one row per file
     * (the reference's one-document-one-text convention for txt/md), parsed
@@ -128,15 +142,11 @@ object Readers {
       case "text" | "txt" => readText(spark, path)
       case "html" | "htm" => readHtml(spark, path)
       case "xlsx" => readXlsx(spark, path)
+      case "xls" => readXls(spark, path)
       case "docx" => readDocx(spark, path)
-      // Named exclusions (reference reader.py:139-161 accepts these):
-      // .xls is the pre-2007 OLE2/BIFF8 binary — out of scope until a
-      // compound-file parser lands (xlsx covers the modern format);
+      // Named exclusion (reference reader.py:139-149 accepts it):
       // .chm is Windows-only in the reference too (shells out to
       // hh.exe / 7-Zip), declared out of scope.
-      case "xls" => throw new IllegalArgumentException(
-        "legacy .xls (OLE2/BIFF8) is not supported — convert to .xlsx " +
-          "(supported, dependency-free) or CSV")
       case "chm" => throw new IllegalArgumentException(
         ".chm is not supported (the reference shells out to Windows " +
           "hh.exe/7-Zip for it) — extract the HTML and ingest that")

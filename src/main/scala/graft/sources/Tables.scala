@@ -21,17 +21,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default. Read nanos as long and floor-convert to microseconds (DuckDB
-    * epoch_us semantics), so downstream sees TimestampType.
+  /** events.ts normalizes to TimestampType whatever physical shape the
+    * generator wrote — the driver has shipped two so far:
+    *
+    *  - INT64 TIMESTAMP(NANOS), which Spark rejects by default: read nanos
+    *    as long and floor-convert to microseconds (DuckDB epoch_us
+    *    semantics). `ts - pmod(ts, 1000)` makes the division exact, i.e.
+    *    true floor — a bare `div` truncates toward zero and would round
+    *    pre-1970 nanos the wrong way.
+    *  - tz-naive timestamp[us], which Spark 4 infers as TIMESTAMP_NTZ:
+    *    cast to TimestampType. Our session builders pin
+    *    spark.sql.session.timeZone=UTC, so the naive wall clock maps to
+    *    the same instants DuckDB sees reading the same file.
     *
     * The nanosAsLong conf is also set in the Bench/Verify session builders;
     * it is re-asserted here (idempotently) because callers — the driver's
     * smoke check, notebooks — read through sessions we don't build, and the
     * flag must hold at action time for the lazy scan to resolve.
-    * `ts - pmod(ts, 1000)` makes the division exact, i.e. true floor — a
-    * bare `div` truncates toward zero and would round pre-1970 nanos the
-    * wrong way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
@@ -42,6 +48,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

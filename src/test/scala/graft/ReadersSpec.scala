@@ -65,11 +65,9 @@ class ReadersSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown format"))
   }
 
-  test("named exclusions .xls/.chm fail with a remediation message") {
-    val xls = intercept[IllegalArgumentException] {
-      Readers.readAny(spark, "/tmp/legacy.xls")
-    }
-    assert(xls.getMessage.contains(".xlsx"), "must point at the supported path")
+  test("named exclusion .chm fails with a remediation message") {
+    // .xls is now supported (XlsReaderSpec); .chm stays excluded — the
+    // reference itself shells out to Windows tooling for it.
     val chm = intercept[IllegalArgumentException] {
       Readers.readAny(spark, "/tmp/help.chm")
     }
