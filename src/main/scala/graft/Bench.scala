@@ -35,12 +35,12 @@ object Bench {
     "text_fingerprint", "text_quality", "text_surprisal",
     "text_tfidf", "corpus_stats",
     "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
-    "dedup_verified", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_substring", "dedup_verified", "dedup_clusters", "dedup_embedding_lsh",
     "knn_bruteforce", "ivf_search", "ann_ivf", "ann_pq", "ann_ivfpq",
     "vec_pca", "bm25_topk", "hybrid_rrf", "eval_recall",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam", "curation_decontam_bloom",
-    "curation_pack")
+    "curation_pack", "curation_pack_global")
 
   val WarmupDir = "/root/testdata/sf0.001"
   val Passes = 3

@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_verified"      -> Dedup.dedupVerified _,
     "dedup_recall"        -> Dedup.dedupRecall _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
+    "dedup_substring"     -> Dedup.dedupSubstring _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLsh _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
@@ -112,6 +113,7 @@ object SparkEntry {
     "curation_decontam_bloom" -> Curation.curationDecontamBloom _,
     "curation_mix"        -> Curation.curationMix _,
     "curation_pack"       -> Curation.curationPack _,
+    "curation_pack_global" -> Curation.curationPackGlobal _,
     "curation_report"     -> Curation.curationReport _,
     "curation_weight"     -> Curation.curationWeight _,
     "curation_crossmodal" -> Curation.curationCrossmodal _,
@@ -873,6 +875,8 @@ object SparkEntry {
 
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 
+    "dedup_substring" -> graft.operators.Dedup.substringOracleSql,
+
     "dedup_embedding_lsh" -> graft.operators.Dedup.embeddingLshOracleSql(
       graft.operators.Dedup.embeddingDim(spark, dir)),
 
@@ -1059,6 +1063,8 @@ object SparkEntry {
     "curation_mix" -> graft.operators.Curation.mixOracleSql,
 
     "curation_pack" -> graft.operators.Curation.packOracleSql,
+
+    "curation_pack_global" -> graft.operators.Curation.packGlobalOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

@@ -277,6 +277,60 @@ object WordShingles {
     Bridge.column(WordShingles(Bridge.expression(c), n))
 }
 
+/** POSITIONAL variant of [[WordShingleHashes]]: every length-`n` token
+  * window's 122-bit double polyhash, in window-start order and WITHOUT
+  * the distinct collapse — element `i` is the hash of tokens `[i, i+n)`,
+  * so `posexplode` recovers (position, hash) pairs. The position is what
+  * duplicated-substring coverage needs (interval union over window
+  * starts); the other hashing conventions are identical to
+  * [[WordShingleHashes]], so the DuckDB oracle replays the same program
+  * over `list_slice`d token runs. One narrow JVM pass, no string column.
+  */
+case class WordWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordWindowHashes.hashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashes =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  def hashes(text: String, n: Int): Array[Long] = {
+    val toks = GraftText.wsTokens(text)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      out(i) = PolyHash.hash(s, SimHashConf.Base1, SimHashConf.Mod1) * SimHashConf.Mod2 +
+        PolyHash.hash(s, SimHashConf.Base2, SimHashConf.Mod2)
+      i += 1
+    }
+    out
+  }
+
+  def column(c: Column, n: Int): Column =
+    Bridge.column(WordWindowHashes(Bridge.expression(c), n))
+}
+
 /** Per-document term frequencies as a `map<string,bigint>` in one JVM
   * pass over `lower().split()` tokens. This is the map-side pre-aggregation
   * for BM25: exploding the map yields already-counted (term, f) rows, so

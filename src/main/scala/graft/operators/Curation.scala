@@ -321,6 +321,49 @@ object Curation {
        |  tb // $PackBudget AS seq_id, tb % $PackBudget AS seq_offset
        |FROM c""".stripMargin
 
+  /** SURVEY §2 `curation_pack_global`: [[curationPack]]'s GLOBAL-order
+    * twin — one corpus-wide doc_id-ordered packing instead of independent
+    * per-source shards. curation_pack's doc names the reason it shards:
+    * "a global order would need a single-task window". This operator
+    * removes that limit rather than accepting it: `tokens_before` comes
+    * from [[graft.functions.PrefixSum.exclusive]] — a two-level bucketed
+    * scan whose per-row windows are all bucket-partitioned (≤1024 ids
+    * each) and whose only unpartitioned window runs over the
+    * bucket-of-buckets aggregate (N/2²⁰ rows). Same output contract as
+    * curation_pack (seq_id = tokens_before div budget, offset = mod),
+    * integer-exact on both engines; the oracle replays it as the plain
+    * global window DuckDB can afford at test SF.
+    */
+  def curationPackGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextOps.textTokens(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+      .filter(col("n_ws_tokens") > 0)
+    graft.functions.PrefixSum.exclusive(docs, "doc_id", "n_ws_tokens", "tokens_before")
+      .select(col("doc_id"), col("n_ws_tokens"),
+        expr(s"tokens_before div $PackBudget").as("seq_id"),
+        (col("tokens_before") % PackBudget).as("seq_offset"))
+  }
+
+  /** DuckDB oracle for curation_pack_global: the single global cumulative
+    * window (fine in a single-node oracle engine; the Spark side is the
+    * scan-structured form).
+    */
+  def packGlobalOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens
+       |  FROM documents),
+       |f AS (SELECT * FROM d WHERE n_ws_tokens > 0),
+       |c AS (
+       |  SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       |    CAST(COALESCE(sum(n_ws_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM f)
+       |SELECT doc_id, n_ws_tokens,
+       |  tokens_before // $PackBudget AS seq_id, tokens_before % $PackBudget AS seq_offset
+       |FROM c""".stripMargin
+
   /** SURVEY §2 `curation_report`: the curation-funnel summary — how many
     * documents each stage rejects (quality bar, language target, dup
     * collapse; non-exclusive counts) and the final keep rate. One agg over

@@ -187,6 +187,133 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Duplicated-substring window length, in whitespace tokens. Published
+    * exact-substring dedup uses ~50 BPE tokens on web-scale corpora; the
+    * testdata documents average ~50 words, so the gate runs the same
+    * program at a document-proportionate width.
+    */
+  val SubstringLen = 8
+
+  /** SURVEY §2 `dedup_substring`: per-document share of token positions
+    * covered by an exact duplicated substring — a length-[[SubstringLen]]
+    * token window whose text occurs in ≥2 DISTINCT documents (the
+    * suffix-dedup signal of "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2021, as a per-doc coverage metric;
+    * within-document repetition is deliberately excluded — that is
+    * text_repetition's signal).
+    *
+    * Scale shape: positional window hashes come from ONE narrow kernel
+    * pass ([[graft.functions.WordWindowHashes]] — no token explode, no
+    * string column); the duplicated-hash set is a hash-keyed
+    * distinct-doc count (linear, no pairing); coverage is an interval
+    * union via a lead() window PARTITIONED BY doc — bounded by document
+    * length, never corpus-wide. Verbatim duplicates collapse first (the
+    * [[normGroups]] key): a multi-member content is fully covered by
+    * construction (every window occurs in each copy), so the window/
+    * coverage stages run over DISTINCT contents only and members expand
+    * back at the end — the dedup_ngram lesson applied to a linear
+    * operator.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringDf(Tables.documents(spark, dir))
+
+  /** [[dedupSubstring]] over ANY (doc_id, text) frame — the library form. */
+  def dedupSubstringDf(docs: DataFrame): DataFrame = {
+    val L = SubstringLen
+    val groups = normGroups(docs)
+    val toked = groups.select(
+      col("rep_id"), col("members"), size(col("members")).as("nm"),
+      when(length(col("norm")) === 0, lit(0L))
+        .otherwise(size(split(col("norm"), " ")).cast("long")).as("ntok"),
+      col("norm"))
+    // (content, window-start, window-hash) over distinct contents only
+    val win = toked
+      .filter(col("ntok") >= L)
+      .select(col("rep_id"), col("nm"), col("ntok"),
+        posexplode(graft.functions.WordWindowHashes.column(col("norm"), L))
+          .as(Seq("pos", "h")))
+    // cross-content duplicated hashes: ≥2 distinct contents. A hash seen
+    // in ONE multi-member content only is cross-DOC duplicated too, but
+    // those contents are fully covered by the nm>=2 arm below, so the
+    // single-content coverage pass only needs the nc>=2 set.
+    val dup = win.groupBy(col("h"))
+      .agg(countDistinct(col("rep_id")).as("nc"))
+      .filter(col("nc") >= 2)
+      .select(col("h"))
+    // interval union per single-member content: each duplicated start i
+    // covers [i, i+L); sorted starts overlap-merge via lead()
+    val wCov = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id")).orderBy(col("pos"))
+    val cov = win.filter(col("nm") === 1)
+      .join(dup, Seq("h"), "left_semi")
+      .withColumn("covered",
+        coalesce(least(lit(L.toLong), lead(col("pos"), 1).over(wCov) - col("pos")),
+          lit(L.toLong)))
+      .groupBy(col("rep_id")).agg(sum(col("covered")).as("cov_tokens"))
+    toked
+      .join(cov, Seq("rep_id"), "left")
+      .withColumn("dup_tokens",
+        when(col("nm") >= 2 && col("ntok") >= L, col("ntok"))
+          .otherwise(coalesce(col("cov_tokens"), lit(0L))))
+      .select(explode(col("members")).as("doc_id"),
+        col("ntok").as("n_tokens"), col("dup_tokens"))
+      .withColumn("dup_share",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
+  /** DuckDB oracle for dedup_substring: same collapse, the same double
+    * polyhash over `list_slice`d token runs (the [[WordWindowHashes]]
+    * program), the same lead() interval union, the same member expansion.
+    */
+  def substringOracleSql: String = {
+    val L = SubstringLen
+    import graft.functions.SimHashConf.{Base1, Base2, Mod1, Mod2}
+    def poly(base: Long, mod: Long): String =
+      s"""list_reduce(list_transform(range(1, length(win) + 1),
+         |      c -> CAST(ord(substr(win, CAST(c AS INT), 1)) AS BIGINT)),
+         |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)
+       |  GROUP BY norm),
+       |t AS (
+       |  SELECT rep_id, members, len(members) AS nm,
+       |    CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS ntok,
+       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split(norm, ' ') END AS toks
+       |  FROM g),
+       |w AS MATERIALIZED (
+       |  SELECT rep_id, nm, ntok, CAST(i AS BIGINT) AS pos,
+       |    ${poly(Base1, Mod1)} * $Mod2 + ${poly(Base2, Mod2)} AS h
+       |  FROM (
+       |    SELECT rep_id, nm, ntok, i,
+       |      array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + $L AS INT)), ' ') AS win
+       |    FROM t CROSS JOIN UNNEST(range(0, greatest(ntok - $L + 1, 0))) AS u(i))),
+       |dh AS (SELECT h FROM (SELECT h, count(DISTINCT rep_id) AS nc FROM w GROUP BY h)
+       |       WHERE nc >= 2),
+       |cov AS (
+       |  SELECT rep_id, CAST(sum(covered) AS BIGINT) AS cov_tokens FROM (
+       |    SELECT rep_id,
+       |      COALESCE(LEAST(lead(pos) OVER (PARTITION BY rep_id ORDER BY pos) - pos,
+       |        CAST($L AS BIGINT)), CAST($L AS BIGINT)) AS covered
+       |    FROM w WHERE nm = 1 AND h IN (SELECT h FROM dh))
+       |  GROUP BY rep_id),
+       |f AS (
+       |  SELECT t.members, t.ntok,
+       |    CASE WHEN t.nm >= 2 AND t.ntok >= $L THEN t.ntok
+       |         ELSE COALESCE(cov.cov_tokens, 0) END AS dup_tokens
+       |  FROM t LEFT JOIN cov ON t.rep_id = cov.rep_id)
+       |SELECT m.doc_id AS doc_id, f.ntok AS n_tokens,
+       |  CAST(f.dup_tokens AS BIGINT) AS dup_tokens,
+       |  CASE WHEN f.ntok = 0 THEN 0.0
+       |       ELSE round(CAST(f.dup_tokens AS DOUBLE) / CAST(f.ntok AS DOUBLE), 6) END AS dup_share
+       |FROM f CROSS JOIN UNNEST(f.members) AS m(doc_id)""".stripMargin
+  }
+
   // ---- MinHash + LSH (constants live in functions.MinHashConf, shared by
   // the native kernel and the generated DuckDB oracle) --------------------
   val MinhashP: Long = graft.functions.MinHashConf.P

@@ -141,4 +141,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p2.contains("BroadcastHashJoin"), "probed-cell join must broadcast the queries")
     assert(!p2.contains("SortMergeJoin"), "code scan shuffled into a sort-merge join")
   }
+
+  test("dedup_substring: fused window-hash kernel; coverage window shards by doc") {
+    val p = executedPlan(Dedup.dedupSubstring(spark, dir))
+    assert(p.contains("graft_word_window_hashes"), "WordWindowHashes kernel missing")
+    assert(p.contains("hashpartitioning(rep_id"),
+      s"coverage window must partition by content id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the duplicated-hash stage must stay hash-keyed")
+  }
+
+  test("curation_pack_global: per-row windows bucket-partitioned, one bounded global scan") {
+    val p = executedPlan(Curation.curationPackGlobal(spark, dir))
+    assert(p.contains("hashpartitioning(__b1"),
+      s"doc-level window must partition by the id bucket:\n$p")
+    // the only SinglePartition exchange feeds the bucket-of-buckets
+    // cumulation (N/2²⁰ rows), never the doc-level frame
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1, s"expected at most one bounded global scan, got $singles:\n$p")
+  }
 }
