@@ -108,6 +108,7 @@ object SparkEntry {
     "search_highlights"   -> Search.searchHighlights _,
     "pipeline_filter"     -> Curation.pipelineFilter _,
     "curation_sample"     -> Curation.curationSample _,
+    "curation_split"      -> Curation.curationSplit _,
     "curation_budget"     -> Curation.curationBudget _,
     "curation_decontam"   -> Curation.curationDecontam _,
     "curation_decontam_bloom" -> Curation.curationDecontamBloom _,
@@ -1065,6 +1066,8 @@ object SparkEntry {
     "curation_pack" -> graft.operators.Curation.packOracleSql,
 
     "curation_pack_global" -> graft.operators.Curation.packGlobalOracleSql,
+
+    "curation_split" -> graft.operators.Curation.splitOracleSql,
 
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width

@@ -43,6 +43,46 @@ object Curation {
       .withColumn("keep", col("bucket") < col("rate"))
   }
 
+  /** SURVEY §2 `curation_split`: deterministic train/val/test assignment —
+    * 90/5/5 by `polyhash("split:" || doc_id) mod 100`. Hash-keyed (never
+    * rand()): the split is reproducible across runs/engines and STABLE
+    * under corpus growth — adding documents never reassigns an existing
+    * one, which row_number()-style quantile splits cannot promise (and
+    * their global rank is a single-task sort anyway). The salt prefix
+    * decorrelates this hash from [[curationSample]]'s keep decision (same
+    * hash family, different key), so sampling and splitting stay
+    * independent. A narrow map; stratification is by independence —
+    * per-language shares land at 90/5/5 in expectation, pinned by spec.
+    */
+  def curationSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val bucket = pmod(graft.functions.PolyHash.column(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** DuckDB oracle for curation_split: the identical salted polyhash. */
+  def splitOracleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, 'split:' || CAST(doc_id AS VARCHAR) AS key
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_transform(range(1, length(key) + 1),
+      |      c -> CAST(ord(substr(key, CAST(c AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM s)
+      |SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM h""".stripMargin
+
   val TokenBudget = 20000L
 
   /** SURVEY §2 `curation_budget`: the token-budget quality threshold —

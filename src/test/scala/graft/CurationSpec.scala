@@ -29,6 +29,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation_split partitions 90/5/5, deterministically and stably") {
+    val out = Curation.curationSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val n = out.size
+    assert(n > 0)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // hash-proportional: loose binomial bounds at this SF
+    assert(counts("train") > n * 0.82 && counts("train") < n * 0.97, counts)
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) > 0, counts)
+    // deterministic: a second run assigns identically
+    val again = Curation.curationSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == out)
+    // stable under growth: the assignment is a pure function of doc_id,
+    // so computing over any subset leaves every doc's split unchanged
+    val subset = Curation.curationSplit(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    subset.foreach { case (id, s) => assert(out(id) == s) }
+  }
+
   test("curation_budget admits whole quality bands top-down until the budget") {
     val rows = Curation.curationBudget(spark, dir).collect()
     assert(rows.nonEmpty)
