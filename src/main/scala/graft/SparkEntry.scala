@@ -80,7 +80,9 @@ object SparkEntry {
     "ivf_build"           -> VectorOps.ivfBuild _,
     "ivf_search"          -> VectorOps.ivfSearch _,
     "ann_ivf"             -> VectorOps.annIvf _,
+    "ann_ivf_hier"        -> VectorOps.annIvfHier _,
     "ann_recall"          -> VectorOps.annRecall _,
+    "ann_hier_recall"     -> VectorOps.annHierRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
     "vec_pca"             -> VectorOps.vecPca _,
     "vec_outliers"        -> VectorOps.vecOutliers _,
@@ -259,6 +261,7 @@ object SparkEntry {
     */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
     val ivfCents = IvfModel.centroids(spark, dir)
+    val (ivfSupers, ivfMemberOf) = IvfModel.superModel(ivfCents)
     val pqBooks = PqModel.codebooks(spark, dir)
     val pcaM = PcaModel.model(spark, dir)
     Map(
@@ -842,7 +845,11 @@ object SparkEntry {
     "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql(ivfCents),
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
+    "ann_ivf_hier" -> graft.operators.VectorOps.annIvfHierOracleSql(
+      ivfCents, ivfSupers, ivfMemberOf),
     "ann_recall" -> graft.operators.VectorOps.annRecallOracleSql(ivfCents),
+    "ann_hier_recall" -> graft.operators.VectorOps.annHierRecallOracleSql(
+      ivfCents, ivfSupers, ivfMemberOf),
     "vec_pq" -> graft.operators.VectorOps.vecPqOracleSql(pqBooks),
     "ann_pq" -> graft.operators.VectorOps.annPqOracleSql(pqBooks),
     "ann_ivfpq" -> graft.operators.VectorOps.annIvfPqOracleSql(ivfCents, pqBooks),

@@ -918,6 +918,90 @@ object IvfProbes {
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 }
 
+/** Two-level [[IvfProbes]]: probe the `superProbes` nearest SUPER-cells
+  * first, then run the exact cell argmin only over those supers' member
+  * cells — O(√K + superProbes·K/√K) centroid distances per vector instead
+  * of K, the coarse-assignment form that survives a corpus-proportional
+  * nlist at 100 TB (FAISS IMI's trade). Distances round to 6 dp with
+  * ties to the lower id at BOTH levels and the emitted (cell, d2) structs
+  * follow [[IvfProbes]]' exact conventions, so a DuckDB oracle replays
+  * the identical two-level program over the same literals. Seq params for
+  * value equality (Catalyst canonicalization).
+  */
+case class IvfProbesHier(child: Expression, superCents: Seq[Seq[Double]],
+    cents: Seq[Seq[Double]], memberOf: Seq[Int], superProbes: Int, nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(memberOf.length == cents.length,
+    "memberOf must assign every cell to a super-cell")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("d2", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_ivf_probes_hier"
+
+  @transient private lazy val sup: Array[Array[Double]] =
+    superCents.map(_.toArray).toArray
+  @transient private lazy val cel: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val members: Array[Array[Int]] = {
+    val out = Array.fill(sup.length)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var c = 0
+    while (c < memberOf.length) { out(memberOf(c)) += c; c += 1 }
+    out.map(_.toArray)
+  }
+
+  private def d2round(a: ArrayData, cent: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < cent.length) {
+      val t = a.getFloat(j).toDouble - cent(j)
+      acc += t * t
+      j += 1
+    }
+    BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val sd = Array.tabulate(sup.length)(s => d2round(a, sup(s)))
+    val sOrder = sup.indices.sortBy(s => (sd(s), s))
+    val probed = sOrder.take(math.min(superProbes, sup.length))
+    val cand = probed.iterator.flatMap(s => members(s).iterator).toArray
+    val cd = cand.map(c => d2round(a, cel(c)))
+    val order = cand.indices.sortBy(i => (cd(i), cand(i)))
+    val out = new Array[Any](math.min(nprobe, cand.length))
+    var i = 0
+    while (i < out.length) {
+      val idx = order(i)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(cand(idx).toLong, cd(idx))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbesHier =
+    copy(child = newChild)
+}
+
+object IvfProbesHier {
+  def column(c: Column, superCents: Array[Array[Double]],
+      cents: Array[Array[Double]], memberOf: Array[Int],
+      superProbes: Int, nprobe: Int): Column =
+    Bridge.column(IvfProbesHier(Bridge.expression(c),
+      superCents.map(_.toIndexedSeq).toIndexedSeq,
+      cents.map(_.toIndexedSeq).toIndexedSeq,
+      memberOf.toIndexedSeq, superProbes, nprobe))
+}
+
 object PolyHash {
   def hash(s: String, base: Long, mod: Long): Long = {
     var acc = 0L

@@ -111,6 +111,35 @@ object IvfModel {
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  /** Hierarchical coarse layer over a flat fit: super-centroids are the
+    * SAME canonical Lloyd's run over the cell centroids themselves
+    * (S = ⌈√K⌉ supers), and each cell joins its argmin super (d2 rounded
+    * 6 dp, ties to the lower super id — the [[graft.functions.IvfProbes]]
+    * determinism rules). A pure function of the flat centroids, so both
+    * levels embed as literals in generated oracle SQL; FAISS's IMI /
+    * two-level IVF plays the same trick to cut coarse assignment from
+    * O(N·K) to O(N·√K).
+    */
+  def superModel(cents: Array[Array[Double]]): (Array[Array[Double]], Array[Int]) = {
+    val s = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val supers = fit(cents, s)
+    val memberOf = cents.map { c =>
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < supers.length) {
+        var acc = 0.0
+        var d = 0
+        while (d < c.length) { val t = c(d) - supers(j)(d); acc += t * t; d += 1 }
+        val r = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (r < bd) { bd = r; best = j }
+        j += 1
+      }
+      best
+    }
+    (supers, memberOf)
+  }
+
   /** DuckDB CTE `cents(cell, centroid)` embedding the fitted centroids as
     * literals — the oracle replays assignment/probing as exact arithmetic on
     * the identical doubles.
@@ -120,4 +149,19 @@ object IvfModel {
       s"(CAST($i AS BIGINT), [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString("cents(cell, centroid) AS (SELECT * FROM (VALUES\n    ",
       ",\n    ", ") AS t(cell, centroid))")
+
+  /** DuckDB CTEs `supers(sup, supcent)` + `mem(cell, sup)` embedding the
+    * [[superModel]] literals — the two-level probe replays exactly.
+    */
+  def superCtes(supers: Array[Array[Double]], memberOf: Array[Int]): String = {
+    val sc = supers.zipWithIndex.map { case (c, i) =>
+      s"(CAST($i AS BIGINT), [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString("supers(sup, supcent) AS (SELECT * FROM (VALUES\n    ",
+      ",\n    ", ") AS t(sup, supcent))")
+    val mc = memberOf.zipWithIndex.map { case (s, cell) =>
+      s"(CAST($cell AS BIGINT), CAST($s AS BIGINT))"
+    }.mkString("mem(cell, sup) AS (SELECT * FROM (VALUES\n    ",
+      ",\n    ", ") AS t(cell, sup))")
+    s"$sc,\n$mc"
+  }
 }

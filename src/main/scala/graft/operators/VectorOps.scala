@@ -165,7 +165,6 @@ object VectorOps {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
-    val nCells = cents.length
     // Materialized once: the assignment kernel feeds the cell-count
     // pre-pass AND both sides of the pair self-join — without the
     // checkpoint each consumer re-runs IvfProbes over the corpus (the
@@ -175,13 +174,46 @@ object VectorOps {
         explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
+    cellLocalPairs(multi, cents.length)
+  }
+
+  /** How many super-cells the hierarchical coarse probe visits. */
+  val SuperProbes = 2
+
+  /** SURVEY §2 `ann_ivf_hier`: [[annIvf]] with a TWO-LEVEL coarse probe —
+    * the [[graft.functions.IvfProbesHier]] kernel visits the
+    * [[SuperProbes]] nearest of ⌈√K⌉ super-centroids, then argmins only
+    * over their member cells. Flat coarse assignment is O(N·nlist), and
+    * with the corpus-adaptive nlist that is the one super-linear stage
+    * left in the ANN stack (the sf1 sweep's worst ratio); the two-level
+    * probe cuts it to O(N·√nlist) — the FAISS-IMI shape — while
+    * everything downstream (hot-cell cap, cell-local scored pairs) is
+    * byte-identical to ann_ivf. The added loss vs the flat probe is
+    * pinned numerically by `ann_hier_recall`.
+    */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfModel.centroids(spark, dir)
+    val (supers, memberOf) = IvfModel.superModel(cents)
+    val multi = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.functions.IvfProbesHier.column(col("embedding"),
+          supers, cents, memberOf, SuperProbes, AssignProbes)).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
+      .localCheckpoint(true)
+    cellLocalPairs(multi, cents.length)
+  }
+
+  /** The shared ann_ivf pair stage over a (vec_id, embedding, cell)
+    * multi-probe assignment: hot-cell cap, then cell-local scored pairs.
+    * Score INSIDE the bucket join and threshold before any dedup: the
+    * cell-local pair stream is large (Σ |cell|²/2) and each row drags two
+    * embeddings, so the pair-dedup shuffle must only ever see the tiny
+    * ≥ τ survivor set as (id, id, scalar) rows. A pair that shares both
+    * probed cells is scored twice (identical value) and collapsed here.
+    */
+  private def cellLocalPairs(multi: DataFrame, nCells: Int): DataFrame = {
     val e = capHotCells(multi, nCells, MaxCellFactor)
       .withColumn("nrm", norm(col("embedding")))
-    // Score INSIDE the bucket join and threshold before any dedup: the
-    // cell-local pair stream is large (Σ |cell|²/2) and each row drags two
-    // embeddings, so the pair-dedup shuffle must only ever see the tiny
-    // ≥ τ survivor set as (id, id, scalar) rows. A pair that shares both
-    // probed cells is scored twice (identical value) and collapsed here.
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("c", cosinePre(dot(col("a.embedding"), col("b.embedding")),
@@ -612,7 +644,35 @@ object VectorOps {
   private def annIvfCtes(nCells: Int): String =
     s"""md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e CROSS JOIN cents c),
-       |mr AS (SELECT vec_id, cell,
+       |${pairTailCtes(nCells)}""".stripMargin
+
+  /** The hier variant of the `md` probe: super argmin first, then the cell
+    * argmin restricted to the probed supers' members — the
+    * [[graft.functions.IvfProbesHier]] program as SQL. Downstream CTEs
+    * are the shared [[pairTailCtes]], so flat and hier differ ONLY in the
+    * candidate-cell set, exactly like the Spark operators.
+    */
+  private def annIvfHierCtes(nCells: Int): String =
+    s"""sd AS (SELECT e.vec_id, s.sup,
+       |         round(list_sum(list_transform(list_zip(e.embedding, s.supcent),
+       |           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6) AS d2
+       |       FROM embeddings e CROSS JOIN supers s),
+       |sr AS (SELECT vec_id, sup,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, sup) AS srk
+       |       FROM sd),
+       |sp AS (SELECT vec_id, sup FROM sr WHERE srk <= $SuperProbes),
+       |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
+       |       FROM embeddings e
+       |       JOIN sp ON sp.vec_id = e.vec_id
+       |       JOIN mem ON mem.sup = sp.sup
+       |       JOIN cents c ON c.cell = mem.cell),
+       |${pairTailCtes(nCells)}""".stripMargin
+
+  /** mr … sc: probe ranking, hot-cell cap, cell-local scored pairs — shared
+    * by the flat and hier pair chains (and their recall oracles).
+    */
+  private def pairTailCtes(nCells: Int): String =
+    s"""mr AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |       FROM md),
        |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $AssignProbes),
@@ -634,6 +694,14 @@ object VectorOps {
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
 
+  def annIvfHierOracleSql(cents: Array[Array[Double]],
+      supers: Array[Array[Double]], memberOf: Array[Int]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${IvfModel.superCtes(supers, memberOf)},
+       |${annIvfHierCtes(cents.length)}
+       |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
+       |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
+
   /** SURVEY §2 `ann_recall`: the quality measurement of the ANN scale
     * path — what fraction of the EXACT embedding near-dup pairs
     * ([[Dedup.dedupEmbedding]], cos ≥ τ) the IVF-bucketed join
@@ -644,10 +712,22 @@ object VectorOps {
     * oracle-scale form (at 100 TB the measurement runs on a sampled
     * slice, same shape).
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.dedupEmbedding(spark, dir)
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    pairRecall(Dedup.dedupEmbedding(spark, dir), annIvf(spark, dir))
+
+  /** SURVEY §2 `ann_hier_recall`: recall of the TWO-LEVEL coarse-probe
+    * pair set ([[annIvfHier]]) vs the exact pair set — pins the compound
+    * loss (IVF multi-probe miss + super-probe miss) the same way
+    * ann_recall pins the flat trade, so the O(N·√K) assignment form
+    * never ships with an unmeasured quality cost.
+    */
+  def annHierRecall(spark: SparkSession, dir: String): DataFrame =
+    pairRecall(Dedup.dedupEmbedding(spark, dir), annIvfHier(spark, dir))
+
+  private def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
+    val exact = exactPairs
       .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_exact"))
-    val approx = annIvf(spark, dir)
+    val approx = approxPairs
       .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_approx"))
     exact.join(approx, Seq("vec_id_a", "vec_id_b"), "full")
       .agg(
@@ -663,10 +743,12 @@ object VectorOps {
   /** DuckDB oracle for ann_recall: the ann_ivf pair CTEs + the exact
     * all-pairs set, full-outer joined, same sums.
     */
-  def annRecallOracleSql(cents: Array[Array[Double]]): String =
-    s"""WITH ${IvfModel.centsCte(cents)},
-       |${annIvfCtes(cents.length)},
-       |ap AS (SELECT vec_id_a, vec_id_b FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}),
+  /** ap..j + final sums: the recall tail over whichever pair chain
+    * defined `sc`/`nn` upstream — shared by the flat and hier recall
+    * oracles.
+    */
+  private def pairRecallTailSql: String =
+    s"""ap AS (SELECT vec_id_a, vec_id_b FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}),
        |exp AS (
        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
        |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
@@ -682,6 +764,18 @@ object VectorOps {
        |  CAST(sum(in_exact * in_approx) AS BIGINT) AS n_hit,
        |  round(CAST(sum(in_exact * in_approx) AS DOUBLE) / CAST(sum(in_exact) AS DOUBLE), 6) AS recall
        |FROM j""".stripMargin
+
+  def annRecallOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${annIvfCtes(cents.length)},
+       |$pairRecallTailSql""".stripMargin
+
+  def annHierRecallOracleSql(cents: Array[Array[Double]],
+      supers: Array[Array[Double]], memberOf: Array[Int]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${IvfModel.superCtes(supers, memberOf)},
+       |${annIvfHierCtes(cents.length)},
+       |$pairRecallTailSql""".stripMargin
 
   // ---- PQ oracles (codebook literals via PqModel.pqCte — the IVF
   // centroid-literal pattern applied to the product quantizer) ------------

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfModel, VectorOps}
+
+/** The hierarchical coarse quantizer: probing ALL supers must reproduce
+  * the flat probe exactly (the restriction is the only approximation),
+  * the pair set keeps precision 1 by construction (exact cosine scoring),
+  * and the recall twin pins the loss numerically.
+  */
+class IvfHierSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("superModel is a pure function: every cell joins exactly one super") {
+    val cents = IvfModel.centroids(spark, dir)
+    val (supers, memberOf) = IvfModel.superModel(cents)
+    assert(supers.length == math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    assert(memberOf.length == cents.length)
+    assert(memberOf.forall(s => s >= 0 && s < supers.length))
+    val (s2, m2) = IvfModel.superModel(cents)
+    assert(s2.map(_.toSeq).toSeq == supers.map(_.toSeq).toSeq && m2.toSeq == memberOf.toSeq)
+  }
+
+  test("probing all supers degenerates to the flat probe, element for element") {
+    val cents = IvfModel.centroids(spark, dir)
+    val (supers, memberOf) = IvfModel.superModel(cents)
+    val e = graft.sources.Tables.embeddings(spark, dir).limit(50)
+    val flat = e.select(col("vec_id"),
+        graft.functions.IvfProbes.column(col("embedding"), cents, 2).cast("string").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hier = e.select(col("vec_id"),
+        graft.functions.IvfProbesHier.column(col("embedding"), supers, cents,
+          memberOf, supers.length, 2).cast("string").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hier == flat)
+  }
+
+  test("hier pairs keep precision 1: every emitted pair is exact-cosine >= tau") {
+    val pairs = VectorOps.annIvfHier(spark, dir).collect()
+    assert(pairs.nonEmpty, "hier path found no pairs at this SF")
+    val exact = Dedup.dedupEmbedding(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"pair $k not in the exact >=tau set")
+      assert(math.abs(exact(k) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("ann_hier_recall pins the compound loss in (0, 1]") {
+    val r = VectorOps.annHierRecall(spark, dir).collect()(0)
+    val (nExact, nApprox, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nExact > 0)
+    assert(nHit <= nExact && nHit <= nApprox)
+    assert(nApprox == nHit, "precision must be 1: approx pairs are exact-scored")
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+}

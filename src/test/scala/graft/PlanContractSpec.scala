@@ -142,6 +142,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), "code scan shuffled into a sort-merge join")
   }
 
+  test("ann_ivf_hier: fused two-level probe kernel; pairs stay cell-local") {
+    // the multi-probe assignment is checkpointed (like ann_ivf), so the
+    // kernel shows in the assignment plan, not the downstream pair plan
+    val cents = IvfModel.centroids(spark, dir)
+    val (supers, memberOf) = IvfModel.superModel(cents)
+    val assignPlan = graft.sources.Tables.embeddings(spark, dir)
+      .select(graft.functions.IvfProbesHier.column(
+        org.apache.spark.sql.functions.col("embedding"),
+        supers, cents, memberOf, VectorOps.SuperProbes, VectorOps.AssignProbes))
+      .queryExecution.optimizedPlan.toString
+    assert(assignPlan.contains("graft_ivf_probes_hier"), "IvfProbesHier kernel missing")
+    val p = executedPlan(VectorOps.annIvfHier(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay cell-keyed")
+  }
+
   test("dedup_substring: fused window-hash kernel; coverage window shards by doc") {
     val p = executedPlan(Dedup.dedupSubstring(spark, dir))
     assert(p.contains("graft_word_window_hashes"), "WordWindowHashes kernel missing")
