@@ -81,6 +81,8 @@ object SparkEntry {
     "ivf_search"          -> VectorOps.ivfSearch _,
     "ann_ivf"             -> VectorOps.annIvf _,
     "ann_ivf_hier"        -> VectorOps.annIvfHier _,
+    "ivf_build_hier"      -> VectorOps.ivfBuildHier _,
+    "ivf_hier_agreement"  -> VectorOps.ivfHierAgreement _,
     "ann_recall"          -> VectorOps.annRecall _,
     "ann_hier_recall"     -> VectorOps.annHierRecall _,
     "vec_quantize"        -> VectorOps.vecQuantize _,
@@ -846,6 +848,10 @@ object SparkEntry {
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
     "ann_ivf_hier" -> graft.operators.VectorOps.annIvfHierOracleSql(
+      ivfCents, ivfSupers, ivfMemberOf),
+    "ivf_build_hier" -> graft.operators.VectorOps.ivfBuildHierOracleSql(
+      ivfCents, ivfSupers, ivfMemberOf),
+    "ivf_hier_agreement" -> graft.operators.VectorOps.ivfHierAgreementOracleSql(
       ivfCents, ivfSupers, ivfMemberOf),
     "ann_recall" -> graft.operators.VectorOps.annRecallOracleSql(ivfCents),
     "ann_hier_recall" -> graft.operators.VectorOps.annHierRecallOracleSql(

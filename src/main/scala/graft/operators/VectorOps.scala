@@ -138,6 +138,41 @@ object VectorOps {
         col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** SURVEY §2 `ivf_build_hier`: [[ivfBuild]] with the two-level
+    * assignment — the index BUILD is the production O(N·nlist) stage a
+    * corpus-proportional nlist makes super-linear, and the hier probe
+    * cuts it to O(N·√nlist) exactly as in [[annIvfHier]]. Same output
+    * contract as ivf_build (vec_id, cell, d2); the assignment can differ
+    * from the flat argmin only when the true cell's super is not among
+    * the [[SuperProbes]] probed — `ivf_hier_agreement` pins how often.
+    */
+  def ivfBuildHier(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfModel.centroids(spark, dir)
+    val (supers, memberOf) = IvfModel.superModel(cents)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("p", element_at(graft.functions.IvfProbesHier.column(
+        col("embedding"), supers, cents, memberOf, SuperProbes, 1), 1))
+      .filter(col("p").isNotNull) // a vector whose probed supers are all memberless
+      .select(col("vec_id"), col("p.cell").as("cell"), col("p.d2").as("d2"))
+  }
+
+  /** SURVEY §2 `ivf_hier_agreement`: the share of vectors the two-level
+    * assignment places in the SAME cell as the exact flat argmin — the
+    * build-side quality pin for the O(N·√K) form (the pair-side pin is
+    * ann_hier_recall).
+    */
+  def ivfHierAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val flat = ivfBuild(spark, dir).select(col("vec_id"), col("cell").as("cell_flat"))
+    val hier = ivfBuildHier(spark, dir).select(col("vec_id"), col("cell").as("cell_hier"))
+    flat.join(hier, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cell_flat") === col("cell_hier"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_vectors"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("agreement"))
+  }
+
   /** Vectors with multi-probe cell assignment: each vector participates in
     * its `r` nearest cells (by centroid L2), so near-boundary pairs that a
     * single-cell assignment would separate still meet. 2× the join rows
@@ -652,7 +687,12 @@ object VectorOps {
     * are the shared [[pairTailCtes]], so flat and hier differ ONLY in the
     * candidate-cell set, exactly like the Spark operators.
     */
-  private def annIvfHierCtes(nCells: Int): String =
+  /** sd … md: the two-level candidate chain ([[graft.functions.IvfProbesHier]]
+    * as SQL) — super argmin first, then cell distances restricted to the
+    * probed supers' members. Shared by the hier pair chain, the hier
+    * build, and the agreement oracle.
+    */
+  private def hierMdCtes: String =
     s"""sd AS (SELECT e.vec_id, s.sup,
        |         round(list_sum(list_transform(list_zip(e.embedding, s.supcent),
        |           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6) AS d2
@@ -665,7 +705,10 @@ object VectorOps {
        |       FROM embeddings e
        |       JOIN sp ON sp.vec_id = e.vec_id
        |       JOIN mem ON mem.sup = sp.sup
-       |       JOIN cents c ON c.cell = mem.cell),
+       |       JOIN cents c ON c.cell = mem.cell)""".stripMargin
+
+  private def annIvfHierCtes(nCells: Int): String =
+    s"""$hierMdCtes,
        |${pairTailCtes(nCells)}""".stripMargin
 
   /** mr … sc: probe ranking, hot-cell cap, cell-local scored pairs — shared
@@ -701,6 +744,34 @@ object VectorOps {
        |${annIvfHierCtes(cents.length)}
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
+
+  def ivfBuildHierOracleSql(cents: Array[Array[Double]],
+      supers: Array[Array[Double]], memberOf: Array[Int]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${IvfModel.superCtes(supers, memberOf)},
+       |$hierMdCtes,
+       |mr AS (SELECT vec_id, cell, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+       |       FROM md)
+       |SELECT vec_id, cell, d2 FROM mr WHERE crk = 1""".stripMargin
+
+  def ivfHierAgreementOracleSql(cents: Array[Array[Double]],
+      supers: Array[Array[Double]], memberOf: Array[Int]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |${IvfModel.superCtes(supers, memberOf)},
+       |$assignCtes,
+       |$hierMdCtes,
+       |hmr AS (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+       |        FROM md),
+       |hasg AS (SELECT vec_id, cell AS cell_hier FROM hmr WHERE crk = 1),
+       |jj AS (SELECT asg.cell AS cell_flat, hasg.cell_hier
+       |       FROM asg JOIN hasg ON asg.vec_id = hasg.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(CASE WHEN cell_flat = cell_hier THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  round(CAST(sum(CASE WHEN cell_flat = cell_hier THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS agreement
+       |FROM jj""".stripMargin
 
   /** SURVEY §2 `ann_recall`: the quality measurement of the ANN scale
     * path — what fraction of the EXACT embedding near-dup pairs

@@ -48,6 +48,23 @@ class IvfHierSpec extends SparkSpec {
     }
   }
 
+  test("ivf_build_hier covers the corpus; agreement with the flat build is pinned") {
+    val flat = VectorOps.ivfBuild(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val hier = VectorOps.ivfBuildHier(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hier.keySet == flat.keySet, "hier build must assign every vector")
+    // when hier picks the same cell, the d2 is the identical rounded value
+    hier.foreach { case (id, (cell, d2)) =>
+      if (flat(id)._1 == cell) assert(flat(id)._2 == d2)
+      else assert(d2 >= flat(id)._2, "hier d2 can never beat the exact argmin")
+    }
+    val a = VectorOps.ivfHierAgreement(spark, dir).collect()(0)
+    assert(a.getLong(0) == flat.size.toLong)
+    assert(a.getLong(1) <= a.getLong(0) && a.getDouble(2) > 0.5,
+      s"two-probe agreement unexpectedly low: ${a.getDouble(2)}")
+  }
+
   test("ann_hier_recall pins the compound loss in (0, 1]") {
     val r = VectorOps.annHierRecall(spark, dir).collect()(0)
     val (nExact, nApprox, nHit, recall) =
