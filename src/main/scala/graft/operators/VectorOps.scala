@@ -32,9 +32,11 @@ object VectorOps {
     * which leaves every driver-gate scale factor at the historical
     * [[NumCells]] (identical results) and caps at [[MaxCells]] so the
     * bounded [[IvfModel.SampleSize]] fit still has ≥16 sample vectors per
-    * centroid.
+    * centroid. 256 (not 512) so the ×4-embedding sf1 sweep actually
+    * LEAVES the floor (8000 → 32 cells) and measures the adaptive path —
+    * at 512 every local SF sat at 16 cells and occupancy silently grew.
     */
-  val TargetCellSize = 512
+  val TargetCellSize = 256
   val MaxCells = 256
   val NProbe = 4
 
