@@ -36,6 +36,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupVerifiedDf(emptyDocs).count() == 0)
   }
 
+  test("dedup_substring and the prefix sum tolerate empty input") {
+    val sub = Dedup.dedupSubstringDf(emptyDocs)
+    assert(sub.count() == 0)
+    assert(sub.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "dup_tokens", "dup_share"))
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val pre = graft.functions.PrefixSum.exclusive(empty, "id", "v", "pre")
+    assert(pre.count() == 0)
+    assert(pre.columns.contains("pre"))
+  }
+
   test("cluster propagation over an empty pair frame converges immediately") {
     val s = spark
     import s.implicits._
