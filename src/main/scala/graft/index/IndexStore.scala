@@ -99,6 +99,19 @@ object IndexStore {
         VectorOps.assignCells(
             vectors.select(col("id"), col("vec").as("embedding")), cents)
           .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
+      case "ivf_hier" =>
+        // Same layout as "ivf", assignment via the two-level coarse probe
+        // (graft.functions.IvfProbesHier): O(N·√nlist) instead of
+        // O(N·nlist) per vector — the build form for a corpus-
+        // proportional nlist (quality pinned by ivf_hier_agreement).
+        val cents = graft.operators.IvfModel.fitFromDf(
+          vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
+        val (supers, memberOf) = graft.operators.IvfModel.superModel(cents)
+        vectors.select(col("id"), col("vec"),
+            element_at(graft.functions.IvfProbesHier.column(col("vec"),
+              supers, cents, memberOf, VectorOps.SuperProbes, 1), 1)("cell")
+              .cast("int").as("cell"))
+          .filter(col("cell").isNotNull)
       case "ivfpq" =>
         // The 100 TB serving layout: coarse cells for pruning + PQ CODES
         // instead of raw vectors (SubSpaces longs per row, 64× smaller).
@@ -133,7 +146,7 @@ object IndexStore {
 
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
       val w = assigned.write.mode("overwrite")
-      (if (backend == "ivf" || backend == "ivfpq") w.partitionBy("cell") else w)
+      (if (backend.startsWith("ivf")) w.partitionBy("cell") else w)
         .parquet(s"$dir/vectors")
       pqSidecars.foreach { case (centsDf, cbDf) =>
         centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

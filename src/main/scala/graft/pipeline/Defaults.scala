@@ -29,7 +29,7 @@ object Defaults {
   def topK: Int = env("GRAFT_TOP_K", graft.operators.VectorOps.DefaultK.toString).toInt
 
   /** Parquet-native backends (the reference lists its faiss pair). */
-  def allowedBackends: Seq[String] = Seq("flat", "ivf", "ivfpq")
+  def allowedBackends: Seq[String] = Seq("flat", "ivf", "ivf_hier", "ivfpq")
   def defaultBackend: String = env("GRAFT_BACKEND", "flat")
 
   /** A [[IndexPipeline.Config]] built from the current defaults. */

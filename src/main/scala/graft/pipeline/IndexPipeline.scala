@@ -23,7 +23,7 @@ object IndexPipeline {
 
   case class Config(
       name: String,
-      backend: String = "flat", // "flat" | "ivf" | "ivfpq"
+      backend: String = "flat", // "flat" | "ivf" | "ivf_hier" | "ivfpq"
       chunkMode: String = "fixed", // "fixed" | "sentences" | "headings"
       chunkSize: Int = Chunking.Size,
       chunkOverlap: Int = Chunking.Overlap,

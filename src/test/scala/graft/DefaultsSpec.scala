@@ -9,7 +9,8 @@ class DefaultsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val d = p("defaults").asInstanceOf[Map[String, Any]]
     assert(d.keySet == Set("embedding_model", "normalize_embeddings", "chunk_mode",
       "chunk_size", "chunk_overlap", "backend", "top_k"))
-    assert(Defaults.allowedBackends == Seq("flat", "ivf", "ivfpq"))
+    // the reference's three backends plus the engine's two-level build
+    assert(Defaults.allowedBackends == Seq("flat", "ivf", "ivf_hier", "ivfpq"))
     assert(Defaults.allowedBackends.contains(Defaults.defaultBackend))
     assert(Defaults.chunkSize > Defaults.chunkOverlap,
       "overlap must be smaller than the window")

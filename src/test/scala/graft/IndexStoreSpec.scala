@@ -56,6 +56,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
   }
 
+  test("ivf_hier backend: same partitioned layout, assignments mostly match ivf") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    val m = IndexStore.build(vectors, root, "hier_test", "ivf_hier",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    assert(m.backend == "ivf_hier")
+    val dirs = new java.io.File(s"$root/hier_test/latest/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty, "hier build must keep the cell-partitioned layout")
+    // every vector is assigned, and the cells agree with the flat build
+    // for the vast majority (the two-probe trade, pinned corpus-wide by
+    // ivf_hier_agreement)
+    IndexStore.build(vectors, root, "flat_ref", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val hier = IndexStore.load(spark, root, "hier_test")
+      .select(col("id"), col("cell")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val flat = IndexStore.load(spark, root, "flat_ref")
+      .select(col("id"), col("cell")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hier.keySet == flat.keySet)
+    val agree = hier.count { case (id, c) => flat(id) == c }
+    assert(agree.toDouble / hier.size > 0.5, s"agreement $agree/${hier.size}")
+    // manifest dispatch: search works through the persisted backend
+    val manifest = IndexStore.manifestJson(root, "hier_test", None)
+    assert(manifest.contains("\"backend\": \"ivf_hier\""))
+  }
+
   test("list and delete manage indexes like the reference endpoints") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
     IndexStore.build(vectors, root, "ix_a", "flat")
