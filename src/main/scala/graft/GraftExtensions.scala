@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PairCounts, PolyHash, SimHashChunks, SliceHash, TermCounts, TextEntropy, WordShingles}
+import graft.functions.{ChunkText, HighlightSpans, MinHashBandKeys, PairCounts, PolyHash, SimHashChunks, SliceHash, TermCounts, TextEntropy, WordShingles, WordWindowHashes}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -99,7 +99,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PairCounts].getName, "graft_pair_counts"),
       { case Seq(s) => PairCounts(s)
         case args => throw new IllegalArgumentException(
-          s"graft_pair_counts expects 1 argument, got ${args.length}") }))
+          s"graft_pair_counts expects 1 argument, got ${args.length}") }),
+    ("graft_word_window_hashes",
+      new ExpressionInfo(classOf[WordWindowHashes].getName, "graft_word_window_hashes"),
+      { case Seq(s) => WordWindowHashes(s, graft.operators.Dedup.SubstringLen)
+        case Seq(s, n) => WordWindowHashes(s, litLong(n, "n").toInt)
+        case args => throw new IllegalArgumentException(
+          s"graft_word_window_hashes expects 1 or 2 arguments, got ${args.length}") }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

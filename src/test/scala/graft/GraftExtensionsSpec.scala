@@ -67,4 +67,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val m = r.getMap[String, Long](0).toMap
     assert(m == Map("ab" -> 2L, "bc" -> 1L))
   }
+
+  test("graft_word_window_hashes resolves through SQL and matches the kernel") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_word_window_hashes('a b c', 2) AS h").collect()(0)
+    val got = r.getSeq[Long](0)
+    val want = graft.functions.WordWindowHashes.hashes("a b c", 2).toSeq
+    assert(got == want && got.length == 2)
+    // default n = the dedup_substring window length
+    val d = spark.sql("SELECT graft_word_window_hashes('a b c') AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(d.isEmpty) // 3 tokens < the 8-token default window
+  }
 }
