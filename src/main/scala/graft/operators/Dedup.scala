@@ -226,12 +226,16 @@ object Dedup {
       when(length(col("norm")) === 0, lit(0L))
         .otherwise(size(split(col("norm"), " ")).cast("long")).as("ntok"),
       col("norm"))
-    // (content, window-start, window-hash) over distinct contents only
+    // (content, window-start, window-hash) over distinct contents only.
+    // Checkpointed: the frame feeds BOTH the duplicated-hash count and
+    // the coverage pass — without it each consumer re-runs the window-
+    // hash kernel over the corpus (the annIvf `multi` lesson).
     val win = toked
       .filter(col("ntok") >= L)
       .select(col("rep_id"), col("nm"), col("ntok"),
         posexplode(graft.functions.WordWindowHashes.column(col("norm"), L))
           .as(Seq("pos", "h")))
+      .localCheckpoint(true)
     // cross-content duplicated hashes: ≥2 distinct contents. A hash seen
     // in ONE multi-member content only is cross-DOC duplicated too, but
     // those contents are fully covered by the nm>=2 arm below, so the
