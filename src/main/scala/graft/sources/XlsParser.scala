@@ -213,7 +213,17 @@ object XlsParser {
   private def numStr(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
-  def parseXls(bytes: Array[Byte]): Seq[Seq[String]] = {
+  def parseXls(bytes: Array[Byte]): Seq[Seq[String]] =
+    try parseXls0(bytes)
+    catch {
+      // structural offsets out of range = truncated/corrupt container;
+      // surface as the same clean failure as a bad signature, not a raw
+      // index error from deep inside the record walk
+      case e: IndexOutOfBoundsException => throw new IllegalArgumentException(
+        s"corrupt or truncated .xls (${bytes.length} bytes): ${e.getMessage}", e)
+    }
+
+  private def parseXls0(bytes: Array[Byte]): Seq[Seq[String]] = {
     val wb = cfbStream(bytes, Set("workbook", "book"))
     // record index (stop at zero-padding: op 0 is not a BIFF record)
     val recs = ArrayBuffer.empty[Rec]

@@ -61,9 +61,17 @@ class XlsReaderSpec extends SparkSpec {
 
   test("parseXls fails fast on non-OLE2 bytes and on encrypted/BIFF5 markers") {
     val notOle = intercept[IllegalArgumentException] {
-      XlsParser.parseXls("PK this is a zip, not OLE2".getBytes("UTF-8") ++ new Array[Byte](600))
+      XlsParser.parseXls("PK this is a zip, not OLE2".getBytes("UTF-8") ++ new Array[Byte](600))
     }
     assert(notOle.getMessage.contains("OLE2"))
+  }
+
+  test("parseXls fails cleanly on a truncated container") {
+    val whole = fixture("products.xls")
+    val cut = java.util.Arrays.copyOfRange(whole, 0, 700) // past the header, mid-FAT
+    val e = intercept[IllegalArgumentException] { XlsParser.parseXls(cut) }
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("OLE2") ||
+      e.getMessage.contains("stream"))
   }
 
   test("readXls: header row becomes columns; data distributed; nulls for gaps") {
