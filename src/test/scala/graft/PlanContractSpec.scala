@@ -159,8 +159,15 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("dedup_substring: fused window-hash kernel; coverage window shards by doc") {
+    // the window frame is checkpointed (one kernel pass for both
+    // consumers), so the kernel shows in the window-stage plan, not the
+    // downstream coverage plan
+    val winPlan = graft.sources.Tables.documents(spark, dir)
+      .select(graft.functions.WordWindowHashes.column(
+        org.apache.spark.sql.functions.col("text"), Dedup.SubstringLen))
+      .queryExecution.optimizedPlan.toString
+    assert(winPlan.contains("graft_word_window_hashes"), "WordWindowHashes kernel missing")
     val p = executedPlan(Dedup.dedupSubstring(spark, dir))
-    assert(p.contains("graft_word_window_hashes"), "WordWindowHashes kernel missing")
     assert(p.contains("hashpartitioning(rep_id"),
       s"coverage window must partition by content id:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
