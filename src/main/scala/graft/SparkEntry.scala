@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_recall"        -> Dedup.dedupRecall _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
     "dedup_substring"     -> Dedup.dedupSubstring _,
+    "dedup_substring_spans" -> Dedup.dedupSubstringSpans _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLsh _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
@@ -890,6 +891,8 @@ object SparkEntry {
     "dedup_simhash" -> graft.operators.Dedup.simhashOracleSql,
 
     "dedup_substring" -> graft.operators.Dedup.substringOracleSql,
+
+    "dedup_substring_spans" -> graft.operators.Dedup.substringSpansOracleSql,
 
     "dedup_embedding_lsh" -> graft.operators.Dedup.embeddingLshOracleSql(
       graft.operators.Dedup.embeddingDim(spark, dir)),

@@ -220,6 +220,40 @@ object Dedup {
   /** [[dedupSubstring]] over ANY (doc_id, text) frame — the library form. */
   def dedupSubstringDf(docs: DataFrame): DataFrame = {
     val L = SubstringLen
+    val (toked, dupWins) = substringDupWins(docs)
+    // interval union per single-member content: each duplicated start i
+    // covers [i, i+L); sorted starts overlap-merge via lead()
+    val wCov = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id")).orderBy(col("pos"))
+    val cov = dupWins
+      .withColumn("covered",
+        coalesce(least(lit(L.toLong), lead(col("pos"), 1).over(wCov) - col("pos")),
+          lit(L.toLong)))
+      .groupBy(col("rep_id")).agg(sum(col("covered")).as("cov_tokens"))
+    toked
+      .join(cov, Seq("rep_id"), "left")
+      .withColumn("dup_tokens",
+        when(col("nm") >= 2 && col("ntok") >= L, col("ntok"))
+          .otherwise(coalesce(col("cov_tokens"), lit(0L))))
+      .select(explode(col("members")).as("doc_id"),
+        col("ntok").as("n_tokens"), col("dup_tokens"))
+      .withColumn("dup_share",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
+  /** The shared front of the substring family: verbatim-collapsed token
+    * counts (`toked`: rep_id, members, nm, ntok, norm) and the
+    * DUPLICATED window starts of single-member contents (`dupWins`:
+    * rep_id, ntok, pos — [[normGroups]]-collapsed, kernel-hashed,
+    * checkpointed, ≥2-distinct-content filtered). Multi-member contents
+    * never reach dupWins: every window of a verbatim-duplicated text is
+    * cross-doc duplicated by construction, so consumers handle them with
+    * the closed-form full-coverage arm instead of window arithmetic.
+    */
+  private def substringDupWins(docs: DataFrame): (DataFrame, DataFrame) = {
+    val L = SubstringLen
     val groups = normGroups(docs)
     val toked = groups.select(
       col("rep_id"), col("members"), size(col("members")).as("nm"),
@@ -238,47 +272,121 @@ object Dedup {
       .localCheckpoint(true)
     // cross-content duplicated hashes: ≥2 distinct contents. A hash seen
     // in ONE multi-member content only is cross-DOC duplicated too, but
-    // those contents are fully covered by the nm>=2 arm below, so the
-    // single-content coverage pass only needs the nc>=2 set.
+    // those contents are fully covered by the nm>=2 arm in consumers, so
+    // the single-content passes only need the nc>=2 set.
     val dup = win.groupBy(col("h"))
       .agg(countDistinct(col("rep_id")).as("nc"))
       .filter(col("nc") >= 2)
       .select(col("h"))
-    // interval union per single-member content: each duplicated start i
-    // covers [i, i+L); sorted starts overlap-merge via lead()
-    val wCov = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rep_id")).orderBy(col("pos"))
-    val cov = win.filter(col("nm") === 1)
+    val dupWins = win.filter(col("nm") === 1)
       .join(dup, Seq("h"), "left_semi")
-      .withColumn("covered",
-        coalesce(least(lit(L.toLong), lead(col("pos"), 1).over(wCov) - col("pos")),
-          lit(L.toLong)))
-      .groupBy(col("rep_id")).agg(sum(col("covered")).as("cov_tokens"))
-    toked
-      .join(cov, Seq("rep_id"), "left")
-      .withColumn("dup_tokens",
-        when(col("nm") >= 2 && col("ntok") >= L, col("ntok"))
-          .otherwise(coalesce(col("cov_tokens"), lit(0L))))
-      .select(explode(col("members")).as("doc_id"),
-        col("ntok").as("n_tokens"), col("dup_tokens"))
-      .withColumn("dup_share",
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(col("dup_tokens").cast("double") /
-            col("n_tokens").cast("double"), 6)))
+      .select(col("rep_id"), col("ntok"), col("pos"))
+    (toked, dupWins)
   }
 
-  /** DuckDB oracle for dedup_substring: same collapse, the same double
-    * polyhash over `list_slice`d token runs (the [[WordWindowHashes]]
-    * program), the same lead() interval union, the same member expansion.
+  /** SURVEY §2 `dedup_substring_spans`: the ACTIONABLE form of
+    * [[dedupSubstring]] — the merged token ranges `[span_start,
+    * span_end)` of cross-doc duplicated text per document, i.e. exactly
+    * what an exact-substring dedup pass deletes (Lee et al. 2021 cut
+    * these spans from the corpus; dedup_substring only scores them).
+    * Overlapping and abutting windows merge by gaps-and-islands over the
+    * sorted starts (new island when the gap exceeds the window length) —
+    * the same doc-partitioned bounded window as the coverage form, one
+    * extra lag/cumsum pass. Verbatim-duplicate groups emit the
+    * closed-form full span `[0, ntok)`.
+    */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpansDf(Tables.documents(spark, dir))
+
+  /** [[dedupSubstringSpans]] over ANY (doc_id, text) frame. */
+  def dedupSubstringSpansDf(docs: DataFrame): DataFrame = {
+    val L = SubstringLen
+    val (toked, dupWins) = substringDupWins(docs)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id")).orderBy(col("pos"))
+    val singleSpans = dupWins
+      .withColumn("ni",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(wOrd), lit(L + 1L)) > L, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("rep_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + L).as("span_end"))
+      .select(col("rep_id"), col("span_start"), col("span_end"))
+    val multiSpans = toked
+      .filter(col("nm") >= 2 && col("ntok") >= L)
+      .select(col("rep_id"), lit(0L).as("span_start"), col("ntok").as("span_end"))
+    singleSpans.unionByName(multiSpans)
+      .join(toked.select(col("rep_id"), col("members")), Seq("rep_id"))
+      .select(explode(col("members")).as("doc_id"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** DuckDB oracle for dedup_substring_spans: the shared substring CTEs +
+    * the identical gaps-and-islands merge and member expansion.
+    */
+  def substringSpansOracleSql: String = {
+    val L = SubstringLen
+    s"""WITH ${substringCtesBody},
+       |cw AS (SELECT rep_id, pos FROM w WHERE nm = 1 AND h IN (SELECT h FROM dh)),
+       |il AS (SELECT rep_id, pos,
+       |         CASE WHEN COALESCE(pos - lag(pos) OVER (PARTITION BY rep_id ORDER BY pos),
+       |                            ${L + 1}) > $L THEN 1 ELSE 0 END AS ni
+       |       FROM cw),
+       |isl AS (SELECT rep_id, pos,
+       |          sum(ni) OVER (PARTITION BY rep_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |        FROM il),
+       |sp AS (SELECT rep_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $L AS BIGINT) AS span_end
+       |       FROM isl GROUP BY rep_id, isl),
+       |msp AS (SELECT rep_id, CAST(0 AS BIGINT) AS span_start, ntok AS span_end
+       |        FROM t WHERE nm >= 2 AND ntok >= $L),
+       |allsp AS (SELECT * FROM sp UNION ALL SELECT * FROM msp)
+       |SELECT m.doc_id AS doc_id, a.span_start, a.span_end,
+       |  a.span_end - a.span_start AS span_tokens
+       |FROM allsp a
+       |JOIN t ON a.rep_id = t.rep_id
+       |CROSS JOIN UNNEST(t.members) AS m(doc_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for dedup_substring: the shared substring CTEs + the
+    * same lead() interval union and member expansion.
     */
   def substringOracleSql: String = {
+    val L = SubstringLen
+    s"""WITH ${substringCtesBody},
+       |cov AS (
+       |  SELECT rep_id, CAST(sum(covered) AS BIGINT) AS cov_tokens FROM (
+       |    SELECT rep_id,
+       |      COALESCE(LEAST(lead(pos) OVER (PARTITION BY rep_id ORDER BY pos) - pos,
+       |        CAST($L AS BIGINT)), CAST($L AS BIGINT)) AS covered
+       |    FROM w WHERE nm = 1 AND h IN (SELECT h FROM dh))
+       |  GROUP BY rep_id),
+       |f AS (
+       |  SELECT t.members, t.ntok,
+       |    CASE WHEN t.nm >= 2 AND t.ntok >= $L THEN t.ntok
+       |         ELSE COALESCE(cov.cov_tokens, 0) END AS dup_tokens
+       |  FROM t LEFT JOIN cov ON t.rep_id = cov.rep_id)
+       |SELECT m.doc_id AS doc_id, f.ntok AS n_tokens,
+       |  CAST(f.dup_tokens AS BIGINT) AS dup_tokens,
+       |  CASE WHEN f.ntok = 0 THEN 0.0
+       |       ELSE round(CAST(f.dup_tokens AS DOUBLE) / CAST(f.ntok AS DOUBLE), 6) END AS dup_share
+       |FROM f CROSS JOIN UNNEST(f.members) AS m(doc_id)""".stripMargin
+  }
+
+  /** g/t/w/dh: the shared substring oracle front — verbatim groups,
+    * token counts, positional window hashes, duplicated-hash set —
+    * mirrored by [[substringDupWins]] on the Spark side.
+    */
+  private def substringCtesBody: String = {
     val L = SubstringLen
     import graft.functions.SimHashConf.{Base1, Base2, Mod1, Mod2}
     def poly(base: Long, mod: Long): String =
       s"""list_reduce(list_transform(range(1, length(win) + 1),
          |      c -> CAST(ord(substr(win, CAST(c AS INT), 1)) AS BIGINT)),
          |      (a, b) -> (a * $base + b) % $mod)""".stripMargin
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
        |        FROM documents)
@@ -298,24 +406,7 @@ object Dedup {
        |      array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + $L AS INT)), ' ') AS win
        |    FROM t CROSS JOIN UNNEST(range(0, greatest(ntok - $L + 1, 0))) AS u(i))),
        |dh AS (SELECT h FROM (SELECT h, count(DISTINCT rep_id) AS nc FROM w GROUP BY h)
-       |       WHERE nc >= 2),
-       |cov AS (
-       |  SELECT rep_id, CAST(sum(covered) AS BIGINT) AS cov_tokens FROM (
-       |    SELECT rep_id,
-       |      COALESCE(LEAST(lead(pos) OVER (PARTITION BY rep_id ORDER BY pos) - pos,
-       |        CAST($L AS BIGINT)), CAST($L AS BIGINT)) AS covered
-       |    FROM w WHERE nm = 1 AND h IN (SELECT h FROM dh))
-       |  GROUP BY rep_id),
-       |f AS (
-       |  SELECT t.members, t.ntok,
-       |    CASE WHEN t.nm >= 2 AND t.ntok >= $L THEN t.ntok
-       |         ELSE COALESCE(cov.cov_tokens, 0) END AS dup_tokens
-       |  FROM t LEFT JOIN cov ON t.rep_id = cov.rep_id)
-       |SELECT m.doc_id AS doc_id, f.ntok AS n_tokens,
-       |  CAST(f.dup_tokens AS BIGINT) AS dup_tokens,
-       |  CASE WHEN f.ntok = 0 THEN 0.0
-       |       ELSE round(CAST(f.dup_tokens AS DOUBLE) / CAST(f.ntok AS DOUBLE), 6) END AS dup_share
-       |FROM f CROSS JOIN UNNEST(f.members) AS m(doc_id)""".stripMargin
+       |       WHERE nc >= 2)""".stripMargin
   }
 
   // ---- MinHash + LSH (constants live in functions.MinHashConf, shared by

@@ -55,6 +55,55 @@ class DedupSubstringSpec extends SparkSpec {
     assert(out(2L)._2 == 0L)
   }
 
+  private def spans(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] = {
+    import spark.implicits._
+    Dedup.dedupSubstringSpansDf(docs.toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+  }
+
+  test("spans: a shared run yields one merged range at its position") {
+    val shared = (1 to 10).map("t" + _).mkString(" ")
+    val out = spans(Seq(
+      1L -> s"$shared u1 u2",   // run at tokens [0, 10)
+      2L -> s"v1 $shared"))     // run at tokens [1, 11)
+    assert(out(1L) == Set((0L, 10L)))
+    assert(out(2L) == Set((1L, 11L)))
+  }
+
+  test("spans: disjoint duplicated runs stay separate islands") {
+    val a = (1 to 8).map("a" + _).mkString(" ")
+    val b = (1 to 8).map("b" + _).mkString(" ")
+    // doc 1 carries both runs separated by a 3-token gap; docs 2/3 carry one each
+    val out = spans(Seq(
+      1L -> s"$a gap1 gap2 gap3 $b",
+      2L -> s"$a tailx taily tailz",
+      3L -> s"lead1 lead2 lead3 $b"))
+    assert(out(1L) == Set((0L, 8L), (11L, 19L)))
+    assert(out(2L) == Set((0L, 8L)))
+    assert(out(3L) == Set((3L, 11L)))
+  }
+
+  test("spans: verbatim duplicates emit the closed-form full span") {
+    val nine = (1 to 9).map("d" + _).mkString(" ")
+    val out = spans(Seq(1L -> nine, 2L -> nine))
+    assert(out(1L) == Set((0L, 9L)) && out(2L) == Set((0L, 9L)))
+  }
+
+  test("spans: total span tokens equal dedup_substring's dup_tokens") {
+    val shared = (1 to 10).map("t" + _).mkString(" ")
+    val docs = Seq(1L -> s"$shared u1 u2", 2L -> s"v1 $shared", 3L -> "one two three")
+    val cov = run(docs).map { case (id, (_, dup, _)) => id -> dup }
+    val sp = spans(docs)
+    docs.foreach { case (id, _) =>
+      val total = sp.getOrElse(id, Set.empty).toSeq.map { case (s, e) => e - s }.sum
+      assert(total == cov(id), s"doc $id: spans $total vs coverage ${cov(id)}")
+    }
+  }
+
   test("a single-member doc sharing a window with a verbatim group is covered") {
     val nine = (1 to 9).map("g" + _).mkString(" ")
     // docs 1/2 are verbatim copies; doc 3 shares their first 8 tokens
