@@ -104,6 +104,28 @@ class DedupSubstringSpec extends SparkSpec {
     }
   }
 
+  test("spans on real data: per-doc ranges are disjoint, ordered gaps > 0, in bounds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val ntok = run(docs.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq)
+      .map { case (id, (n, _, _)) => id -> n }
+    val sp = Dedup.dedupSubstringSpansDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sp.nonEmpty, "no duplicated spans at sf0.001 — signal lost")
+    sp.groupBy(_._1).foreach { case (id, rows) =>
+      val ranges = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      ranges.foreach { case (s, e) =>
+        assert(s >= 0 && e > s && e <= ntok(id), s"doc $id span [$s,$e) vs ntok ${ntok(id)}")
+      }
+      ranges.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(s2 > e1, s"doc $id: spans not disjoint/merged ($e1 vs $s2)")
+        case _ =>
+      }
+    }
+  }
+
   test("a single-member doc sharing a window with a verbatim group is covered") {
     val nine = (1 to 9).map("g" + _).mkString(" ")
     // docs 1/2 are verbatim copies; doc 3 shares their first 8 tokens
