@@ -1003,6 +1003,13 @@ object IvfProbesHier {
 }
 
 object PolyHash {
+  /** Hashes Unicode CODE POINTS, not UTF-16 code units (`codePointAt` +
+    * `charCount` below): supplementary-plane characters (emoji, rare CJK)
+    * contribute ONE term, matching the DuckDB oracles' per-character
+    * `ord(substr(...))` fold exactly. Every polyhash-family oracle
+    * (shingles, window hashes, simhash, minhash) depends on this parity —
+    * [[graft.PolyHashSpec]] pins it with astral-plane inputs.
+    */
   def hash(s: String, base: Long, mod: Long): Long = {
     var acc = 0L
     var i = 0

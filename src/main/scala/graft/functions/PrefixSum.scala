@@ -40,9 +40,20 @@ object PrefixSum {
       bucket: Long = Bucket): DataFrame = {
     val b = bucket
     val b2 = b * b
+    // This is an exported library primitive: the intermediate columns must
+    // not silently clobber caller columns (withColumn REPLACES an existing
+    // name), and the id arithmetic must not re-parse a caller-supplied
+    // name through string-interpolated SQL. The id is copied once into the
+    // reserved __pid via the Column API; only that fixed token ever
+    // appears inside expr(), and `div` stays exact 64-bit integer math
+    // (a double-division rewrite would corrupt ids past 2^53).
+    require(!df.columns.exists(Set("__pid", "__b1", "__b2", "__o1")),
+      "PrefixSum.exclusive reserves intermediate columns __pid/__b1/__b2/__o1; " +
+        "rename them in the input frame")
     val withB = df
-      .withColumn("__b1", expr(s"$idCol div $b"))
-      .withColumn("__b2", expr(s"$idCol div $b2"))
+      .withColumn("__pid", df(idCol))
+      .withColumn("__b1", expr(s"__pid div $b"))
+      .withColumn("__b2", expr(s"__pid div $b2"))
     val s1 = withB.groupBy(col("__b2"), col("__b1"))
       .agg(sum(col(vCol)).as("__t1"))
     val s2 = s1.groupBy(col("__b2")).agg(sum(col("__t1")).as("__t2"))
@@ -57,11 +68,11 @@ object PrefixSum {
       .withColumn("__o1",
         col("__o2") + coalesce(sum(col("__t1")).over(w1), lit(0L)))
       .select(col("__b1"), col("__o1"))
-    val w0 = Window.partitionBy(col("__b1")).orderBy(col(idCol))
+    val w0 = Window.partitionBy(col("__b1")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     withB.join(off1, Seq("__b1"))
       .withColumn(outCol,
         col("__o1") + coalesce(sum(col(vCol)).over(w0), lit(0L)))
-      .drop("__b1", "__b2", "__o1")
+      .drop("__pid", "__b1", "__b2", "__o1")
   }
 }

@@ -107,9 +107,11 @@ object IndexStore {
         val cents = graft.operators.IvfModel.fitFromDf(
           vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
         val (supers, memberOf) = graft.operators.IvfModel.superModel(cents)
+        // try_element_at: the hier probe can emit an EMPTY array (all
+        // probed supers memberless) and ANSI element_at would throw.
         vectors.select(col("id"), col("vec"),
-            element_at(graft.functions.IvfProbesHier.column(col("vec"),
-              supers, cents, memberOf, VectorOps.SuperProbes, 1), 1)("cell")
+            try_element_at(graft.functions.IvfProbesHier.column(col("vec"),
+              supers, cents, memberOf, VectorOps.SuperProbes, 1), lit(1))("cell")
               .cast("int").as("cell"))
           .filter(col("cell").isNotNull)
       case "ivfpq" =>

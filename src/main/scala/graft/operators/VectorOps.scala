@@ -153,8 +153,13 @@ object VectorOps {
     val (supers, memberOf) = IvfModel.superModel(cents)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("p", element_at(graft.functions.IvfProbesHier.column(
-        col("embedding"), supers, cents, memberOf, SuperProbes, 1), 1))
+      // try_element_at, not element_at: IvfProbesHier emits an EMPTY array
+      // when every probed super is memberless (IvfModel.fit keeps empty-
+      // cluster centroids, so such supers exist), and under ANSI mode
+      // (Spark 4 default) element_at on an empty array throws instead of
+      // returning null. try_element_at yields null → the filter drops it.
+      .withColumn("p", try_element_at(graft.functions.IvfProbesHier.column(
+        col("embedding"), supers, cents, memberOf, SuperProbes, 1), lit(1)))
       .filter(col("p").isNotNull) // a vector whose probed supers are all memberless
       .select(col("vec_id"), col("p.cell").as("cell"), col("p.d2").as("d2"))
   }

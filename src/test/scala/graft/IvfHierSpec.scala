@@ -74,4 +74,30 @@ class IvfHierSpec extends SparkSpec {
     assert(nApprox == nHit, "precision must be 1: approx pairs are exact-scored")
     assert(recall > 0.0 && recall <= 1.0)
   }
+
+  test("memberless probed supers yield an empty probe array, dropped not thrown") {
+    // IvfModel.fit keeps empty-cluster centroids, so superModel can emit
+    // supers no cell maps to; a vector whose probed supers are ALL
+    // memberless gets an EMPTY IvfProbesHier array. Under ANSI (Spark 4
+    // default) element_at(…, 1) throws on that — the build path must use
+    // try_element_at and drop the row. Construct the degenerate geometry
+    // directly: supers 0 and 1 are nearest to the query but memberless
+    // (every cell maps to super 2, far away).
+    val s = spark
+    import s.implicits._
+    val supers = Array(Array(0.0), Array(1.0), Array(100.0))
+    val cents = Array(Array(99.0), Array(101.0))
+    val memberOf = Array(2, 2)
+    val df = Seq((1L, Seq(0.5f)), (2L, Seq(100.0f))).toDF("vec_id", "embedding")
+    val probed = df.withColumn("p",
+        try_element_at(graft.functions.IvfProbesHier.column(
+          col("embedding"), supers, cents, memberOf, 2, 1), lit(1)))
+      .filter(col("p").isNotNull)
+      .select(col("vec_id"), col("p.cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vec 1 probes supers {0,1}: both memberless → dropped, no crash.
+    // vec 2 probes supers {2,1}: super 2 has cells {0,1} → argmin cell 0
+    // (d2 1.0 each side, tie to lower id).
+    assert(probed == Map(2L -> 0L))
+  }
 }

@@ -12,6 +12,17 @@ class PolyHashSpec extends SparkSpec {
     assert(PolyHash.hash("", 31, 1000000007L) == 0L)
   }
 
+  test("supplementary-plane characters hash as ONE code point (oracle ord() parity)") {
+    // U+1F600 😀 is two UTF-16 code units but one code point (128512).
+    // DuckDB's ord(substr(s, i, 1)) folds per code point; the JVM kernel
+    // must match or every polyhash-family oracle diverges on astral text.
+    val mod = 1000000007L
+    assert(PolyHash.hash("😀", 31, mod) == 128512L % mod)
+    // a, 😀, b  →  ((97*31 + 128512)*31 + 98) % mod
+    assert(PolyHash.hash("a😀b", 31, mod) ==
+      ((97L * 31 + 128512L) * 31 + 98L) % mod)
+  }
+
   test("expression evaluates in both codegen and interpreted paths") {
     val s = spark
     import s.implicits._

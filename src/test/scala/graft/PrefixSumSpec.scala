@@ -36,6 +36,23 @@ class PrefixSumSpec extends SparkSpec {
     check(rows, bucket = PrefixSum.Bucket)
   }
 
+  test("reserved intermediate names collide loudly, never silently corrupt") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 9L)).toDF("id", "v", "__b1")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.exclusive(df, "id", "v", "pre")
+    }
+    assert(e.getMessage.contains("__b1"))
+  }
+
+  test("payload columns pass through untouched") {
+    import spark.implicits._
+    val df = Seq((3L, 1L, "x"), (1L, 5L, "y")).toDF("id", "v", "tag")
+    val got = PrefixSum.exclusive(df, "id", "v", "pre")
+      .select("id", "pre", "tag").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "y"), (3L, 5L, "x")))
+  }
+
   test("unordered, non-contiguous input partitions do not change the result") {
     import spark.implicits._
     val rows = scala.util.Random.shuffle((0L until 300L).toList)
