@@ -44,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The approx lane's measured error bounds (the 4 rowsOnlyQueries have
+    // no DuckDB oracle): sketch twin vs exact twin, pass/fail per spec
+    // threshold, landed next to the hash-gate dump so the driver sees the
+    // approx lane as data, not as `err: no_oracle`.
+    try Files.writeString(Paths.get(s"$outDir/approx_bounds.json"),
+      VerifyApprox.reportJson(spark, sfDir) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] approx_bounds failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+/** The approx-lane artifact generator must agree with the per-twin
+  * error-bound specs: 4/4 checks pass at test SF, each naming its exact
+  * twin, and the emitted JSON is machine-parseable (the driver/judge
+  * reads it as data — a malformed artifact would silently un-gate the
+  * approx lane).
+  */
+class VerifyApproxSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("all four sketch twins pass their measured bound at test SF") {
+    val cs = VerifyApprox.checks(spark, dir)
+    assert(cs.map(_.query).toSet == SparkEntry.rowsOnlyQueries,
+      "the artifact must cover exactly the rows-only lane")
+    cs.foreach { c =>
+      assert(SparkEntry.queries.contains(c.exactTwin),
+        s"${c.query}: exact twin ${c.exactTwin} is not a registered query")
+      assert(c.pass, s"${c.query}: ${c.metric}=${c.value} > ${c.bound} (${c.detail})")
+    }
+  }
+
+  test("report JSON parses and carries the contract fields") {
+    val json = VerifyApprox.reportJson(spark, dir)
+    // dependency-free structural probe: one object per rows-only query,
+    // each with pass:true and the numeric fields present
+    SparkEntry.rowsOnlyQueries.foreach { q =>
+      assert(json.contains("\"" + q + "\""), s"$q missing from artifact")
+    }
+    assert(json.count(_ == '{') == 1 + SparkEntry.rowsOnlyQueries.size)
+    assert("\"pass\": (true|false)".r.findAllIn(json).size ==
+      SparkEntry.rowsOnlyQueries.size)
+    assert(!json.contains("\"pass\": false"))
+  }
+}
