@@ -52,6 +52,7 @@ object SparkEntry {
     "text_vocab"          -> TextOps.textVocab _,
     "text_surprisal"      -> TextOps.textSurprisal _,
     "text_bpe_pairs"      -> TextOps.textBpePairs _,
+    "text_bpe_train"      -> TextOps.textBpeTrain _,
     "text_repetition"     -> TextOps.textRepetition _,
     "text_tfidf"          -> TextOps.textTfidf _,
     "corpus_stats"        -> TextOps.corpusStats _,
@@ -691,6 +692,8 @@ object SparkEntry {
     "corpus_stats" -> graft.operators.TextOps.corpusStatsOracleSql,
 
     "text_bpe_pairs" -> graft.operators.TextOps.bpePairsOracleSql,
+
+    "text_bpe_train" -> graft.operators.TextOps.bpeTrainOracleSql,
 
     "text_entropy" ->
       """WITH c AS (

@@ -465,6 +465,150 @@ object TextOps {
       |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM v)
       |SELECT rk, pair, n FROM r WHERE rk <= 50""".stripMargin
 
+  /** How many BPE merges [[textBpeTrain]] learns, and the count floor
+    * below which training stops (merging a once-seen pair carries no
+    * signal). Shared with the generated oracle SQL.
+    */
+  val BpeTrainMerges = 50
+  val BpeTrainMinCount = 2L
+
+  /** SURVEY §2 `text_bpe_train`: the FULL BPE trainer — the ordered merge
+    * list (Sennrich et al. 2016), the artifact a tokenizer-training
+    * pipeline actually ships. [[textBpePairs]] is iteration 1's count
+    * table; this runs the loop: count adjacent symbol pairs over the
+    * word vocabulary, merge the most frequent pair everywhere (ties by
+    * lexicographic pair — deterministic on both engines), repeat
+    * [[BpeTrainMerges]] times or until no pair clears
+    * [[BpeTrainMinCount]].
+    *
+    * Scale shape: the ONE corpus-sized stage is the initial word count —
+    * everything after runs over the DISTINCT-WORD vocabulary with
+    * frequencies (the standard trainer trick; vocabulary grows ~log with
+    * corpus size, so 100 TB of text still trains over a few-million-row
+    * frame). Each round is a narrow pair-explode + pair-vocab aggregation
+    * + TakeOrdered(1); the argmax pair is the round's only driver-side
+    * scalar (bounded by construction — one row), the broadcast-literal
+    * pattern. Merge application is a codegen'd `aggregate` fold per word;
+    * the state frame is checkpointed per round exactly like
+    * [[Dedup.dedupClusters]]' propagation loop, keeping lineage flat
+    * across 50 rounds.
+    */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    textBpeTrainDf(spark, Tables.documents(spark, dir), BpeTrainMerges)
+
+  /** [[textBpeTrain]] over ANY (doc_id, text) frame — the library form. */
+  def textBpeTrainDf(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
+    val words = docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // Size the training loop's partitioning to the VOCABULARY, not the
+    // corpus: 50 sequential rounds over a few-thousand-row frame spread
+    // across 32 shuffle partitions is pure task-scheduling latency
+    // (~150 ms/round measured at sf0.1). One partition per ~1M distinct
+    // words keeps each round a handful of tasks at any scale. The count
+    // is a bounded scalar (one row) — the broadcast-literal pattern.
+    val nWords = words.count()
+    val parts = math.max(1L, nWords / 1000000L).toInt
+    var st = words
+      // per-character initial segmentation via positional substring (the
+      // oracle's substr shape; split(word, "") would keep a trailing "")
+      .select(col("cnt"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      .coalesce(parts)
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var it = 0
+    var done = false
+    while (it < merges && !done) {
+      // size<2 guard BEFORE sequence(): sequence(0, -1) would descend
+      val best = st.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), (i + 1).cast("int")).as("a"),
+            element_at(col("syms"), (i + 2).cast("int")).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .filter(col("c") >= BpeTrainMinCount)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect() // bounded: the round's single argmax pair
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = a + b
+        out += ((it + 1L, a, b, m, c))
+        // leftmost non-overlapping replace of [a,b] with the merged
+        // symbol, as a fold: a merge consumes its right symbol, so the
+        // just-merged token can't re-match as the pair's left side.
+        // The round's pair rides in as broadcast DATA, not literals —
+        // embedding it as literals changed the generated code every
+        // round and made the loop recompile 50 codegen classes (the
+        // dominant cost at small SF; with the constant plan shape every
+        // round after the first hits the codegen cache).
+        val bestDf = Seq((a, b, m)).toDF("ba", "bb", "bm")
+        st = st.crossJoin(broadcast(bestDf))
+          .select(col("cnt"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === col("ba") && x === col("bb"),
+                concat(slice(acc, lit(1), size(acc) - 1), array(col("bm"))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint(true)
+        it += 1
+      }
+    }
+    // The merge list IS the trained model — N driver-held rows by
+    // construction (the IVF-centroid convention: fits are small).
+    out.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "n_occurrences")
+  }
+
+  /** DuckDB oracle for [[textBpeTrain]]: the identical trainer as one
+    * recursive CTE — the working table holds the vocabulary's current
+    * segmentation, the recursive term self-joins it against its own
+    * argmax pair (DuckDB permits aggregating the working table) and
+    * applies the merge with a `list_reduce` fold, and each round's merge
+    * rides out on the state rows.
+    */
+  def bpeTrainOracleSql: String = {
+    val n = BpeTrainMerges
+    val mc = BpeTrainMinCount
+    s"""WITH RECURSIVE v0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    list_transform(range(1, length(word)+1),
+       |      i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |  FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0
+       |          THEN CAST([] AS VARCHAR[])
+       |          ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word),
+       |st AS (
+       |  SELECT 0 AS it, cnt, syms, CAST(NULL AS VARCHAR) AS ma,
+       |    CAST(NULL AS VARCHAR) AS mb, CAST(NULL AS BIGINT) AS mc
+       |  FROM v0
+       |  UNION ALL
+       |  SELECT st.it + 1, st.cnt,
+       |    list_reduce(list_transform(st.syms, s -> [s]),
+       |      (acc, x) -> CASE WHEN acc[-1] = best.a AND x[1] = best.b
+       |        THEN list_append(list_slice(acc, 1, len(acc)-1), best.a || best.b)
+       |        ELSE list_append(acc, x[1]) END),
+       |    best.a, best.b, best.c
+       |  FROM st, (
+       |    SELECT a, b, c FROM (
+       |      SELECT u.pr['a'] AS a, u.pr['b'] AS b, CAST(sum(s2.cnt) AS BIGINT) AS c
+       |      FROM st s2, UNNEST(list_transform(range(1, len(s2.syms)),
+       |        i -> struct_pack(a := s2.syms[CAST(i AS INT)],
+       |          b := s2.syms[CAST(i AS INT)+1]))) AS u(pr)
+       |      GROUP BY 1, 2) p
+       |    WHERE c >= $mc
+       |    ORDER BY c DESC, a, b LIMIT 1) best
+       |  WHERE st.it < $n)
+       |SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank, ma AS sym_a,
+       |  mb AS sym_b, ma || mb AS merged, mc AS n_occurrences
+       |FROM st WHERE it >= 1 ORDER BY merge_rank""".stripMargin
+  }
+
   /** SURVEY §2 `text_fingerprint`. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -192,6 +192,48 @@ class TextOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == want)
   }
+  test("text_bpe_train replays the hand-computed Sennrich toy corpus") {
+    // Vocabulary: low:4 lower:1 lowest:1 new:2 newer:1 newest:1 wider:1
+    // wide:1. Hand-derived merge order (max count, ties to the
+    // lexicographically smallest pair):
+    //  1 l+o (6: low 4, lower, lowest)   2 lo+w (6)
+    //  3 e+w (4: new 2, newer, newest; ties (n,e)=4 → 'e'<'n')
+    //  4 n+ew (4)
+    //  5 e+r (3: lower, newer, wider)
+    //  6 e+s (2; ties (s,t),(w,i),(i,d) all 2 → 'e' smallest;
+    //    note wider lost (d,e) to merge 5: [w,i,d,er])
+    //  7 es+t (2)  8 i+d (2: tie (w,i) → 'i'<'w')
+    //  Cap at 8 merges to keep the hand computation airtight.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low"),
+      (3L, "wider wide new")).toDF("doc_id", "text")
+    val got = TextOps.textBpeTrainDf(spark, docs, merges = 8).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_occurrences"))).sortBy(_._1).toSeq
+    val want = Seq(
+      (1L, "l", "o", "lo", 6L), (2L, "lo", "w", "low", 6L),
+      (3L, "e", "w", "ew", 4L), (4L, "n", "ew", "new", 4L),
+      (5L, "e", "r", "er", 3L), (6L, "e", "s", "es", 2L),
+      (7L, "es", "t", "est", 2L), (8L, "i", "d", "id", 2L))
+    assert(got == want)
+  }
+
+  test("text_bpe_train stops when no pair clears the count floor") {
+    val s = spark
+    import s.implicits._
+    // every word unique and 2 chars → every pair count 1 < floor
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(TextOps.textBpeTrainDf(spark, docs, merges = 10).isEmpty)
+    // overlapping pair merges leftmost-first: aaaa → [aa, aa], (a,a)=6
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = TextOps.textBpeTrainDf(spark, rep, merges = 1).collect().head
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == ("a", "a", 6L))
+  }
+
   test("text_tfidf matches a scala tf-idf replica (top-3 per doc)") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> graft.functions.GraftText.wsTokens(r.getString(1)))
