@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_substring_spans" -> Dedup.dedupSubstringSpans _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLsh _,
+    "dedup_semantic"      -> VectorOps.dedupSemantic _,
     "knn_bruteforce"      -> VectorOps.knnBruteforce _,
     "ann_bruteforce"      -> VectorOps.annBruteforce _,
     "ivf_build"           -> VectorOps.ivfBuild _,
@@ -851,6 +852,7 @@ object SparkEntry {
     "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql(ivfCents),
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
+    "dedup_semantic" -> graft.operators.VectorOps.dedupSemanticOracleSql(ivfCents),
     "ann_ivf_hier" -> graft.operators.VectorOps.annIvfHierOracleSql(
       ivfCents, ivfSupers, ivfMemberOf),
     "ivf_build_hier" -> graft.operators.VectorOps.ivfBuildHierOracleSql(

@@ -31,6 +31,70 @@ object StubEncoder extends TextEncoder {
     Embedder.encodeStub(_, dim, normalize)
 }
 
+/** A REAL pure-JVM encoder (not a content-hash stub): signed feature
+  * hashing (Weinberger et al. '09, the "hashing trick") over word unigrams
+  * plus boundary-marked character trigrams — the fastText subword shape.
+  * Every feature occurrence adds ±1 to one of `dim` buckets (sign and
+  * bucket both from a mixed 64-bit feature hash), then the vector is
+  * L2-normalized, so cosine between two texts estimates their weighted
+  * lexical/subword overlap: texts sharing vocabulary score high, disjoint
+  * texts are near-orthogonal in expectation. That is retrieval-grade
+  * behavior with zero model weights shipped and zero ML runtime — and it
+  * exercises the EXACT deployment path a sentence-transformer ONNX session
+  * would (resolved by config name, opened once per partition, fed the row
+  * stream). No external dependency exists in this build, so this encoder —
+  * not an ONNX binding — is the registry's production proof.
+  *
+  * Versioned name ("…-v1"): output vectors are part of a persisted index's
+  * contract, so any change to tokenization/hashing must ship as -v2.
+  */
+object HashedNgramEncoder extends TextEncoder {
+  val name = "hashed-ngram-v1"
+
+  /** splitmix64 finalizer over the polynomial text hash — the raw rolling
+    * hash is a poor bucket hash (low-order structure); the mix spreads
+    * features uniformly over buckets AND supplies an independent sign bit.
+    */
+  private def mix(h0: Long): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def addFeature(acc: Array[Double], f: String, dim: Int): Unit = {
+    val h = mix(PolyHash.hash(f, 31, 1000000007L))
+    val idx = (((h % dim) + dim) % dim).toInt
+    acc(idx) += (if ((h >>> 63) == 0L) 1.0 else -1.0)
+  }
+
+  def encode(text: String, dim: Int, normalize: Boolean): Array[Float] = {
+    val acc = new Array[Double](dim)
+    val words = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    words.foreach { w =>
+      addFeature(acc, "w:" + w, dim) // word unigram (tf-weighted by repetition)
+      val m = "<" + w + ">" // boundary markers: "<ca" ≠ "cat"-internal "cat"
+      var i = 0
+      while (i + 3 <= m.length) {
+        addFeature(acc, "g:" + m.substring(i, i + 3), dim)
+        i += 1
+      }
+    }
+    val v = new Array[Float](dim)
+    var n = 0.0
+    var i = 0
+    while (i < dim) { n += acc(i) * acc(i); i += 1 }
+    val inv = if (normalize && n > 0.0) 1.0 / math.sqrt(n) else 1.0
+    i = 0
+    while (i < dim) { v(i) = (acc(i) * inv).toFloat; i += 1 }
+    v
+  }
+
+  def openPartition(dim: Int, normalize: Boolean): String => Array[Float] =
+    encode(_, dim, normalize)
+}
+
 /** Config-keyed encoder registry (the [[graft.pipeline.Defaults]] pattern):
   * `GRAFT_EMBEDDING_MODEL=<name>` selects the encoder a pipeline build
   * embeds with, and a real ONNX/JNI implementation drops in by calling
@@ -39,7 +103,8 @@ object StubEncoder extends TextEncoder {
 object Encoders {
   private val registry =
     scala.collection.concurrent.TrieMap[String, TextEncoder](
-      StubEncoder.name -> StubEncoder)
+      StubEncoder.name -> StubEncoder,
+      HashedNgramEncoder.name -> HashedNgramEncoder)
 
   def register(enc: TextEncoder): Unit = registry.put(enc.name, enc)
 

@@ -180,6 +180,48 @@ object VectorOps {
           .as("agreement"))
   }
 
+  /** SURVEY §2 `dedup_semantic`: SemDeDup-shaped semantic pruning (Abbas
+    * et al. '23 — reference has no equivalent; this is the LLM-pipeline
+    * extension): cluster embeddings into IVF cells, then WITHIN each cell
+    * drop every vector that has a cosine ≥ τ neighbor with a smaller
+    * vec_id — the deterministic "min-id keeps" greedy, so each semantic
+    * group retains exactly its lowest-id member. Output is a per-vector
+    * keep/drop verdict plus `dup_of` (the smallest qualifying keeper id),
+    * which is the actionable deletion list form.
+    *
+    * Scale shape: single-probe argmin assignment is a narrow broadcast map
+    * (centroids ride as kernel literals); the pair stage is CELL-LOCAL
+    * (shuffle keyed on cell, never all-pairs — the SemDeDup point), and
+    * hot cells are dropped by the same integer-exact [[MaxCellFactor]]
+    * guard as ann_ivf, so one degenerate cluster cannot reproduce the n²
+    * blowup. The drop verdict is a map-side-combinable min-agg over the
+    * ≥ τ survivors only. Precision is 1 by construction (exact cosine
+    * inside the cell); recall vs the exact all-pairs set is pinned in
+    * VectorOpsSpec (cross-cell pairs are the ANN trade, as in ann_recall).
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IvfModel.centroids(spark, dir)
+    // Materialized once: feeds the hot-cell pre-pass, both sides of the
+    // cell-local self-join, AND the keep/drop join-back (the annIvf lesson).
+    val asg = assignCells(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint(true)
+    val e = capHotCells(asg, cents.length, MaxCellFactor)
+      .withColumn("nrm", norm(col("embedding")))
+    val drops = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("c", cosinePre(dot(col("a.embedding"), col("b.embedding")),
+        col("a.nrm"), col("b.nrm")))
+      .filter(col("c") >= Dedup.EmbeddingCosThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Vectors with multi-probe cell assignment: each vector participates in
     * its `r` nearest cells (by centroid L2), so near-boundary pairs that a
     * single-cell assignment would separate still meet. 2× the join rows
@@ -743,6 +785,27 @@ object VectorOps {
        |${annIvfCtes(cents.length)}
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
+
+  /** DuckDB oracle for dedup_semantic: same argmin assignment
+    * ([[assignCtes]]), same integer-exact hot-cell rule, same cell-local
+    * pair chain, then the min-id drop verdict as a grouped min + left join.
+    */
+  def dedupSemanticOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH ${IvfModel.centsCte(cents)},
+       |$assignCtes,
+       |scc AS (SELECT cell, count(*) AS n FROM asg GROUP BY 1),
+       |stot AS (SELECT sum(n) AS t FROM scc),
+       |shot AS (SELECT cell FROM scc, stot WHERE n * ${cents.length} > $MaxCellFactor * t),
+       |saf AS (SELECT vec_id, cell FROM asg WHERE cell NOT IN (SELECT cell FROM shot)),
+       |$normCte,
+       |sdrop AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |          FROM saf a JOIN saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |          JOIN nn na ON na.vec_id = a.vec_id
+       |          JOIN nn nb ON nb.vec_id = b.vec_id
+       |          WHERE ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) >= ${Dedup.EmbeddingCosThreshold}
+       |          GROUP BY 1)
+       |SELECT asg.vec_id, asg.cell, sdrop.dup_of IS NULL AS keep, sdrop.dup_of
+       |FROM asg LEFT JOIN sdrop ON asg.vec_id = sdrop.vec_id""".stripMargin
 
   def annIvfHierOracleSql(cents: Array[Array[Double]],
       supers: Array[Array[Double]], memberOf: Array[Int]): String =

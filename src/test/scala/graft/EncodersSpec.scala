@@ -50,6 +50,70 @@ class EncodersSpec extends SparkSpec {
     assert(got("b") == enc("worlds!").toSeq)
   }
 
+  test("hashed-ngram encoder: deterministic, unit-norm, and lexically meaningful") {
+    import graft.functions.HashedNgramEncoder
+    val enc = HashedNgramEncoder.openPartition(64, normalize = true)
+    val a = enc("the quick brown fox jumps")
+    // deterministic across open calls (a second "partition")
+    assert(HashedNgramEncoder.openPartition(64, true)("the quick brown fox jumps").toSeq == a.toSeq)
+    // unit norm
+    assert(math.abs(a.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum /
+        (math.sqrt(x.map(p => p.toDouble * p).sum) * math.sqrt(y.map(q => q.toDouble * q).sum))
+    // shared vocabulary ⇒ higher cosine than disjoint vocabulary
+    val b = enc("the quick brown fox sleeps")
+    val c = enc("xylophone quartz zephyr vortex")
+    assert(cos(a, b) > 0.5, s"overlap pair scored ${cos(a, b)}")
+    assert(cos(a, b) > cos(a, c) + 0.3)
+    // subword overlap: morphological variants are NOT orthogonal. Checked
+    // at dim 256, where random-unit-vector cosine noise (~1/√dim) is well
+    // below the shared-trigram signal.
+    val enc256 = HashedNgramEncoder.openPartition(256, normalize = true)
+    val d = enc256("jumping")
+    val e = enc256("jumped")
+    assert(cos(d, e) > 0.2, s"shared-stem pair scored ${cos(d, e)}")
+    // empty text encodes to zeros, not NaN
+    assert(enc("").forall(_ == 0.0f))
+  }
+
+  test("IndexPipeline e2e with the hashed-ngram encoder: manifest provenance + build/query agreement") {
+    import graft.functions.HashedNgramEncoder
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-hng").toString
+    val docs = Seq(
+      ("d1", "spark shuffles data between executors during wide transformations"),
+      ("d2", "the recipe calls for two cups of flour and one egg"),
+      ("d3", "broadcast joins avoid shuffling the large table entirely"))
+      .toDF("doc_id", "text")
+    val cfg = IndexPipeline.Config(name = "e2e_hng", backend = "flat",
+      model = HashedNgramEncoder.name)
+    val manifest = IndexPipeline.build(docs, root, cfg)
+    assert(manifest.model == HashedNgramEncoder.name,
+      "manifest must record the hashed-ngram encoder for provenance")
+    // build/query agreement: querying with an indexed chunk's exact text
+    // must retrieve that chunk at rank 1 with cosine/IP ≈ 1 — the encoder
+    // opened at query time is the same program that built the index.
+    val exact = IndexPipeline.search(spark, root, "e2e_hng",
+      "the recipe calls for two cups of flour and one egg", 3, cfg).collect()
+    assert(exact.head.getAs[String]("id").startsWith("d2#"))
+    assert(math.abs(exact.head.getAs[Double]("score") - 1.0) < 1e-6)
+    // retrieval is semantic-by-overlap: a paraphrase-ish query sharing
+    // vocabulary with d3 ranks d3 first without matching it verbatim
+    val para = IndexPipeline.search(spark, root, "e2e_hng",
+      "avoid a shuffle by broadcasting the small join table", 3, cfg).collect()
+    assert(para.head.getAs[String]("id").startsWith("d3#"),
+      s"expected d3 first, got ${para.map(_.getAs[String]("id")).mkString(",")}")
+  }
+
+  test("the hashed-ngram encoder is registered for config selection") {
+    import graft.functions.HashedNgramEncoder
+    assert(Encoders.get(HashedNgramEncoder.name) eq HashedNgramEncoder)
+    assert(graft.pipeline.Defaults.allowedModels.contains(HashedNgramEncoder.name),
+      "GRAFT_EMBEDDING_MODEL=hashed-ngram-v1 must be an allowed value")
+  }
+
   test("IndexPipeline builds + searches with a config-selected encoder") {
     val root = Files.createTempDirectory("graft-enc").toString
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -126,6 +126,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(recall - nHit.toDouble / nExact) < 1e-6)
   }
 
+  test("dedup_semantic replays the cell-local min-id greedy exactly") {
+    val rows = VectorOps.dedupSemantic(spark, dir).collect()
+    assert(rows.length === emb.length)
+    val embMap = emb.toMap
+    // Rebuild the expected verdicts from the flat argmin assignment + the
+    // integer-exact hot-cell rule + exact cosine — the operator's contract.
+    val cells = VectorOps.ivfBuild(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val counts = cells.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nCells = cells.values.max + 1 // adaptiveK floor == NumCells at this SF
+    val total = cells.size.toLong
+    val hot = counts.filter { case (_, n) =>
+      n * VectorOps.NumCells > VectorOps.MaxCellFactor * total
+    }.keySet
+    val live = cells.filterNot { case (_, c) => hot.contains(c) }
+    val tau = graft.operators.Dedup.EmbeddingCosThreshold
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val expected = live.get(v).flatMap { c =>
+        val cands = live.collect {
+          case (u, uc) if uc == c && u < v && cos(embMap(u), embMap(v)) >= tau => u
+        }
+        if (cands.isEmpty) None else Some(cands.min)
+      }
+      assert(r.getAs[Long]("cell") === cells(v))
+      assert(r.getAs[Boolean]("keep") === expected.isEmpty, s"vec $v")
+      if (expected.isDefined) assert(r.getAs[Long]("dup_of") === expected.get)
+      else assert(r.isNullAt(r.fieldIndex("dup_of")))
+    }
+    assert(nCells <= VectorOps.NumCells)
+  }
+
+  test("dedup_semantic recall vs the exact pair set is pinned") {
+    // A pair is "handled" when its larger-id end is dropped. Cross-cell
+    // pairs are the single-probe trade (same as ann_recall's) — pin the
+    // measured floor so a regression in assignment or capping is caught.
+    val dropped = VectorOps.dedupSemantic(spark, dir).collect()
+      .filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val tau = graft.operators.Dedup.EmbeddingCosThreshold
+    val exactPairs = for {
+      i <- emb.indices; j <- (i + 1) until emb.length
+      if cos(emb(i)._2, emb(j)._2) >= tau
+    } yield (math.min(emb(i)._1, emb(j)._1), math.max(emb(i)._1, emb(j)._1))
+    assert(exactPairs.nonEmpty)
+    val handled = exactPairs.count { case (_, b) => dropped.contains(b) }
+    val recall = handled.toDouble / exactPairs.size
+    assert(recall >= 0.2, f"semantic dedup recall $recall%.3f below pin")
+  }
+
   test("capHotCells is a no-op on a uniform assignment") {
     val s = spark
     import s.implicits._
