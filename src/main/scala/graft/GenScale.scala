@@ -25,15 +25,44 @@ import graft.sources.Tables
   * table still scans in parallel — the sf0.1 testdata's one-row-group
   * decode floor (see Bench) is exactly what this avoids.
   *
-  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor]`
+  * `--skew` (zipfian mode) super-imposes the three adversarial shapes the
+  * scale guards exist for, deterministically:
+  * - events: 20% of all events are remapped to ONE user_id (the hot-key
+  *   shape that melts an unsalted per-user shuffle);
+  * - documents: 10% become ONE verbatim mega-duplicate group (the
+  *   normGroups collapse target) and another 10% become a near-duplicate
+  *   FAMILY — distinct contents sharing a long common prefix, so they
+  *   survive the verbatim collapse and pile into the same shingle/LSH
+  *   buckets (the stop-bucket-guard target);
+  * - embeddings: 10% become tiny perturbations of one base vector — one
+  *   degenerate IVF cell / sign-LSH bucket (the hot-cell-cap target).
+  *
+  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor] [--skew]`
   */
 object GenScale {
+
+  /** Deterministic filler prose: real-looking words so tokenizers, shingles
+    * and chunkers exercise their normal paths over the skewed rows.
+    */
+  private[graft] val SkewWords = Vector(
+    "data", "spark", "pipeline", "shuffle", "partition", "cluster", "query",
+    "vector", "index", "search", "token", "corpus", "filter", "sample",
+    "window", "stream", "batch", "join", "merge", "scan", "cache", "stage",
+    "task", "node", "driver", "executor", "plan", "codegen", "sketch",
+    "bucket", "hash", "group", "count", "ratio", "score", "rank")
+
+  private[graft] def skewProse(seed: Int, nWords: Int): String =
+    (0 until nWords)
+      .map(i => SkewWords(math.abs((seed * 31 + i * 2654435761L.toInt) % SkewWords.size)))
+      .mkString(" ")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
-    val embFactor = if (args.length > 3) args(3).toInt else 4
+    val skew = args.contains("--skew")
+    val rest = args.drop(2).filterNot(_ == "--skew")
+    val factor = if (rest.length > 0) rest(0).toInt else 10
+    val embFactor = if (rest.length > 1) rest(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -106,9 +135,40 @@ object GenScale {
     write(amplify(ords, factor, "o_orderkey" -> oS, "o_custkey" -> cS), "orders")
     write(amplify(li, factor,
       "l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS), "lineitem")
-    write(amplify(ev, factor, "event_id" -> eS, "user_id" -> uS), "events")
-    write(amplify(docs, factor, "doc_id" -> dS), "documents")
-    write(amplify(emb, embFactor, "vec_id" -> vS), "embeddings")
+
+    val evAmp = amplify(ev, factor, "event_id" -> eS, "user_id" -> uS)
+    val docsAmp = amplify(docs, factor, "doc_id" -> dS)
+    val embAmp = amplify(emb, embFactor, "vec_id" -> vS)
+
+    if (!skew) {
+      write(evAmp, "events")
+      write(docsAmp, "documents")
+      write(embAmp, "embeddings")
+    } else {
+      // hot user: every 5th event (by id — uniform over time) goes to user 0
+      write(evAmp.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(0L)).otherwise(col("user_id"))),
+        "events")
+      // one verbatim mega-group + one distinct-content near-dup family
+      val mega = skewProse(7, 300)
+      val famBase = skewProse(13, 300)
+      val skewText = when(pmod(col("doc_id"), lit(10)) === 0, lit(mega))
+        .when(pmod(col("doc_id"), lit(10)) === 1,
+          concat(lit(famBase), lit(" variant marker "), col("doc_id").cast("string")))
+        .otherwise(col("text"))
+      write(docsAmp.withColumn("text", skewText)
+        .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+      // one degenerate embedding cluster: base 0.5 per dim with a tiny
+      // per-(vector, dim) deterministic wiggle — all land in one IVF cell
+      // and one sign-LSH bucket, with pairwise cosine ≈ 1
+      val dim = size(col("embedding"))
+      val hotVec = transform(sequence(lit(0), dim - 1), j =>
+        (lit(0.5) + pmod(col("vec_id") * 31 + j.cast("long"), lit(101)).cast("double")
+          * lit(0.0001)).cast("float"))
+      write(embAmp.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(10)) === 0, hotVec).otherwise(col("embedding"))),
+        "embeddings")
+    }
     spark.stop()
   }
 }

@@ -56,6 +56,64 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming HLL DAU — the incremental form of the batch serving twin
+    * [[graft.operators.Relational.qEventsDauWauApprox]]. Mergeable state
+    * is the entire point of the sketch: each micro-batch folds its users
+    * into the day's constant-size (~16 KB) HLL register state, partial
+    * merges happen map-side, and the state store holds one sketch per open
+    * day window instead of a distinct-user set (which is what the exact
+    * form would pin in state forever). Same lgK as the batch twin, so on
+    * identical input the final register state — and therefore the estimate
+    * — is identical regardless of micro-batch slicing (HLL registers are a
+    * per-item max; merge order cannot change the result).
+    */
+  def dauApproxStream(events: DataFrame,
+      lgK: Int = graft.operators.Relational.DauWauLgK): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate(col("sk")).as("dau_approx"))
+
+  /** Streaming trailing-7-day WAU: a SLIDING 7-day/1-day window whose HLL
+    * union is folded incrementally — observation day d covers event days
+    * [d-6, d], i.e. the window ending at d+1. Each event updates 7 open
+    * window sketches (the batch twin's ×7 day expansion, paid as state
+    * updates instead of shuffle rows); state stays ≤ 7 sketches × open
+    * days. Register-max merging makes the estimate batch-identical on the
+    * same input.
+    */
+  def wauApproxStream(events: DataFrame,
+      lgK: Int = graft.operators.Relational.DauWauLgK): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+      .select(date_format(date_sub(to_date(col("window.end")), 1), "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate(col("sk")).as("wau_approx"))
+
+  /** Streaming trailing-7-day heavy hitters — the incremental form of
+    * [[graft.operators.Relational.qEventsHeavyHittersApprox]]: per sliding
+    * window, a bounded frequent-items sketch accumulates counts across
+    * micro-batches (partial merges map-side, constant state per window),
+    * then the top-k estimate is a stateless projection on the finalized
+    * sketch. Unsaturated (distinct users ≤ maxTracked) the counts are
+    * exact, so batch parity is exact equality; saturated, the classic
+    * heavy-hitter bound degrades gracefully exactly as in the batch twin.
+    */
+  def heavyHittersApproxStream(events: DataFrame,
+      k: Int = graft.operators.Relational.HeavyHittersK,
+      maxTracked: Int = graft.operators.Relational.HeavyHittersMaxTracked): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(expr(s"approx_top_k_accumulate(user_id, $maxTracked)").as("st"))
+      .select(date_format(date_sub(to_date(col("window.end")), 1), "yyyy-MM-dd").as("day"),
+        posexplode(expr(s"approx_top_k_estimate(st, $k)")))
+      .select(col("day"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("user_id"), col("col.count").as("n_events"))
+
   /** Gap-based sessionization. A session closes when the event-time
     * watermark passes its end + gap (EventTimeTimeout), at which point it
     * is emitted and its state evicted. Events inside one micro-batch are

@@ -46,6 +46,104 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL dau/wau == batch q_events_dau_wau_approx on real events") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val memD = MemoryStream[Event]
+    val memW = MemoryStream[Event]
+    val qd = EventStream.dauApproxStream(memD.toDF())
+      .writeStream.format("memory").queryName("parity_dau")
+      .outputMode(OutputMode.Complete).start()
+    val qw = EventStream.wauApproxStream(memW.toDF())
+      .writeStream.format("memory").queryName("parity_wau")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // uneven micro-batches: merge order must not matter (register max)
+      events.grouped(171).foreach { b =>
+        memD.addData(b.toSeq); memW.addData(b.toSeq)
+        qd.processAllAvailable(); qw.processAllAvailable()
+      }
+      val sDau = spark.table("parity_dau").collect()
+        .map(r => r.getAs[String]("day") -> r.getAs[Long]("dau_approx")).toMap
+      val sWau = spark.table("parity_wau").collect()
+        .map(r => r.getAs[String]("day") -> r.getAs[Long]("wau_approx")).toMap
+      val batch = Relational.qEventsDauWauApprox(spark, dir).collect()
+        .map(r => r.getAs[String]("day") ->
+          (r.getAs[Long]("dau_approx"), r.getAs[Long]("wau_approx"))).toMap
+      assert(sDau.keySet == batch.keySet,
+        s"stream-only days: ${sDau.keySet -- batch.keySet}; batch-only: ${batch.keySet -- sDau.keySet}")
+      assert(batch.keySet.subsetOf(sWau.keySet)) // stream emits the ×7 expansion too
+      // HLL registers are per-item maxes: identical input ⇒ identical
+      // register state regardless of micro-batch slicing ⇒ EXACT estimate
+      // equality, not just within-error agreement.
+      batch.foreach { case (day, (dau, wau)) =>
+        assert(sDau(day) == dau, s"dau mismatch at $day")
+        assert(sWau(day) == wau, s"wau mismatch at $day")
+      }
+    } finally { qd.stop(); qw.stop() }
+  }
+
+  test("streaming heavy hitters == batch q_events_heavy_hitters_approx on real events") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val mem = MemoryStream[Event]
+    val q = EventStream.heavyHittersApproxStream(mem.toDF())
+      .writeStream.format("memory").queryName("parity_hh")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      events.grouped(257).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val batch = Relational.qEventsHeavyHittersApprox(spark, dir).collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      val batchDays = batch.map(_._1).toSet
+      val streamed = spark.table("parity_hh").collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .filter(t => batchDays.contains(t._1))
+      // The tie-aware contract (which user fills the LAST top-K slot when
+      // counts tie at the boundary is sketch-internal and merge-order
+      // dependent): build the exact trailing-7-day counts independently,
+      // then require (a) every streamed count is that user's EXACT count
+      // (unsaturated sketch ⇒ exact), and (b) each day's count multiset
+      // equals the exact top-K count multiset — identical to what the
+      // batch twin's own artifact pins, now for the incremental form.
+      val dayFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      val perDayUser = events
+        .groupBy(e => (e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate, e.user_id))
+        .view.mapValues(_.size.toLong).toMap
+      val trailing = perDayUser.toSeq
+        .flatMap { case ((d, u), c) => (0 to 6).map(k => ((d.plusDays(k), u), c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val byDay = streamed.groupBy(_._1)
+      assert(byDay.keySet == batchDays)
+      byDay.foreach { case (dayStr, rows) =>
+        val d = java.time.LocalDate.parse(dayStr, dayFmt)
+        val exact = trailing.collect { case ((`d`, u), c) => u -> c }.toMap
+        rows.foreach { case (_, u, n) =>
+          assert(exact(u) == n, s"count for user $u on $dayStr: got $n want ${exact(u)}")
+        }
+        val wantTop = exact.values.toSeq.sorted.reverse.take(rows.length)
+        assert(rows.map(_._3).sorted.reverse.toSeq == wantTop,
+          s"top-K count multiset mismatch on $dayStr")
+      }
+      // and the stream agrees with the batch twin everywhere off the tie boundary
+      val sSet = streamed.toSet; val bSet = batch.toSet
+      val onlyTies = (sSet diff bSet) ++ (bSet diff sSet)
+      onlyTies.foreach { case (dayStr, _, n) =>
+        val d = java.time.LocalDate.parse(dayStr, dayFmt)
+        val exact = trailing.collect { case ((`d`, u), c) => u -> c }.toMap
+        assert(exact.values.count(_ == n) > 1,
+          s"non-tie divergence on $dayStr at count $n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sessionize == batch q_events_sessionize on real events") {
     val s = spark
     import s.implicits._
