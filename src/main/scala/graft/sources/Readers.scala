@@ -122,6 +122,23 @@ object Readers {
     normalize(parsed)
   }
 
+  /** Compiled HTML Help ingest via the dependency-free [[ChmParser]]
+    * (ITSF container + [[Lzx]] decompression): one row per HTML-family
+    * entry with its archive path, the reference's post-decompile shape
+    * (`reader.py:60-80` — there it needs Windows `hh.exe` or 7-Zip and
+    * raises otherwise; here it parses in-process). A directory of .chm
+    * files fans out one file per task like the other office formats.
+    */
+  def readChm(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val parsed = binaryFiles(spark, path).select(col("content")).as(Encoders.BINARY)
+      .flatMap(bytes => ChmParser.parseChm(bytes).map { case (p, t) => Row(p, t) })(
+        Encoders.row(schema))
+    normalize(parsed.toDF())
+  }
+
   /** The reference's `read_any` (`reader.py:140-161`): dispatch on the
     * file suffix. `.md` rides the plain-text handler, as there.
     */
@@ -144,12 +161,7 @@ object Readers {
       case "xlsx" => readXlsx(spark, path)
       case "xls" => readXls(spark, path)
       case "docx" => readDocx(spark, path)
-      // Named exclusion (reference reader.py:139-149 accepts it):
-      // .chm is Windows-only in the reference too (shells out to
-      // hh.exe / 7-Zip), declared out of scope.
-      case "chm" => throw new IllegalArgumentException(
-        ".chm is not supported (the reference shells out to Windows " +
-          "hh.exe/7-Zip for it) — extract the HTML and ingest that")
+      case "chm" => readChm(spark, path)
       case f => throw new IllegalArgumentException(s"unknown format: $f")
     }
 }

@@ -65,12 +65,4 @@ class ReadersSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown format"))
   }
 
-  test("named exclusion .chm fails with a remediation message") {
-    // .xls is now supported (XlsReaderSpec); .chm stays excluded — the
-    // reference itself shells out to Windows tooling for it.
-    val chm = intercept[IllegalArgumentException] {
-      Readers.readAny(spark, "/tmp/help.chm")
-    }
-    assert(chm.getMessage.contains("not supported"))
-  }
 }
