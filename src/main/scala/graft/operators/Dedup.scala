@@ -121,19 +121,29 @@ object Dedup {
     * regression on dedup_verified/dedup_minhash). In a production
     * pipeline the verbatim-group frame is computed once per corpus
     * snapshot and shared by every dedup pass over it — the dimCache /
-    * IVF-fit convention applied to a frame. Keyed on
-    * `Dataset.semanticHash` so two reads of the same table hit, while
-    * any semantically different input (another dir, a filtered frame)
-    * misses; the session identity in the key keeps checkpoint blocks
-    * from leaking across sessions (specs build one session per suite).
+    * IVF-fit convention applied to a frame. Keyed by [[FrameCache]] on
+    * the FULL canonicalized-plan digest (so two reads of the same table
+    * hit while any semantically different input — another dir, a
+    * filtered frame — misses, with no 32-bit collision window), bounded
+    * per session, and explicitly releasable via [[invalidateCaches]].
     */
-  private val normGroupsCache =
-    scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]()
+  private val normGroupsCache = new FrameCache
 
-  private[operators] def normGroups(docs: DataFrame): DataFrame =
-    normGroupsCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession), docs.semanticHash()),
-      normGroupsUncached(docs))
+  private[graft] def normGroups(docs: DataFrame): DataFrame =
+    normGroupsCache.getOrElseUpdate(docs)(normGroupsUncached(docs))
+
+  /** Drop this session's cached verbatim-group / minhash-bucket frames
+    * and eagerly unpersist their checkpoint blocks — call between corpus
+    * snapshots once no consumer holds a lazy frame derived from them.
+    */
+  def invalidateCaches(session: SparkSession): Unit = {
+    normGroupsCache.invalidate(session)
+    repBucketsCache.invalidate(session)
+  }
+
+  /** Spec hook: live cache entries for `session` across both frames. */
+  private[graft] def cacheEntryCount(session: SparkSession): Int =
+    normGroupsCache.size(session) + repBucketsCache.size(session)
 
   private def normGroupsUncached(docs: DataFrame): DataFrame = {
     val t0 = System.nanoTime()
@@ -499,16 +509,14 @@ object Dedup {
     * survival counts) and the checkpoint materializes the one shuffle
     * instead of re-running the kernel per branch.
     */
-  private val repBucketsCache =
-    scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]()
+  private val repBucketsCache = new FrameCache
 
   private def minhashRepBuckets(docs: DataFrame): (DataFrame, DataFrame) = {
     val groups = normGroups(docs)
     // Cached like normGroups: three operators (minhash, verified, the
     // verified component edges) re-ran the signature kernel + bucket
     // shuffle over the identical groups frame.
-    val buckets = repBucketsCache.getOrElseUpdate(
-      (System.identityHashCode(docs.sparkSession), docs.semanticHash()),
+    val buckets = repBucketsCache.getOrElseUpdate(docs)(
       groups
         .select(col("rep_id"),
           posexplode(graft.functions.MinHashConf.column(col("norm"))).as(Seq("band", "key")))

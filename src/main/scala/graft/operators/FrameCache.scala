@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Session-scoped cache of eagerly-checkpointed derived frames, keyed by
+  * the FULL canonicalized analyzed plan (SHA-256 of its string form), not
+  * the 32-bit `Dataset.semanticHash` — two semantically different inputs
+  * (e.g. a corpus and a filtered view of it) must never share an entry,
+  * and a 1-in-2³² silent collision serving the wrong checkpointed frame
+  * to every downstream consumer is not an acceptable failure mode for a
+  * correctness-gated cache. The canonicalized plan normalizes expression
+  * ids and cosmetic aliases, so two `spark.read.parquet(sameDir)` frames
+  * still share one entry.
+  *
+  * Lifecycle (the "compute once per corpus snapshot" shape):
+  * - Entries are per-session (identity), so suite-local sessions never
+  *   cross-pollinate and a stopped session's entries can be dropped.
+  * - At most [[FrameCache.MaxPerSession]] entries per session: inserting
+  *   beyond the cap drops the oldest entry from the map WITHOUT
+  *   unpersisting it. Dropping the reference is the safe eviction for a
+  *   `localCheckpoint` frame (whose lineage is truncated — an eager
+  *   unpersist would make any still-live consumer unrecoverable): once no
+  *   caller references the frame either, its RDD becomes unreachable and
+  *   Spark's ContextCleaner reclaims the checkpoint blocks. So a
+  *   long-lived session iterating over corpus snapshots is bounded, not
+  *   leaking.
+  * - [[FrameCache.invalidate]] is the explicit hook for "this snapshot is
+  *   gone": removes the session's entries AND eagerly unpersists their
+  *   checkpoint RDDs (caller asserts no consumer still needs them).
+  */
+private[graft] final class FrameCache {
+
+  private val map = TrieMap[(Int, String), DataFrame]()
+  // insertion order per session, for the bounded-entries eviction
+  private val order = TrieMap[(Int, String), Long]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+
+  private def key(df: DataFrame): (Int, String) = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(StandardCharsets.UTF_8))
+    (System.identityHashCode(df.sparkSession),
+      digest.map(b => f"$b%02x").mkString)
+  }
+
+  /** Cached checkpointed frame for `input`'s canonicalized plan, building
+    * (and checkpointing) via `build` on miss.
+    */
+  def getOrElseUpdate(input: DataFrame)(build: => DataFrame): DataFrame = {
+    val k = key(input)
+    map.get(k) match {
+      case Some(df) => df
+      case None =>
+        val df = map.getOrElseUpdate(k, build)
+        order.putIfAbsent(k, tick.incrementAndGet())
+        evictBeyondCap(k._1)
+        df
+    }
+  }
+
+  private def evictBeyondCap(sessionId: Int): Unit = {
+    val mine = order.keys.filter(_._1 == sessionId).toSeq
+    if (mine.size > FrameCache.MaxPerSession) {
+      mine.sortBy(order(_)).dropRight(FrameCache.MaxPerSession).foreach { k =>
+        map.remove(k) // reference-drop only; ContextCleaner reclaims blocks
+        order.remove(k)
+      }
+    }
+  }
+
+  /** Drop every entry of `session` and eagerly unpersist the checkpoint
+    * blocks. Only call when no consumer still holds a derived lazy frame —
+    * a localCheckpoint cannot be recomputed after unpersist.
+    */
+  def invalidate(session: SparkSession): Unit = {
+    val id = System.identityHashCode(session)
+    map.keys.filter(_._1 == id).foreach { k =>
+      map.remove(k).foreach(FrameCache.unpersistCheckpoint)
+      order.remove(k)
+    }
+  }
+
+  /** Number of live entries for `session` (spec hook). */
+  def size(session: SparkSession): Int = {
+    val id = System.identityHashCode(session)
+    map.keys.count(_._1 == id)
+  }
+}
+
+private[graft] object FrameCache {
+
+  /** Entries retained per session before oldest-first reference-drop. A
+    * production pipeline runs the dedup family over ONE corpus snapshot
+    * at a time; 4 leaves headroom for a snapshot + filtered views without
+    * letting a snapshot-per-query caller grow unboundedly.
+    */
+  val MaxPerSession = 4
+
+  /** Best-effort eager unpersist of an eagerly-checkpointed frame: find
+    * the `LogicalRDD` leaves the checkpoint planted and unpersist their
+    * RDDs (non-blocking). Frames without one (never the case for our
+    * localCheckpoint results) are left to the ContextCleaner.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

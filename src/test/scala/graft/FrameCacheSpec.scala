@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The dedup frame caches must key on the FULL canonicalized plan: a
+  * filtered view of the corpus is a different snapshot and must never be
+  * served the full-corpus checkpointed frame (the r7 verdict's
+  * 32-bit-semanticHash concern), and invalidation must actually drop the
+  * session's entries.
+  *
+  * Uses a dedicated session so entry counts aren't polluted by other
+  * suites sharing the SparkSpec session.
+  */
+class FrameCacheSpec extends SparkSpec {
+
+  private lazy val ownSession: SparkSession =
+    spark.newSession()
+
+  test("filtered input does not hit the full-corpus cache entry") {
+    val s = ownSession
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),
+      (5L, "unique text with its own words")
+    ).toDF("doc_id", "text")
+
+    val before = Dedup.cacheEntryCount(s)
+    val full = Dedup.normGroups(docs)
+    assert(Dedup.cacheEntryCount(s) == before + 1)
+
+    // same plan → same entry, not a new one
+    val again = Dedup.normGroups(docs)
+    assert(again eq full, "identical plan must hit the cached frame")
+    assert(Dedup.cacheEntryCount(s) == before + 1)
+
+    // a filtered view is semantically different → its own entry with its
+    // own (smaller) groups, never the full-corpus frame
+    val filtered = Dedup.normGroups(docs.filter(col("doc_id") <= 2))
+    assert(!(filtered eq full), "filtered input must MISS the corpus entry")
+    assert(Dedup.cacheEntryCount(s) == before + 2)
+    assert(full.count() == 3)
+    assert(filtered.count() == 1)
+    val members = filtered.select("members").head.getSeq[Long](0)
+    assert(members == Seq(1L, 2L))
+  }
+
+  test("invalidateCaches drops the session's entries; rebuild works") {
+    val s = ownSession
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    Dedup.normGroups(docs)
+    assert(Dedup.cacheEntryCount(s) > 0)
+    Dedup.invalidateCaches(s)
+    assert(Dedup.cacheEntryCount(s) == 0)
+    // a fresh build after invalidation computes and caches again
+    val rebuilt = Dedup.normGroups(docs)
+    assert(rebuilt.count() == 2)
+    assert(Dedup.cacheEntryCount(s) == 1)
+    Dedup.invalidateCaches(s)
+  }
+
+  test("entries beyond the per-session cap are reference-dropped") {
+    val s = ownSession
+    import s.implicits._
+    Dedup.invalidateCaches(s)
+    val n = graft.operators.FrameCache.MaxPerSession + 3
+    (0 until n).foreach { i =>
+      val docs = Seq((i.toLong, s"text number $i"), (i + 100L, s"text number $i"))
+        .toDF("doc_id", "text")
+      Dedup.normGroups(docs)
+    }
+    assert(Dedup.cacheEntryCount(s) <= graft.operators.FrameCache.MaxPerSession)
+    Dedup.invalidateCaches(s)
+  }
+}
