@@ -96,7 +96,9 @@ object SparkEntry {
     "vec_pq"              -> VectorOps.vecPq _,
     "ann_pq"              -> VectorOps.annPq _,
     "ann_ivfpq"           -> VectorOps.annIvfPq _,
+    "ann_ivfpq_rerank"    -> VectorOps.annIvfPqRerank _,
     "ivfpq_recall"        -> VectorOps.ivfpqRecall _,
+    "ivfpq_rerank_recall" -> VectorOps.ivfpqRerankRecall _,
     "pq_recall"           -> VectorOps.pqRecall _,
     "bm25_topk"           -> Search.bm25TopK _,
     "hybrid_rrf"          -> Search.hybridRrf _,
@@ -865,7 +867,11 @@ object SparkEntry {
     "vec_pq" -> graft.operators.VectorOps.vecPqOracleSql(pqBooks),
     "ann_pq" -> graft.operators.VectorOps.annPqOracleSql(pqBooks),
     "ann_ivfpq" -> graft.operators.VectorOps.annIvfPqOracleSql(ivfCents, pqBooks),
+    "ann_ivfpq_rerank" ->
+      graft.operators.VectorOps.annIvfPqRerankOracleSql(ivfCents, pqBooks),
     "ivfpq_recall" -> graft.operators.VectorOps.ivfpqRecallOracleSql(ivfCents, pqBooks),
+    "ivfpq_rerank_recall" ->
+      graft.operators.VectorOps.ivfpqRerankRecallOracleSql(ivfCents, pqBooks),
     "pq_recall" -> graft.operators.VectorOps.pqRecallOracleSql(pqBooks),
     "vec_pca" -> graft.operators.VectorOps.vecPcaOracleSql(pcaM),
     "cluster_terms" -> graft.operators.VectorOps.clusterTermsOracleSql(ivfCents),

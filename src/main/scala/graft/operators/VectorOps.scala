@@ -568,7 +568,18 @@ object VectorOps {
     * embeddings, the query side broadcasts, and nothing ever shuffles the
     * corpus.
     */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdcRanked(spark, dir)
+      .filter(col("rk") <= DefaultK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("score"))
+
+  /** The shared ADC ranking of [[annIvfPq]] and [[annIvfPqRerank]]:
+    * `(q_id, q_emb, q_nrm, vec_id, score, rk)` over the probed cells —
+    * the query columns ride through the window so the rerank stage can
+    * re-score its shortlist without a second query join.
+    */
+  private def ivfPqAdcRanked(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
     val cb = PqModel.codebooks(spark, dir)
     val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
@@ -589,10 +600,46 @@ object VectorOps {
         graft.functions.PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
+  }
+
+  /** ADC shortlist depth multiplier for [[annIvfPqRerank]]: the re-rank
+    * stage fetches full vectors for the top `k ·` this per query.
+    */
+  val RerankFactor = 3
+
+  /** SURVEY §2 `ann_ivfpq_rerank`: the standard production refinement on
+    * top of [[annIvfPq]] — take the ADC top-(k·[[RerankFactor]]) shortlist
+    * (scored on 4-bit codes), fetch the FULL stored vectors for just those
+    * shortlist ids, and re-rank by exact cosine to emit top-k. Recovers
+    * most of the PQ quantization loss (pinned by `ivfpq_rerank_recall`)
+    * while still scanning only codes: at 100 TB the exact pass touches
+    * `q·k·r` rows via an id-equi join against the id-partitioned vector
+    * store (partition-pruned fetch), with the tiny shortlist broadcast —
+    * the corpus never shuffles and full vectors are only read for the
+    * shortlist.
+    */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = ivfPqAdcRanked(spark, dir)
+      .filter(col("rk") <= DefaultK * RerankFactor)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"))
+    val full = embWithNorm(spark, dir)
+    broadcast(shortlist).join(full, Seq("vec_id"))
+      .withColumn("score",
+        round(cosinePre(dot(col("q_emb"), col("embedding")), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rk") <= DefaultK)
       .select(col("q_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("score"))
   }
+
+  /** SURVEY §2 `ivfpq_rerank_recall`: recall@k of the re-ranked stack
+    * against exact cosine top-k. The number that justifies the rerank
+    * stage: it should strictly dominate `ivfpq_recall` (same cell-pruning
+    * loss, quantization loss mostly recovered).
+    */
+  def ivfpqRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    topKRecall(knnBruteforce(spark, dir), annIvfPqRerank(spark, dir))
 
   /** SURVEY §2 `pq_recall`: recall@k of the ADC scan ([[annPq]]) against
     * exact cosine top-k ([[knnBruteforce]]) — pins the PQ approximation
@@ -1029,8 +1076,36 @@ object VectorOps {
     s"""WITH ${annIvfPqCtes(cents, cb)}
        |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= $DefaultK""".stripMargin
 
+  /** The [[annIvfPqRerank]] chain: ADC shortlist (`sl`, top k·r of the
+    * `r` ADC ranking) → exact-cosine re-score against the full vectors
+    * (`rr`) → final ranking `r2` — the same op sequence as the Spark side.
+    */
+  private def rerankCtes(cents: Array[Array[Double]],
+                         cb: Array[Array[Array[Double]]]): String =
+    s"""${annIvfPqCtes(cents, cb)},
+       |sl AS (SELECT q_id, neighbor_id FROM r WHERE rk <= ${DefaultK * RerankFactor}),
+       |rr AS (SELECT sl.q_id, sl.neighbor_id,
+       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
+       |      FROM sl JOIN q ON q.q_id = sl.q_id
+       |        JOIN nn nc ON nc.vec_id = sl.neighbor_id),
+       |r2 AS (SELECT q_id, neighbor_id, score,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
+       |      FROM rr)""".stripMargin
+
+  def annIvfPqRerankOracleSql(cents: Array[Array[Double]],
+                              cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${rerankCtes(cents, cb)}
+       |SELECT q_id, rk, neighbor_id, score FROM r2 WHERE rk <= $DefaultK""".stripMargin
+
+  def ivfpqRerankRecallOracleSql(cents: Array[Array[Double]],
+                                 cb: Array[Array[Array[Double]]]): String =
+    s"""WITH ${rerankCtes(cents, cb)},
+       |${recallTailSqlFrom("r2")}""".stripMargin
+
   /** Shared recall tail: exact top-k (`exk`) vs an approximate `r` chain. */
-  private def recallTailSql: String =
+  private def recallTailSql: String = recallTailSqlFrom("r")
+
+  private def recallTailSqlFrom(chain: String): String =
     s"""ed AS (SELECT q.q_id, nc.vec_id AS neighbor_id,
        |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
        |      FROM q CROSS JOIN nn nc WHERE nc.vec_id <> q.q_id),
@@ -1038,7 +1113,7 @@ object VectorOps {
        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
        |      FROM ed),
        |exk AS (SELECT q_id, neighbor_id, 1 AS one FROM er WHERE rk <= $DefaultK),
-       |apk AS (SELECT q_id, neighbor_id, 1 AS one FROM r WHERE rk <= $DefaultK),
+       |apk AS (SELECT q_id, neighbor_id, 1 AS one FROM $chain WHERE rk <= $DefaultK),
        |j AS (SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
        |      FROM exk e FULL OUTER JOIN apk a
        |        ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id)

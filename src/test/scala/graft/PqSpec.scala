@@ -183,4 +183,36 @@ class PqSpec extends SparkSpec {
     // the stacked path can't out-recall the measurement bound
     assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
   }
+
+  test("ann_ivfpq_rerank re-scores the ADC shortlist with exact cosine") {
+    val rerank = VectorOps.annIvfPqRerank(spark, dir).collect()
+    val adc = VectorOps.annIvfPq(spark, dir).collect()
+    // shape: top-k per query, ranks 1..k, same query set as the ADC path
+    val byQ = rerank.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == adc.map(_.getAs[Long]("q_id")).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length <= VectorOps.DefaultK)
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+    // every re-ranked neighbor is scored by EXACT cosine: replicate from
+    // the collected embeddings
+    val vecs = emb.toMap
+    rerank.foreach { r =>
+      val q = vecs(r.getAs[Long]("q_id"))
+      val n = vecs(r.getAs[Long]("neighbor_id"))
+      val dot = q.zip(n).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val exact = dot / (math.sqrt(q.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(n.map(x => x.toDouble * x.toDouble).sum))
+      assert(math.abs(r.getAs[Double]("score") -
+        BigDecimal(exact).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("rerank recall dominates the plain IVF-PQ recall") {
+    val plain = VectorOps.ivfpqRecall(spark, dir).collect()(0).getAs[Double]("recall")
+    val rr = VectorOps.ivfpqRerankRecall(spark, dir).collect()(0).getAs[Double]("recall")
+    assert(rr >= plain,
+      s"rerank recall $rr must be >= plain ivfpq recall $plain")
+  }
 }
