@@ -87,8 +87,15 @@ object IndexStore {
             metric: String = "ip", docs: Option[DataFrame] = None,
             sources: Option[DataFrame] = None): Manifest = {
     val spark = vectors.sparkSession
-    // ivfpq model sidecars, written beside the vectors when fitted
-    var pqSidecars: Option[(DataFrame, DataFrame)] = None
+    // model sidecars written beside the vectors: centroids for every ivf*
+    // backend (a loader — and [[append]] — must be able to re-assign
+    // without the original fit inputs), codebooks for ivfpq
+    var centSidecar: Option[DataFrame] = None
+    var cbSidecar: Option[DataFrame] = None
+    import spark.implicits._
+    def centsDf(cents: Array[Array[Double]]): DataFrame =
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
     val assigned = backend match {
       case "ivf" =>
         // Deterministic bounded-sample fit (IvfModel), then a narrow
@@ -96,6 +103,7 @@ object IndexStore {
         // iterated over to get its cells.
         val cents = graft.operators.IvfModel.fitFromDf(
           vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
+        centSidecar = Some(centsDf(cents))
         VectorOps.assignCells(
             vectors.select(col("id"), col("vec").as("embedding")), cents)
           .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
@@ -106,6 +114,7 @@ object IndexStore {
         // proportional nlist (quality pinned by ivf_hier_agreement).
         val cents = graft.operators.IvfModel.fitFromDf(
           vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
+        centSidecar = Some(centsDf(cents))
         val (supers, memberOf) = graft.operators.IvfModel.superModel(cents)
         // try_element_at: the hier probe can emit an EMPTY array (all
         // probed supers memberless) and ANSI element_at would throw.
@@ -123,13 +132,11 @@ object IndexStore {
         val cents = graft.operators.IvfModel.fitFromDf(
           vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
         val cb = graft.operators.PqModel.fitFromDf(vectors, "id", "vec")
-        import spark.implicits._
-        pqSidecars = Some((
-          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-            .toDF("cell", "centroid"),
+        centSidecar = Some(centsDf(cents))
+        cbSidecar = Some(
           cb.zipWithIndex.flatMap { case (book, m) =>
             book.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
-          }.toSeq.toDF("m", "code", "cent")))
+          }.toSeq.toDF("m", "code", "cent"))
         vectors.select(col("id"),
           element_at(graft.functions.IvfProbes.column(col("vec"), cents, 1), 1)("cell")
             .cast("int").as("cell"),
@@ -144,16 +151,16 @@ object IndexStore {
       .format(DateTimeFormatter.ISO_LOCAL_DATE_TIME).take(19)
     val manifest = Manifest(dim, count, model, normalize, backend, params,
       chunking, metric, createdAt)
-    val version = ZonedDateTime.now(ZoneOffset.UTC).format(VersionFmt)
+    val version = freshVersion(root, name)
 
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
       val w = assigned.write.mode("overwrite")
       (if (backend.startsWith("ivf")) w.partitionBy("cell") else w)
         .parquet(s"$dir/vectors")
-      pqSidecars.foreach { case (centsDf, cbDf) =>
-        centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-        cbDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-      }
+      centSidecar.foreach(
+        _.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
+      cbSidecar.foreach(
+        _.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"))
       docs.foreach(_.select(col("id"), col("text"))
         .write.mode("overwrite").parquet(s"$dir/docs"))
       // per-doc provenance, the reference's `<index>.sources.json`
@@ -169,6 +176,121 @@ object IndexStore {
          | "metrics": {"recall@k": null, "mrr": null, "ndcg": null}}""".stripMargin
     writeString(s"$root/$name/versions/$version/meta.json", meta)
     manifest
+  }
+
+  /** A version id not yet taken: second-resolution UTC timestamp, with a
+    * `-N` suffix when two writes land in the same second (build + append
+    * in quick succession must not collide).
+    */
+  private def freshVersion(root: String, name: String): String = {
+    val base = ZonedDateTime.now(ZoneOffset.UTC).format(VersionFmt)
+    val fs = new HPath(root).getFileSystem(hadoopConf)
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base-$i")
+      .find(v => !fs.exists(new HPath(s"$root/$name/versions/$v")))
+      .get
+  }
+
+  /** Parse a manifest written by [[Manifest.toJson]] (own format: unique
+    * keys, no nesting ambiguity — a regex field pull, not a JSON library).
+    */
+  private[index] def parseManifest(j: String): Manifest = {
+    def str(k: String): String =
+      ("\"" + k + "\": \"([^\"]*)\"").r.findFirstMatchIn(j)
+        .getOrElse(sys.error(s"manifest missing $k")).group(1)
+    def num(k: String): Long =
+      ("\"" + k + "\": (-?[0-9]+)").r.findFirstMatchIn(j)
+        .getOrElse(sys.error(s"manifest missing $k")).group(1).toLong
+    def bool(k: String): Boolean =
+      ("\"" + k + "\": (true|false)").r.findFirstMatchIn(j)
+        .getOrElse(sys.error(s"manifest missing $k")).group(1).toBoolean
+    Manifest(num("dim").toInt, num("count"), str("model"), bool("normalize"),
+      str("backend"), Params(num("nlist").toInt, num("nprobe").toInt),
+      Chunking(str("mode"), num("size").toInt, num("overlap").toInt),
+      str("metric"), str("created_at"))
+  }
+
+  /** The latest (or a specific version's) manifest, parsed. */
+  def manifest(root: String, name: String,
+               version: Option[String] = None): Manifest =
+    parseManifest(manifestJson(root, name, version))
+
+  /** Incremental index growth: assign `newVectors` (`id`, `vec`) with the
+    * PERSISTED centroids/codebooks — no refit — append them to the latest
+    * cell partitions, and record a new version whose `vectors/` holds just
+    * the appended DELTA (parent + delta reconstructs the version; `latest`
+    * stays the full index). This is how a growing corpus joins a 100 TB
+    * index: a narrow assignment map over the new rows plus a partitioned
+    * append — the existing index is never rewritten, reshuffled, or read
+    * (beyond its tiny model sidecars).
+    *
+    * Assignment uses the exact coarse argmin for every ivf* backend
+    * (including ivf_hier, whose build-side two-level probe is a
+    * throughput approximation of the same argmin).
+    *
+    * Drift limit: the frozen quantizers were fitted on the ORIGINAL
+    * distribution. Refit (full [[build]]) when the appended total exceeds
+    * ~30% of the fitted count or when [[stats]]-observed cell occupancy
+    * skew (max/mean) crosses the [[VectorOps.MaxCellFactor]] hot-cell
+    * ratio — past that, stale centroids degrade probe recall and pile
+    * new mass into few cells.
+    *
+    * Returns the updated manifest (count includes the appended rows).
+    */
+  def append(newVectors: DataFrame, root: String, name: String): Manifest = {
+    val spark = newVectors.sparkSession
+    val old = manifest(root, name)
+    val parent = versions(root, name).lastOption.getOrElse("none")
+    val assigned = old.backend match {
+      case "ivfpq" =>
+        val cents = loadCentroids(spark, root, name)
+        val cb = loadCodebooks(spark, root, name)
+        newVectors.select(col("id"),
+          element_at(graft.functions.IvfProbes.column(col("vec"), cents, 1), 1)("cell")
+            .cast("int").as("cell"),
+          transform(graft.functions.PqCodes.column(col("vec"), cb), p => p("code"))
+            .as("codes"))
+      case b if b.startsWith("ivf") =>
+        val cents = loadCentroids(spark, root, name)
+        VectorOps.assignCells(
+            newVectors.select(col("id"), col("vec").as("embedding")), cents)
+          .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
+      case _ =>
+        newVectors.select(col("id"), col("vec"), lit(0).as("cell"))
+    }
+    val added = assigned.count()
+    val createdAt = ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ISO_LOCAL_DATE_TIME).take(19)
+    val updated = old.copy(count = old.count + added, createdAt = createdAt)
+    val version = freshVersion(root, name)
+    val latest = s"$root/$name/latest"
+    val vDir = s"$root/$name/versions/$version"
+
+    def writeVectors(dir: String, mode: String): Unit = {
+      val w = assigned.write.mode(mode)
+      (if (old.backend.startsWith("ivf")) w.partitionBy("cell") else w)
+        .parquet(s"$dir/vectors")
+    }
+    writeVectors(latest, "append")
+    writeVectors(vDir, "overwrite") // delta only
+    // carry the model sidecars into the version dir so it is servable on
+    // its own (they are tiny)
+    val fs = new HPath(latest).getFileSystem(hadoopConf)
+    for (side <- Seq("centroids", "codebooks")
+         if fs.exists(new HPath(s"$latest/$side")))
+      spark.read.parquet(s"$latest/$side")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vDir/$side")
+    writeString(s"$latest/manifest.json", updated.toJson)
+    writeString(s"$vDir/manifest.json", updated.toJson)
+    val meta =
+      s"""{"version": "$version", "created_at": "$createdAt", "embed_model": "${old.model}",
+         | "chunking": "${old.chunking.mode}", "chunk_size": ${old.chunking.size},
+         | "chunk_overlap": ${old.chunking.overlap}, "index_backend": "${old.backend}",
+         | "vector_count": ${updated.count},
+         | "parent": "$parent", "appended": $added,
+         | "metrics": {"recall@k": null, "mrr": null, "ndcg": null}}""".stripMargin
+    writeString(s"$vDir/meta.json", meta)
+    updated
   }
 
   /** Read an index (latest or a specific version). The scan is lazy: with
