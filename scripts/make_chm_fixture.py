@@ -40,8 +40,10 @@ class BitWriter:
 
     def write(self, val, nbits):
         assert 0 <= val < (1 << nbits), (val, nbits)
-        while nbits > 16:  # decoder reads >16-bit fields high-chunk first
-            self.write(val >> (nbits - 16), 16)
+        while nbits > 16:  # decoder reads >16-bit fields high-chunk first:
+            # (nbits-16) high bits, then the low 16 — e.g. a 17-bit
+            # verbatim footer is 1 high bit + 16, a 32-bit E8 size is 16+16
+            self.write(val >> 16, nbits - 16)
             nbits = 16
             val &= (1 << nbits) - 1
         self.cur = (self.cur << nbits) | val
@@ -298,15 +300,46 @@ def emit_block(bw, btype, ops, nbytes, main_prev, len_prev, main_syms):
                 bw.write(verb, extra)
 
 
-def lzx_compress(data, window_bits, reset_frames, plan):
+def e8_translate(data, fsize):
+    """Compressor-side E8 call-target translation (relative -> absolute),
+    the exact inverse of the decoder's per-frame pass: frames < 32768,
+    positions [frame_start, frame_end - 10), 5-byte skip after every 0xE8.
+    Only the abs = rel + i >= 0 < fsize case is emitted; any other 0xE8
+    payload must fail the DECODER's guard (abs >= -i and abs < fsize) or
+    the round trip breaks — asserted here.
+    """
+    out = bytearray(data)
+    for f in range((len(out) + FRAME - 1) // FRAME):
+        if f >= 32768:
+            break
+        fs = f * FRAME
+        end = min(len(out), fs + FRAME) - 10
+        i = fs
+        while i < end:
+            if out[i] == 0xE8:
+                rel = struct.unpack_from("<i", out, i + 1)[0]
+                if 0 <= rel + i < fsize:
+                    struct.pack_into("<i", out, i + 1, rel + i)
+                else:
+                    # untouched payload must not trigger the decoder guard
+                    assert not (rel >= -i and rel < fsize), (f, i, rel)
+                i += 5
+            else:
+                i += 1
+    return bytes(out)
+
+
+def lzx_compress(data, window_bits, reset_frames, plan, e8_size=0):
     """Compress `data` as one CHM content section. `plan(frame_idx)` picks
-    the block type per frame ('v' | 'a' | 'u'). Returns (bytes,
-    frame_offsets)."""
+    the block type per frame ('v' | 'a' | 'u'). With e8_size > 0 the E8
+    header flag is set (+32-bit translation size) and `data` must already
+    be e8_translate'd. Returns (bytes, frame_offsets, max_extra_bits)."""
     slots = {15: 30, 16: 32, 17: 34, 18: 36, 19: 38, 20: 42, 21: 50}[window_bits]
     bases = position_bases(slots)
     main_syms = 256 + slots * 8
     bw = BitWriter()
     offsets = []
+    max_extra = 0
     nframes = (len(data) + FRAME - 1) // FRAME
     main_prev = [0] * main_syms
     len_prev = [0] * 249
@@ -323,7 +356,11 @@ def lzx_compress(data, window_bits, reset_frames, plan):
         assert bw.n == 0
         offsets.append(len(bw.out))
         if header:
-            bw.write(0, 1)  # E8 translation off
+            if e8_size:
+                bw.write(1, 1)
+                bw.write(e8_size, 32)  # high 16-bit chunk first
+            else:
+                bw.write(0, 1)  # E8 translation off
         start, end = f * FRAME, min(len(data), (f + 1) * FRAME)
         t = plan(f)
         if t == "u":
@@ -339,10 +376,11 @@ def lzx_compress(data, window_bits, reset_frames, plan):
             tokens = lz_parse(data, start, end, interval_start, FRAME,
                               (1 << window_bits) - 1)
             ops = tokens_to_ops(tokens, R, bases)
+            max_extra = max([max_extra] + [op[3] for op in ops])
             emit_block(bw, 1 if t == "v" else 2, ops, end - start,
                        main_prev, len_prev, main_syms)
         bw.align16()
-    return bytes(bw.out), offsets
+    return bytes(bw.out), offsets, max_extra
 
 
 # ---------------------------------------------------------------- itsf
@@ -372,8 +410,13 @@ RESET_GUID = "{7FC28940-9D31-11D0-9B27-00A0C91E9C7C}"
 
 
 def make_chm(path, sec1_entries, sec0_entries, window_units, reset_units,
-             plan):
-    """sec*_entries: list of (name, bytes). Section 1 is LZX-compressed."""
+             plan, e8=False, expect_extra17=False):
+    """sec*_entries: list of (name, bytes). Section 1 is LZX-compressed.
+    e8=True sets the E8 header flag and pre-translates the blob (single
+    reset interval + single frame only, so the decoder's post-decode
+    translation sees the whole stream). expect_extra17 asserts that some
+    emitted match offset needs a >16-bit verbatim footer (the split-read
+    decoder path)."""
     # section-1 uncompressed blob + per-entry offsets
     blob = bytearray()
     dir_entries = []  # (name, section, offset, length)
@@ -381,8 +424,18 @@ def make_chm(path, sec1_entries, sec0_entries, window_units, reset_units,
         dir_entries.append((name, 1, len(blob), len(content)))
         blob += content
     window_bits = (window_units * FRAME).bit_length() - 1
-    compressed, frame_offs = lzx_compress(bytes(blob), window_bits,
-                                          reset_units, plan)
+    e8_size = 0
+    payload = bytes(blob)
+    if e8:
+        assert len(blob) <= FRAME, "e8 fixtures must be single-frame"
+        e8_size = len(blob)
+        payload = e8_translate(payload, e8_size)
+        assert payload != bytes(blob), "e8 fixture translated nothing"
+    compressed, frame_offs, max_extra = lzx_compress(
+        payload, window_bits, reset_units, plan, e8_size)
+    if expect_extra17:
+        assert max_extra > 16, \
+            f"fixture emitted no >16-extra-bit offset (max {max_extra})"
 
     control = struct.pack("<I4sIIII", 6, b"LZXC", 2, reset_units,
                           window_units, window_units)
@@ -483,6 +536,27 @@ def blocks_page(i):
             "</body></html>")
 
 
+def e8_code_entry():
+    """An x86-ish binary entry full of E8 call sites: translatable targets
+    (abs = rel + i lands in [0, fsize)) plus raw payloads that must FAIL
+    the decoder guard and pass through untouched."""
+    out = bytearray()
+    for k in range(40):
+        out += b"\x90\x90\x55\x89"          # filler "code"
+        out += b"\xe8" + struct.pack("<i", [0, 16, -5, 0x7FFFFF00][k % 4])
+    out += b"\x90" * 16                      # tail: inside the skipped-10 zone
+    return bytes(out)
+
+
+FAR_BODY = ("QXZJ0W9K7QXZ1V8M2QZX" * 100 + "JWQK3ZX5VQ" * 40)  # page-0-only alphabet
+
+
+def far_filler(i):
+    return ("<html><body><h1>Fill %d</h1>" % i +
+            "common filler words repeat across pages %d " % i * 120 +
+            "</body></html>")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     make_chm(
@@ -501,6 +575,29 @@ def main():
         sec0_entries=[],
         window_units=2, reset_units=2,
         plan=lambda f: {0: "v", 1: "a", 2: "u"}.get(f, "v"))
+    # E8 translation ON: single frame, the translated/untranslated call
+    # sites round-trip byte-exactly through the decoder's inverse pass
+    make_chm(
+        OUT / "help_e8.chm",
+        sec1_entries=[("/index.htm", INDEX_HTML.encode()),
+                      ("/code.bin", e8_code_entry()),
+                      ("/pages/p1.htm", (PAGE_HTML % (1, 1, 1)).encode())],
+        sec0_entries=[],
+        window_units=2, reset_units=2, plan=lambda f: "v", e8=True)
+    # windowBits 21 + a match offset past 256 KiB: the verbatim footer
+    # needs 17 extra bits, exercising the decoder's split >16-bit read
+    far_pages = ([("/far0.htm", ("<html><body>" + FAR_BODY +
+                                 "</body></html>").encode())] +
+                 [("/fill%02d.htm" % i, far_filler(i).encode())
+                  for i in range(96)] +
+                 [("/far1.htm", ("<html><body>" + FAR_BODY +
+                                 "</body></html>").encode())])
+    make_chm(
+        OUT / "help_far.chm",
+        sec1_entries=far_pages,
+        sec0_entries=[],
+        window_units=64, reset_units=16, plan=lambda f: "v",
+        expect_extra17=True)
 
 
 if __name__ == "__main__":

@@ -169,15 +169,26 @@ object ChmParser {
     * the container-level surface (a `hh.exe -decompile` analogue), used
     * directly by the byte-exact fixture spec.
     */
+  /** Materialize one directory entry's bytes. CHM defines content
+    * sections beyond 0 (uncompressed) and 1 (the MSCompressed LZX blob)
+    * only via the NameList; any other declared section would be sliced at
+    * a meaningless offset — fail with the section number instead.
+    */
+  private def entryBytes(e: Entry, section0: (Long, Long) => Array[Byte],
+                         decompressed: => Array[Byte]): Array[Byte] = {
+    require(e.section == 0 || e.section == 1,
+      s"CHM: entry ${e.name} declares unsupported content section ${e.section}" +
+        " (only 0/uncompressed and 1/MSCompressed are defined)")
+    if (e.section == 0) section0(e.offset, e.length)
+    else java.util.Arrays.copyOfRange(decompressed, e.offset.toInt,
+      (e.offset + e.length).toInt)
+  }
+
   def extract(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val (entries, section0, section1) = parse(bytes)
     lazy val decompressed = section1()
     entries.filter(e => e.name.startsWith("/") && e.length > 0).map { e =>
-      val raw =
-        if (e.section == 0) section0(e.offset, e.length)
-        else java.util.Arrays.copyOfRange(decompressed, e.offset.toInt,
-          (e.offset + e.length).toInt)
-      (e.name, raw)
+      (e.name, entryBytes(e, section0, decompressed))
     }
   }
 
@@ -199,10 +210,7 @@ object ChmParser {
       val e = it.next()
       sizeAcc += e.length
       if (sizeAcc <= maxBytes) {
-        val raw =
-          if (e.section == 0) section0(e.offset, e.length)
-          else java.util.Arrays.copyOfRange(decompressed, e.offset.toInt,
-            (e.offset + e.length).toInt)
+        val raw = entryBytes(e, section0, decompressed)
         val text = htmlToText(new String(raw, java.nio.charset.StandardCharsets.UTF_8))
         if (text.nonEmpty) rows += ((e.name.stripPrefix("/"), text))
       }

@@ -124,18 +124,31 @@ object Readers {
 
   /** Compiled HTML Help ingest via the dependency-free [[ChmParser]]
     * (ITSF container + [[Lzx]] decompression): one row per HTML-family
-    * entry with its archive path, the reference's post-decompile shape
-    * (`reader.py:60-80` — there it needs Windows `hh.exe` or 7-Zip and
-    * raises otherwise; here it parses in-process). A directory of .chm
-    * files fans out one file per task like the other office formats.
+    * entry, `path` = `<archive file name>/<entry path>` so rows from a
+    * directory of .chm files stay attributed to their source archive
+    * (same-named entries in different archives remain distinct) — the
+    * reference's post-decompile shape (`reader.py:60-80`; there it needs
+    * Windows `hh.exe` or 7-Zip and raises otherwise; here it parses
+    * in-process). A directory of .chm files fans out one file per task
+    * like the other office formats.
+    *
+    * Memory bound: each archive's LZX content section is decompressed
+    * in-memory on its task (capped at 2× [[ChmParser.MaxChmBytes]], i.e.
+    * 200 MB uncompressed, before the per-file HTML byte cap applies) —
+    * a .chm is a help FILE, not a dataset; archives past the cap fail
+    * that task with a clear message rather than silently truncating.
     */
   def readChm(spark: SparkSession, path: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("text", StringType, nullable = false)))
-    val parsed = binaryFiles(spark, path).select(col("content")).as(Encoders.BINARY)
-      .flatMap(bytes => ChmParser.parseChm(bytes).map { case (p, t) => Row(p, t) })(
-        Encoders.row(schema))
+    val parsed = binaryFiles(spark, path)
+      .select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (src, bytes) =>
+        val archive = src.substring(src.lastIndexOf('/') + 1)
+        ChmParser.parseChm(bytes).map { case (p, t) => Row(s"$archive/$p", t) }
+      }(Encoders.row(schema))
     normalize(parsed.toDF())
   }
 

@@ -95,9 +95,67 @@ class ChmReaderSpec extends SparkSpec {
     val df = Readers.readAny(spark, dir.resolve("help_blocks.chm").toString)
     assert(df.columns.toSeq == Seq("path", "text"))
     assert(df.count() == 48)
-    // a directory of .chm files fans out per file, rows from both
+    // rows carry their source archive: "<archive>/<entry path>"
+    assert(df.select("path").collect()
+      .forall(_.getString(0).startsWith("help_blocks.chm/")))
+    // a directory of .chm files fans out per file, rows from both,
+    // attributed to their archives
     val all = Readers.readChm(spark, dir.toString)
     assert(all.count() == 48 + 4)
+    val byArchive = all.select("path").collect().map(_.getString(0))
+      .groupBy(_.takeWhile(_ != '/'))
+    assert(byArchive.keySet == Set("help_blocks.chm", "help_small.chm"))
+    assert(byArchive("help_blocks.chm").length == 48)
+    assert(byArchive("help_small.chm").length == 4)
+  }
+
+  // the generator's e8_code_entry, replicated verbatim: E8 call sites
+  // whose targets the compressor translated (and the decoder must
+  // inverse-translate) plus guard-failing payloads passed through raw
+  private def e8CodeEntry: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val rels = Array(0, 16, -5, 0x7FFFFF00)
+    (0 until 40).foreach { k =>
+      out.write(Array[Byte](0x90.toByte, 0x90.toByte, 0x55, 0x89.toByte))
+      out.write(0xE8)
+      val r = rels(k % 4)
+      out.write(Array[Byte](r.toByte, (r >> 8).toByte, (r >> 16).toByte,
+        (r >> 24).toByte))
+    }
+    out.write(Array.fill[Byte](16)(0x90.toByte))
+    out.toByteArray
+  }
+
+  test("extract: E8 translation round-trips call targets byte-exactly") {
+    val entries = ChmParser.extract(fixture("help_e8.chm")).toMap
+    assert(entries.keySet == Set("/index.htm", "/code.bin", "/pages/p1.htm"))
+    // the binary entry's translated AND guard-failing E8 payloads both
+    // come back as authored
+    assert(java.util.Arrays.equals(entries("/code.bin"), e8CodeEntry))
+    // the surrounding HTML (which the translation pass scans too) is intact
+    assert(new String(entries("/index.htm"), "UTF-8") == IndexHtml)
+    assert(new String(entries("/pages/p1.htm"), "UTF-8") == pageHtml(1))
+  }
+
+  // the generator's far-fixture literals, replicated verbatim
+  private val FarBody = "QXZJ0W9K7QXZ1V8M2QZX" * 100 + "JWQK3ZX5VQ" * 40
+  private def farFiller(i: Int): String =
+    f"<html><body><h1>Fill $i%d</h1>" +
+      s"common filler words repeat across pages $i " * 120 +
+      "</body></html>"
+
+  test("extract: windowBits 21 with a >16-extra-bit match offset") {
+    val entries = ChmParser.extract(fixture("help_far.chm")).toMap
+    assert(entries.size == 98)
+    val far = s"<html><body>$FarBody</body></html>"
+    // far1 is a verbatim repeat of far0 at ~500 KiB distance — its match
+    // offsets need the 17-bit split footer read (asserted emitted by the
+    // generator's expect_extra17)
+    assert(new String(entries("/far0.htm"), "UTF-8") == far)
+    assert(new String(entries("/far1.htm"), "UTF-8") == far)
+    (0 until 96).foreach { i =>
+      assert(new String(entries(f"/fill$i%02d.htm"), "UTF-8") == farFiller(i))
+    }
   }
 
   test("malformed input fails with a clear message") {
