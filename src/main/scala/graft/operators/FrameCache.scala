@@ -42,11 +42,27 @@ private[graft] final class FrameCache {
   private val tick = new java.util.concurrent.atomic.AtomicLong()
 
   private def key(df: DataFrame): (Int, String) = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val plan = df.queryExecution.analyzed.canonicalized
     val digest = MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes(StandardCharsets.UTF_8))
+    digest.update(plan.toString.getBytes(StandardCharsets.UTF_8))
+    // The string form of an IN-MEMORY leaf carries its schema but not its
+    // rows (`LocalRelation [doc_id#0L, text#1]`), so two literal frames of
+    // the same shape would collide and every consumer would be served the
+    // first frame's checkpoint. Fold the leaf contents (row count + every
+    // row's content hash) or, for RDD-backed leaves, the RDD identity into
+    // the digest. File-backed leaves already print their paths.
+    plan.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val buf = java.nio.ByteBuffer.allocate(4 + 4 * lr.data.length)
+        buf.putInt(lr.data.length)
+        lr.data.foreach(r => buf.putInt(r.hashCode))
+        digest.update(buf.array())
+      case lrd: LogicalRDD =>
+        digest.update(java.nio.ByteBuffer.allocate(4).putInt(lrd.rdd.id).array())
+      case _ => ()
+    }
     (System.identityHashCode(df.sparkSession),
-      digest.map(b => f"$b%02x").mkString)
+      digest.digest().map(b => f"$b%02x").mkString)
   }
 
   /** Cached checkpointed frame for `input`'s canonicalized plan, building

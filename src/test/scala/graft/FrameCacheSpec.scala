@@ -19,6 +19,27 @@ class FrameCacheSpec extends SparkSpec {
   private lazy val ownSession: SparkSession =
     spark.newSession()
 
+  test("same-schema literal frames with different rows get distinct entries") {
+    // LocalRelation's canonicalized STRING carries only the schema, so
+    // without the leaf-content digest two different in-memory corpora of
+    // the same shape collided and the second was served the first's
+    // checkpoint (the r8 DedupSpec/DedupSubstringSpec cross-test failure).
+    val s = ownSession
+    import s.implicits._
+    Dedup.invalidateCaches(s)
+    val a = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "one two three"), (2L, "four five six"))
+      .toDF("doc_id", "text")
+    val ga = Dedup.normGroups(a)
+    val gb = Dedup.normGroups(b)
+    assert(!(ga eq gb), "different literal data must MISS the cache")
+    assert(Dedup.cacheEntryCount(s) == 2)
+    assert(ga.count() == 1)
+    assert(gb.count() == 2)
+    Dedup.invalidateCaches(s)
+  }
+
   test("filtered input does not hit the full-corpus cache entry") {
     val s = ownSession
     import s.implicits._
