@@ -34,8 +34,11 @@ import graft.sources.Tables
   *   FAMILY — distinct contents sharing a long common prefix, so they
   *   survive the verbatim collapse and pile into the same shingle/LSH
   *   buckets (the stop-bucket-guard target);
-  * - embeddings: 10% become tiny perturbations of one base vector — one
-  *   degenerate IVF cell / sign-LSH bucket (the hot-cell-cap target).
+  * - embeddings: 20% become tiny perturbations of one base vector — one
+  *   degenerate IVF cell / sign-LSH bucket. Sized deliberately ABOVE the
+  *   MaxCellFactor=4 hot-cell threshold (one cell must own > 4/nlist of
+  *   all assignments to be capped; at nlist=32 that is 12.5%), so the
+  *   sweep proves the guard actually fires, not just that it exists.
   *
   * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor] [--skew]`
   */
@@ -166,7 +169,7 @@ object GenScale {
         (lit(0.5) + pmod(col("vec_id") * 31 + j.cast("long"), lit(101)).cast("double")
           * lit(0.0001)).cast("float"))
       write(embAmp.withColumn("embedding",
-        when(pmod(col("vec_id"), lit(10)) === 0, hotVec).otherwise(col("embedding"))),
+        when(pmod(col("vec_id"), lit(5)) === 0, hotVec).otherwise(col("embedding"))),
         "embeddings")
     }
     spark.stop()

@@ -139,11 +139,32 @@ object Dedup {
   def invalidateCaches(session: SparkSession): Unit = {
     normGroupsCache.invalidate(session)
     repBucketsCache.invalidate(session)
+    repShinglesCache.invalidate(session)
   }
 
-  /** Spec hook: live cache entries for `session` across both frames. */
+  /** Spec hook: live cache entries for `session` across all three frames. */
   private[graft] def cacheEntryCount(session: SparkSession): Int =
-    normGroupsCache.size(session) + repBucketsCache.size(session)
+    normGroupsCache.size(session) + repBucketsCache.size(session) +
+      repShinglesCache.size(session)
+
+  /** Per-distinct-content shingle sets `(rep_id, sh)`, empty sets dropped.
+    * Cached + eagerly checkpointed like [[normGroups]]: the verify stage
+    * joins this frame on BOTH sides of every candidate pair, so without
+    * materialization the shingle kernel re-tokenizes the whole distinct
+    * corpus twice per query (and again in dedup_recall's exact arm). One
+    * kernel pass per corpus snapshot; the joins then scan checkpoint
+    * blocks. At 100 TB the frame is corpus-sized (string shingles) —
+    * that is the same deliberate space-for-recompute trade as the bucket
+    * frame, and it is what a production two-stage pipeline persists
+    * between propose and verify anyway.
+    */
+  private val repShinglesCache = new FrameCache
+
+  private def repShingles(docs: DataFrame, groups: DataFrame): DataFrame =
+    repShinglesCache.getOrElseUpdate(docs)(
+      groups.select(col("rep_id"), shingles(col("norm")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true))
 
   private def normGroupsUncached(docs: DataFrame): DataFrame = {
     val t0 = System.nanoTime()
@@ -605,7 +626,7 @@ object Dedup {
     */
   def dedupVerifiedDf(docsIn: DataFrame): DataFrame = {
     val (groups, buckets) = minhashRepBuckets(docsIn)
-    expandRepPairs(groups, verifiedRepScored(groups, buckets),
+    expandRepPairs(groups, verifiedRepScored(docsIn, groups, buckets),
       survivingBandCounts(buckets).select(col("rep_id"), lit(1.0).as("v")),
       "jaccard")
   }
@@ -614,10 +635,9 @@ object Dedup {
     * exact word-3-gram Jaccard over the distinct-content candidate pairs
     * only, thresholded at [[NgramJaccardThreshold]].
     */
-  private def verifiedRepScored(groups: DataFrame, buckets: DataFrame): DataFrame = {
-    val reps = groups
-      .select(col("rep_id"), shingles(col("norm")).as("sh"))
-      .filter(size(col("sh")) > 0)
+  private def verifiedRepScored(docs: DataFrame, groups: DataFrame,
+      buckets: DataFrame): DataFrame = {
+    val reps = repShingles(docs, groups)
     repPairsFromBuckets(buckets)
       .join(reps.as("da"), col("da.rep_id") === col("doc_a"))
       .join(reps.as("db"), col("db.rep_id") === col("doc_b"))
@@ -640,7 +660,7 @@ object Dedup {
     */
   def verifiedComponentEdgesDf(docs: DataFrame): DataFrame = {
     val (groups, buckets) = minhashRepBuckets(docs)
-    val repEdges = verifiedRepScored(groups, buckets)
+    val repEdges = verifiedRepScored(docs, groups, buckets)
       .select(col("doc_a"), col("doc_b"))
     val starEdges = groups.filter(size(col("members")) >= 2)
       .join(survivingBandCounts(buckets), Seq("rep_id"))
