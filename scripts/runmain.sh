@@ -17,4 +17,4 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 exec java "${FLAGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$XMX" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" "$@"

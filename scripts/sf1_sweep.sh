@@ -35,7 +35,7 @@ case "${1:?gen|verify|check|bench}" in
       2>/dev/null | tail -1 > BENCH_sf1_r08.json
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SKW" scripts/runmain.sh -Xmx48g graft.Bench \
       2>/dev/null | tail -1 > BENCH_skew_r08.json
-    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx24g graft.SkewReport "$SKW" \
+    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx24g graft.SkewReport "$SKW" "$UNI" \
       2>/dev/null | tail -1 > SKEW_REPORT_r08.json
     ;;
 esac

@@ -22,12 +22,22 @@ import graft.sources.Tables
   *   the share of multi-probe assignments they carried (ann_ivf's guard);
   * - emb_lsh: sign-LSH buckets over the cap that dedup_embedding_lsh drops.
   *
-  * Usage: `runMain graft.SkewReport <sfDir>`
+  * With a second dir, also reports `ivf_stale`: the skewed embeddings
+  * assigned under centroids FIT ON THAT OTHER (uniform) corpus — the
+  * frozen-quantizer shape of IndexStore.append, where a drifted corpus
+  * meets yesterday's fit. A fresh Lloyd fit ADAPTS to a 20% point-mass
+  * (it splits the cluster across several centroids, so no cell trips the
+  * cap — that is the fit doing its job); the cap is the backstop for
+  * exactly the stale case, where the whole hot cluster lands in ONE
+  * pre-existing cell and must be dropped + flagged for refit.
+  *
+  * Usage: `runMain graft.SkewReport <sfDir> [staleCentroidDir]`
   */
 object SkewReport {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val staleDir = if (args.length > 1) Some(args(1)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,6 +95,26 @@ object SkewReport {
     val hotAsgShare = (if (nHotCells == 0) 0.0
       else hotCells.agg(sum(col("n"))).head().getLong(0).toDouble / asgTotal)
 
+    // stale-quantizer assignment: this dir's vectors under the OTHER
+    // dir's centroids (the frozen-quantizer append path)
+    val stale = staleDir.map { sd =>
+      val sc = graft.operators.IvfModel.centroids(spark, sd)
+      val sm = Tables.embeddings(spark, dir)
+        .select(explode(graft.functions.IvfProbes.column(
+          col("embedding"), sc, graft.operators.VectorOps.AssignProbes)).as("p"))
+        .select(col("p.cell").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val sTotal = sm.agg(sum(col("n"))).head().getLong(0)
+      val sHot = sm.filter(
+        col("n") * sc.length >
+          lit(graft.operators.VectorOps.MaxCellFactor.toLong * sTotal))
+      val nSHot = sHot.count()
+      val sShare = (if (nSHot == 0) 0.0
+        else sHot.agg(sum(col("n"))).head().getLong(0).toDouble / sTotal)
+      (sc.length, nSHot, sShare)
+    }
+
     // embedding sign-LSH buckets over the cap
     val dim = graft.operators.Dedup.embeddingDim(spark, dir)
     val planes = Array.tabulate(graft.operators.Dedup.EmbLshBits, dim)(
@@ -103,6 +133,9 @@ object SkewReport {
       f""""documents":{"n_distinct_contents":$nDistinct,"top_verbatim_group":$topGroup},""" +
       f""""minhash":{"n_buckets":$mhTotal,"n_saturated":$mhSat,"max_bucket":$mhMax},""" +
       f""""ivf":{"n_cells":${cents.length},"n_hot_cells":$nHotCells,"hot_assignment_share":$hotAsgShare%.4f},""" +
+      stale.map { case (k, nh, sh) =>
+        f""""ivf_stale":{"n_cells":$k,"n_hot_cells":$nh,"hot_assignment_share":$sh%.4f},""" }
+        .getOrElse("") +
       f""""emb_lsh":{"n_buckets":$lshTotal,"n_saturated":$lshSat}}""")
     spark.stop()
   }

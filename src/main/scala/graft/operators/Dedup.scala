@@ -81,7 +81,7 @@ object Dedup {
   def dedupNgramDf(docs: DataFrame): DataFrame = {
     val groups = normGroups(docs)
     val repPairs = shinglePairs(
-      groups.select(col("rep_id").as("doc_id"), col("norm").as("text")))
+      repShingles(docs, groups).select(col("rep_id").as("doc_id"), col("sh")))
     val mem = groups.select(col("rep_id"), col("members"))
     val cross = repPairs
       .join(mem.as("ma"), col("doc_a") === col("ma.rep_id"))
@@ -93,8 +93,10 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
     // members is sorted ascending, so the i<j combos are already
     // (doc_a < doc_b); empty-shingle contents (<3 tokens) never pair.
+    // `norm` is single-space-collapsed, so "has a 3-gram shingle" is just
+    // "≥ 3 tokens" — a codegen split beats re-running the shingle kernel.
     val within = groups
-      .filter(size(col("members")) >= 2 && size(shingles(col("norm"))) > 0)
+      .filter(size(col("members")) >= 2 && size(split(col("norm"), " ")) >= 3)
       .select(explode(
         flatten(transform(sequence(lit(0), size(col("members")) - 2), i =>
           transform(slice(col("members"), i + 2, size(col("members")) - i - 1), y =>
@@ -202,25 +204,24 @@ object Dedup {
   def ngramComponentEdgesDf(docs: DataFrame): DataFrame = {
     val groups = normGroups(docs)
     val repEdges = shinglePairs(
-      groups.select(col("rep_id").as("doc_id"), col("norm").as("text")))
+      repShingles(docs, groups).select(col("rep_id").as("doc_id"), col("sh")))
       .select(col("doc_a"), col("doc_b"))
     val starEdges = groups
-      .filter(size(col("members")) >= 2 && size(shingles(col("norm"))) > 0)
+      .filter(size(col("members")) >= 2 && size(split(col("norm"), " ")) >= 3)
       .select(col("rep_id").as("doc_a"),
         explode(slice(col("members"), lit(2), size(col("members")) - 1)).as("doc_b"))
     repEdges.unionByName(starEdges)
   }
 
-  /** The exact pair scorer over a frame of DISTINCT contents: group per
-    * shingle instead of self-joining (same lesson as minhash/simhash) —
-    * sizes ride inside the bucket structs, so the whole stage is two
-    * shuffles — one keyed on the shingle, one on the pair — with no join
-    * back to the corpus.
+  /** The exact pair scorer over a pre-shingled `(doc_id, sh)` frame of
+    * DISTINCT contents ([[repShingles]] — one kernel pass per snapshot,
+    * shared with the verify stage): group per shingle instead of
+    * self-joining (same lesson as minhash/simhash) — sizes ride inside
+    * the bucket structs, so the whole stage is two shuffles — one keyed
+    * on the shingle, one on the pair — with no join back to the corpus.
     */
-  private def shinglePairs(docs: DataFrame): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+  private def shinglePairs(shFrame: DataFrame): DataFrame = {
+    val ex = shFrame
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
     val buckets = ex.groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
