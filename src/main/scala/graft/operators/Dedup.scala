@@ -95,8 +95,14 @@ object Dedup {
     // (doc_a < doc_b); empty-shingle contents (<3 tokens) never pair.
     // `norm` is single-space-collapsed, so "has a 3-gram shingle" is just
     // "≥ 3 tokens" — a codegen split beats re-running the shingle kernel.
+    // The inner trim matters: `norm` trims SPACES before the \s+ collapse,
+    // so text edged by other whitespace leaves a single edge space whose
+    // split yields an empty token — without the trim a 2-real-token group
+    // would emit jaccard-1.0 pairs here while the shingle kernel (which
+    // space-trims first) gives its rep zero shingles, splitting the
+    // invariant between the two arms.
     val within = groups
-      .filter(size(col("members")) >= 2 && size(split(col("norm"), " ")) >= 3)
+      .filter(size(col("members")) >= 2 && size(split(trim(col("norm")), " ")) >= 3)
       .select(explode(
         flatten(transform(sequence(lit(0), size(col("members")) - 2), i =>
           transform(slice(col("members"), i + 2, size(col("members")) - i - 1), y =>
@@ -162,11 +168,18 @@ object Dedup {
     */
   private val repShinglesCache = new FrameCache
 
+  /** The cache-BUILD plan (pre-checkpoint): this is where the shingle
+    * kernel lives once consumers read the checkpoint — PlanContractSpec
+    * pins `graft_word_shingles` HERE, and the checkpoint reuse (`Scan
+    * ExistingRDD`) in the consumer plans.
+    */
+  private[graft] def repShinglesBuild(groups: DataFrame): DataFrame =
+    groups.select(col("rep_id"), shingles(col("norm")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   private def repShingles(docs: DataFrame, groups: DataFrame): DataFrame =
     repShinglesCache.getOrElseUpdate(docs)(
-      groups.select(col("rep_id"), shingles(col("norm")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .localCheckpoint(true))
+      repShinglesBuild(groups).localCheckpoint(true))
 
   private def normGroupsUncached(docs: DataFrame): DataFrame = {
     val t0 = System.nanoTime()
@@ -207,7 +220,7 @@ object Dedup {
       repShingles(docs, groups).select(col("rep_id").as("doc_id"), col("sh")))
       .select(col("doc_a"), col("doc_b"))
     val starEdges = groups
-      .filter(size(col("members")) >= 2 && size(split(col("norm"), " ")) >= 3)
+      .filter(size(col("members")) >= 2 && size(split(trim(col("norm")), " ")) >= 3)
       .select(col("rep_id").as("doc_a"),
         explode(slice(col("members"), lit(2), size(col("members")) - 1)).as("doc_b"))
     repEdges.unionByName(starEdges)

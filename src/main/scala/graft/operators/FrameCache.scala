@@ -53,10 +53,21 @@ private[graft] final class FrameCache {
     // the digest. File-backed leaves already print their paths.
     plan.collectLeaves().foreach {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        val buf = java.nio.ByteBuffer.allocate(4 + 4 * lr.data.length)
-        buf.putInt(lr.data.length)
-        lr.data.foreach(r => buf.putInt(r.hashCode))
-        digest.update(buf.array())
+        // Full row CONTENT, not the 32-bit hashCode — a hashCode fold
+        // reopens exactly the collision window the class doc rejects.
+        // UnsafeRow exposes its backing bytes; other InternalRows print
+        // every value. Length-prefix each row so concatenations can't
+        // alias across row boundaries.
+        digest.update(java.nio.ByteBuffer.allocate(4).putInt(lr.data.length).array())
+        lr.data.foreach { r =>
+          val bytes = r match {
+            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              ur.getBytes
+            case other => other.toString.getBytes(StandardCharsets.UTF_8)
+          }
+          digest.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+          digest.update(bytes)
+        }
       case lrd: LogicalRDD =>
         digest.update(java.nio.ByteBuffer.allocate(4).putInt(lrd.rdd.id).array())
       case _ => ()

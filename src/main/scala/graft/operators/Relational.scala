@@ -286,14 +286,19 @@ object Relational {
   }
 
   /** Heavy-hitter knobs shared by the exact and sketch twins: top-K users
-    * per trailing window, and the frequent-items sketch capacity. 8192
-    * tracked slots ≥ the distinct-user count at every test SF (so the spec
-    * can pin exact agreement: a non-saturated Misra-Gries-family sketch is
-    * exact); at 100 TB the sketch saturates and the count guarantee
-    * degrades gracefully to ±n/maxItemsTracked (see the approx scaladoc).
+    * per trailing window, and the frequent-items sketch capacity. 65536
+    * tracked slots ≥ the distinct-user count per trailing window at every
+    * GATE SF — sized above sf1's measured 15,000 users/window (the r8
+    * 8192 sizing saturated there and broke the pinned exact-agreement
+    * contract) with ~4× headroom, at ~1 MB per daily sketch. When a
+    * deployment's window cardinality exceeds it anyway, the count
+    * guarantee degrades gracefully to +n/maxItemsTracked and
+    * [[graft.VerifyApprox]] switches to the saturated-mode criterion
+    * (presence of every item above the error floor + estimate dominance)
+    * instead of exact agreement.
     */
   val HeavyHittersK = 5
-  val HeavyHittersMaxTracked = 8192
+  val HeavyHittersMaxTracked = 65536
 
   /** SURVEY §2 `q_events_heavy_hitters`: for each day, the top-K
     * event-generating users over the TRAILING 7 days — "who is hammering
@@ -309,6 +314,22 @@ object Relational {
     * keeps the oracle exact.
     */
   def qEventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    heavyHittersTrailing(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HeavyHittersK)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rank"), col("user_id"), col("n_events"))
+  }
+
+  /** The exact twin's pre-rank frame: TRUE trailing-7-day event counts per
+    * (day: date, user_id), real corpus days only. Shared with
+    * [[graft.VerifyApprox]]'s saturated-mode heavy-hitter check, which
+    * needs every window count (not just the top-K) to bound the sketch's
+    * estimates.
+    */
+  private[graft] def heavyHittersTrailing(spark: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("c"))
@@ -319,13 +340,7 @@ object Relational {
       .groupBy(col("day"), col("user_id")).agg(sum(col("c")).as("n_events"))
     // The ×7 expansion invents days past the corpus end; keep real days only.
     val realDays = perDay.select(col("day")).distinct()
-    val w = Window.partitionBy(col("day"))
-      .orderBy(col("n_events").desc, col("user_id"))
     trailing.join(broadcast(realDays), Seq("day"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= HeavyHittersK)
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("rank"), col("user_id"), col("n_events"))
   }
 
   /** SURVEY §2 `q_events_heavy_hitters_approx`: the sketch-based SERVING
@@ -337,24 +352,39 @@ object Relational {
     * ANY window (7/28/90-day) derives from the same persisted daily
     * sketches without touching events again, the dau_wau_approx design
     * with counts instead of cardinalities. Guarantee when the sketch
-    * saturates: estimated count ∈ [true, true + n/maxItemsTracked] and
-    * every item with true count > n/maxItemsTracked is present — the
-    * classic heavy-hitter contract. Sketch internals are engine-specific →
-    * rows-only gate; RelationalSpec pins exact agreement with the exact
-    * twin at test SF (non-saturated ⇒ exact) and the saturated bound on a
-    * synthetic skewed stream.
+    * saturates: Spark's estimate step reads the DataSketches sketch with
+    * NO_FALSE_POSITIVES, so every reported item is a REAL heavy hitter
+    * with estimate ∈ [true, true + eps] where eps = 3.5·n/maxMapSize
+    * (maxMapSize = next-pow2(maxTracked/0.75)), and a saturated window
+    * may report FEWER than K rows — only the items confidently above the
+    * eviction error (an absent item's true count is ≤ 2·eps, or it ranks
+    * below the k-th reported estimate + eps). Sketch internals are
+    * engine-specific → rows-only gate; RelationalSpec pins exact
+    * agreement with the exact twin at test SF (non-saturated ⇒ exact) and
+    * the saturated bound on a synthetic skewed stream;
+    * [[graft.VerifyApprox]] checks the regime-appropriate contract per
+    * window.
     */
-  def qEventsHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame = {
+  def qEventsHeavyHittersApprox(spark: SparkSession, dir: String): DataFrame =
+    qEventsHeavyHittersApprox(spark, dir, HeavyHittersMaxTracked)
+
+  /** [[qEventsHeavyHittersApprox]] with an explicit sketch capacity — the
+    * spec/VerifyApprox hook for forcing the SATURATED regime on gate-SF
+    * data (tiny `maxTracked`) without needing a corpus wider than the
+    * production capacity.
+    */
+  private[graft] def qEventsHeavyHittersApprox(spark: SparkSession, dir: String,
+      maxTracked: Int): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .groupBy(col("day"))
-      .agg(expr(s"approx_top_k_accumulate(user_id, $HeavyHittersMaxTracked)").as("st"))
+      .agg(expr(s"approx_top_k_accumulate(user_id, $maxTracked)").as("st"))
       .localCheckpoint(true)
     val combined = daily
       .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("st"))
       .select(date_add(col("day"), col("k")).as("day"), col("st"))
       .groupBy(col("day"))
-      .agg(expr(s"approx_top_k_combine(st, $HeavyHittersMaxTracked)").as("st"))
+      .agg(expr(s"approx_top_k_combine(st, $maxTracked)").as("st"))
     combined.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
       .select(col("day"),
         posexplode(expr(s"approx_top_k_estimate(st, $HeavyHittersK)")))

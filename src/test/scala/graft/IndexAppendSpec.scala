@@ -37,6 +37,17 @@ class IndexAppendSpec extends SparkSpec {
     val meta = IndexStore.versionMeta(root, "idx", vs.last).get
     assert(meta.contains(s""""parent": "${vs.head}""""))
     assert(meta.contains(s""""appended": ${b.count()}"""))
+    // the delta version's manifest describes the DELTA dir it sits in:
+    // count == rows actually in the dir, flagged delta with parent +
+    // post-append total (load(version) must agree with its own manifest)
+    assert(IndexStore.manifest(root, "idx", Some(vs.last)).count == b.count())
+    val vj = IndexStore.manifestJson(root, "idx", Some(vs.last))
+    assert(vj.contains("\"delta\": true"))
+    assert(vj.contains(s""""parent": "${vs.head}""""))
+    assert(vj.contains(s""""total_count": ${m1.count}"""))
+    // the full-build version and latest stay non-delta with the total
+    assert(IndexStore.manifest(root, "idx", Some(vs.head)).count == a.count())
+    assert(!IndexStore.manifestJson(root, "idx", None).contains("\"delta\""))
   }
 
   test("ivfpq append assigns with the persisted models, not a refit") {

@@ -66,8 +66,16 @@ class PlanContractSpec extends SparkSpec {
   test("native expressions appear in the plan (no HOF fallback)") {
     val p = executedPlan(TextOps.textFingerprint(spark, dir))
     assert(p.contains("graft_polyhash"))
+    // dedup_ngram consumes the CACHED checkpointed shingle frame, so the
+    // WordShingles kernel lives in the cache-BUILD plan (asserted here),
+    // while the consumer plan must show the checkpoint reuse instead of
+    // re-tokenizing.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val build = executedPlan(Dedup.repShinglesBuild(Dedup.normGroups(docs)))
+    assert(build.contains("graft_word_shingles"))
     val q = executedPlan(Dedup.dedupNgram(spark, dir))
-    assert(q.contains("graft_word_shingles"))
+    assert(!q.contains("graft_word_shingles") && q.contains("Scan ExistingRDD"),
+      "dedup_ngram must reuse the checkpointed shingle frame, not re-shingle")
   }
 
   test("ann_ivf: pairs form inside cells via an equi-join; no cartesian") {

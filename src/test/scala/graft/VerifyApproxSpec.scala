@@ -20,6 +20,18 @@ class VerifyApproxSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitter check applies the saturated contract when capacity is exceeded") {
+    // Force the saturated regime on gate data: capacity 8 < the 15
+    // distinct users per trailing window, so the sketch must evict. The
+    // check should detect saturation per-day and hold the sketch to the
+    // heavy-hitter bound (estimates in [true, true+n/maxTracked], presence
+    // above the error floor) instead of exact agreement — and pass.
+    val c = VerifyApprox.heavyHittersCheckImpl(spark, dir, 8)
+    assert(!c.detail.contains("(0 saturated"),
+      s"capacity 16 did not saturate the sketch: ${c.detail}")
+    assert(c.pass, s"${c.metric}=${c.value} (${c.detail})")
+  }
+
   test("report JSON parses and carries the contract fields") {
     val json = VerifyApprox.reportJson(spark, dir)
     // dependency-free structural probe: one object per rows-only query,
