@@ -73,6 +73,10 @@ object SparkEntry {
     "dedup_verified"      -> Dedup.dedupVerified _,
     "dedup_recall"        -> Dedup.dedupRecall _,
     "dedup_simhash"       -> Dedup.dedupSimhash _,
+    "dedup_ngram_grouped"    -> Dedup.dedupNgramGrouped _,
+    "dedup_minhash_grouped"  -> Dedup.dedupMinhashGrouped _,
+    "dedup_verified_grouped" -> Dedup.dedupVerifiedGrouped _,
+    "dedup_simhash_grouped"  -> Dedup.dedupSimhashGrouped _,
     "dedup_substring"     -> Dedup.dedupSubstring _,
     "dedup_substring_spans" -> Dedup.dedupSubstringSpans _,
     "dedup_embedding"     -> Dedup.dedupEmbedding _,
@@ -183,36 +187,6 @@ object SparkEntry {
        |bmr AS (SELECT round(s, 6) AS score, doc_id,
        |          row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rk FROM sc)""".stripMargin
   }
-
-  /** CTE chain producing the n-gram near-dup `pairs(doc_a, doc_b,
-    * jaccard)`, shared by dedup_ngram and dedup_clusters.
-    */
-  private def ngramCtes: String =
-    """t AS (
-      |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(
-      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_transform(range(1, len(toks) - 1), i ->
-      |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
-      |  FROM t),
-      |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-      |ex AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM f),
-      |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM f),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS MATERIALIZED (
-      |  SELECT doc_a, doc_b,
-      |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
-      |  FROM inter
-      |  JOIN sz sa ON doc_a = sa.doc_id
-      |  JOIN sz sb ON doc_b = sb.doc_id
-      |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= 0.05)""".stripMargin
 
   /** Gold-set CTE (q_id → expected_id) mirroring [[graft.operators.Search]]. */
   private def goldCte: String =
@@ -810,38 +784,15 @@ object SparkEntry {
         |  keep_id, n_docs
         |FROM g""".stripMargin,
 
-    "dedup_ngram" ->
-      s"""WITH $ngramCtes
-         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    "dedup_ngram" -> graft.operators.Dedup.ngramOracleSql,
+    "dedup_ngram_grouped" -> graft.operators.Dedup.ngramGroupedOracleSql,
+    "dedup_minhash_grouped" -> graft.operators.Dedup.minhashGroupedOracleSql,
+    "dedup_verified_grouped" -> graft.operators.Dedup.verifiedGroupedOracleSql,
+    "dedup_simhash_grouped" -> graft.operators.Dedup.simhashGroupedOracleSql,
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $ngramCtes,
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc AS a, doc AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-         |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
-         |FROM reach GROUP BY a""".stripMargin,
+    "dedup_clusters" -> graft.operators.Dedup.clustersOracleSql,
 
-    "dedup_cluster_stats" ->
-      s"""WITH RECURSIVE $ngramCtes,
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc AS a, doc AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |cl AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
-         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM cl GROUP BY 1)
-         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-         |  count(*) AS n_clusters,
-         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
-         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
-         |FROM cs GROUP BY cluster_size""".stripMargin,
+    "dedup_cluster_stats" -> graft.operators.Dedup.clusterStatsOracleSql,
 
     "dedup_minhash" -> graft.operators.Dedup.minhashOracleSql,
 
@@ -1141,16 +1092,7 @@ object SparkEntry {
          |SELECT doc_id, quality, pred_lang, dup_keep, keep FROM pf""".stripMargin,
 
     "curation_weight" ->
-      s"""WITH RECURSIVE $ngramCtes,
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc AS a, doc AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |cl AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
-         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM cl GROUP BY 1),
+      s"""WITH RECURSIVE ${graft.operators.Dedup.clusterMapCtes},
          |j AS (SELECT d.doc_id,
          |        COALESCE(cl.cluster_rep, d.doc_id) AS cluster_rep,
          |        CAST(COALESCE(cs.cluster_size, 1) AS BIGINT) AS cluster_size
@@ -1181,15 +1123,7 @@ object SparkEntry {
     * curation_report oracles.
     */
   private def pipelineFilterCtes: String =
-      s"""${graft.operators.Dedup.verifiedPairsCtes},
-         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc AS a, doc AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |clus AS (SELECT a AS doc_id, a = min(b) AS dup_keep FROM reach GROUP BY a),
+      s"""${graft.operators.Dedup.verifiedClusterMapCtes},
          |qt AS (
          |  SELECT doc_id, text, length(text) AS n_chars,
          |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -613,6 +613,101 @@ object Dedup {
     cross.unionByName(within).withColumnRenamed("v", out)
   }
 
+  /** The GROUPED (production) pair form shared by the four
+    * `dedup_*_grouped` operators: one row per scored REP-level pair
+    * instead of the member-expanded pair list. Cross-group rows carry
+    * `(rep_a < rep_b, v, n_docs_a, n_docs_b, n_pairs = n_docs_a ·
+    * n_docs_b)`; each verbatim group with ≥ 2 members whose content
+    * qualifies (per `withinVals`) contributes one self row `(rep, rep, v,
+    * g, g, C(g,2))`. Output is linear in DISTINCT contents — the full
+    * member expansion ([[expandRepPairs]]) is C(g,2)-quadratic in
+    * verbatim-group size by definition (50.2M rows at skewed sf1 from one
+    * 5 000-copy group; ~10¹² on crawl boilerplate), which makes it an
+    * AUDIT form: exact, but to be materialized only on slices. The pair
+    * multiset is recoverable exactly by joining `members` from
+    * [[normGroups]] (DedupSpec pins the equivalence), so downstream
+    * consumers lose nothing.
+    */
+  private def groupedPairs(groups: DataFrame, repPairs: DataFrame,
+      withinVals: DataFrame, out: String): DataFrame = {
+    val sizes = groups.select(col("rep_id"),
+      size(col("members")).cast("long").as("nd"))
+    val cross = repPairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.rep_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.rep_id"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("v"),
+        col("sa.nd").as("n_docs_a"), col("sb.nd").as("n_docs_b"),
+        (col("sa.nd") * col("sb.nd")).as("n_pairs"))
+    val within = withinVals.select(col("rep_id"), col("v"))
+      .join(sizes.filter(col("nd") >= 2), Seq("rep_id"))
+      .select(col("rep_id").as("rep_a"), col("rep_id").as("rep_b"), col("v"),
+        col("nd").as("n_docs_a"), col("nd").as("n_docs_b"),
+        // integer-exact: g(g-1) is even; plain `/` would widen to double
+        ((col("nd") * (col("nd") - 1)) / 2).cast("long").as("n_pairs"))
+    cross.unionByName(within).withColumnRenamed("v", out)
+  }
+
+  /** SURVEY §2 `dedup_ngram_grouped`: the scale-safe production form of
+    * [[dedupNgram]] — rep-level Jaccard pairs with group sizes and the
+    * implied member-pair count, never the quadratic expansion.
+    */
+  def dedupNgramGrouped(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramGroupedDf(Tables.documents(spark, dir))
+
+  /** [[dedupNgramGrouped]] over ANY (doc_id, text) frame. */
+  def dedupNgramGroupedDf(docs: DataFrame): DataFrame = {
+    val groups = normGroups(docs)
+    val repPairs = shinglePairs(
+      repShingles(docs, groups).select(col("rep_id").as("doc_id"), col("sh")))
+      .withColumnRenamed("jaccard", "v")
+    val withinVals = groups
+      .filter(size(split(trim(col("norm")), " ")) >= 3)
+      .select(col("rep_id"), lit(1.0).as("v"))
+    groupedPairs(groups, repPairs, withinVals, "jaccard")
+  }
+
+  /** SURVEY §2 `dedup_minhash_grouped`: [[dedupMinhash]]'s candidate set
+    * at rep level — the grouped production form.
+    */
+  def dedupMinhashGrouped(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashGroupedDf(Tables.documents(spark, dir))
+
+  /** [[dedupMinhashGrouped]] over ANY (doc_id, text) frame. */
+  def dedupMinhashGroupedDf(docs: DataFrame): DataFrame = {
+    val (groups, buckets) = minhashRepBuckets(docs)
+    groupedPairs(groups, repPairsFromBuckets(buckets),
+      survivingBandCounts(buckets).withColumn("v", col("nb"))
+        .select(col("rep_id"), col("v")), "n_shared_bands")
+  }
+
+  /** SURVEY §2 `dedup_verified_grouped`: the two-stage LSH-verified
+    * pipeline at rep level — the grouped production form of
+    * [[dedupVerified]], i.e. what a 100 TB dedup pass should actually
+    * materialize.
+    */
+  def dedupVerifiedGrouped(spark: SparkSession, dir: String): DataFrame =
+    dedupVerifiedGroupedDf(Tables.documents(spark, dir))
+
+  /** [[dedupVerifiedGrouped]] over ANY (doc_id, text) frame. */
+  def dedupVerifiedGroupedDf(docsIn: DataFrame): DataFrame = {
+    val (groups, buckets) = minhashRepBuckets(docsIn)
+    groupedPairs(groups, verifiedRepScored(docsIn, groups, buckets),
+      survivingBandCounts(buckets).select(col("rep_id"), lit(1.0).as("v")),
+      "jaccard")
+  }
+
+  /** SURVEY §2 `dedup_simhash_grouped`: [[dedupSimhash]] at rep level —
+    * the grouped production form.
+    */
+  def dedupSimhashGrouped(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashGroupedDf(Tables.documents(spark, dir))
+
+  /** [[dedupSimhashGrouped]] over ANY (doc_id, text) frame. */
+  def dedupSimhashGroupedDf(docs: DataFrame): DataFrame = {
+    val (groups, repPairs, withinVals) = simhashRepParts(docs)
+    groupedPairs(groups, repPairs, withinVals, "hamming")
+  }
+
   /** SURVEY §2 `dedup_verified`: the 100 TB two-stage near-dup pipeline as
     * ONE operator — MinHash+LSH proposes candidate pairs (bucket-grouped,
     * stop-bucket-capped, [[dedupMinhash]]), then exact word-3-gram Jaccard
@@ -754,15 +849,62 @@ object Dedup {
     * oracles (which compose it under `WITH RECURSIVE`).
     */
   def verifiedScoredCtes: String =
+    s"""$verifiedRepCtes,
+       |vsc AS (
+       |${expandSql("rvsc", "j", "1.0")})""".stripMargin
+
+  /** CTE chain BODY ending in `rvsc(rep_a, rep_b, j)` — the rep-level
+    * LSH-verified scored pairs, shared by the expanded and grouped
+    * verified oracles.
+    */
+  private def verifiedRepCtes: String =
     s"""${minhashCtesBody},
        |rvsc AS (
        |  SELECT rep_a, rep_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
        |  FROM rp JOIN sh sa ON rp.rep_a = sa.doc_id
-       |          JOIN sh sb ON rp.rep_b = sb.doc_id),
-       |vsc AS (
-       |${expandSql("rvsc", "j", "1.0")})""".stripMargin
+       |          JOIN sh sb ON rp.rep_b = sb.doc_id)""".stripMargin
+
+  /** Grouped (production-form) twin of [[expandSql]]: one row per
+    * rep-level pair with group sizes and the implied member-pair count,
+    * plus the within-group self rows — the SQL mirror of
+    * [[groupedPairs]].
+    */
+  private def groupedSql(src: String, v: String, outName: String,
+      withinV: String, withinJoin: String): String =
+    s"""SELECT $src.rep_a, $src.rep_b, $src.$v AS $outName,
+       |  CAST(len(ga.members) AS BIGINT) AS n_docs_a,
+       |  CAST(len(gb.members) AS BIGINT) AS n_docs_b,
+       |  CAST(len(ga.members) * len(gb.members) AS BIGINT) AS n_pairs
+       |FROM $src JOIN g ga ON $src.rep_a = ga.rep_id
+       |          JOIN g gb ON $src.rep_b = gb.rep_id
+       |UNION ALL
+       |SELECT g.rep_id, g.rep_id, $withinV AS $outName,
+       |  CAST(len(g.members) AS BIGINT), CAST(len(g.members) AS BIGINT),
+       |  CAST(len(g.members) * (len(g.members) - 1) / 2 AS BIGINT)
+       |FROM g $withinJoin
+       |WHERE len(g.members) >= 2""".stripMargin
+
+  /** DuckDB oracle for dedup_ngram_grouped. */
+  def ngramGroupedOracleSql: String =
+    s"""WITH $ngramRepCtes
+       |${groupedSql("ngp", "jaccard", "jaccard", "1.0",
+         "JOIN exx ON g.rep_id = exx.doc_id")}""".stripMargin
+
+  /** DuckDB oracle for dedup_minhash_grouped. */
+  def minhashGroupedOracleSql: String =
+    s"""$minhashCtes
+       |${groupedSql("rp", "n", "n_shared_bands", "CAST(nbv.nb AS BIGINT)",
+         "JOIN nbv ON g.rep_id = nbv.rep_id")}""".stripMargin
+
+  /** DuckDB oracle for dedup_verified_grouped. */
+  def verifiedGroupedOracleSql: String =
+    s"""WITH $verifiedRepCtes,
+       |rvp AS (SELECT rep_a, rep_b, round(j, 6) AS jaccard FROM rvsc
+       |        WHERE j >= $NgramJaccardThreshold)
+       |${groupedSql("rvp", "jaccard", "jaccard", "1.0",
+         "JOIN nbv ON g.rep_id = nbv.rep_id")}""".stripMargin
 
   /** CTE chain BODY ending in `pairs(doc_a, doc_b)` — the verified
     * two-stage pair SET (what cluster propagation consumes).
@@ -770,6 +912,154 @@ object Dedup {
   def verifiedPairsCtes: String =
     s"""$verifiedScoredCtes,
        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold)""".stripMargin
+
+  /** The collapsed oracle FRONT shared by every dedup-family oracle:
+    * verbatim-dup groups `g` (rep_id = min member, members ascending) and
+    * the distinct-content word-3-gram shingle sets `sh`. Every downstream
+    * pair stage (exact shingle join, minhash bands, simhash chunks) runs
+    * over DISTINCT contents only — the same collapse the Spark operators
+    * apply, which is what keeps the oracle tractable on duplicate-heavy
+    * (skewed) corpora.
+    */
+  private def collapsedShingleCtes: String =
+    s"""g AS MATERIALIZED (
+       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)
+       |  GROUP BY norm),
+       |t AS (
+       |  SELECT rep_id AS doc_id,
+       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(norm, '\\s+') END AS toks
+       |  FROM g),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks) - 1), i ->
+       |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
+       |  FROM t)""".stripMargin
+
+  /** CTE chain BODY ending in `ngp(rep_a, rep_b, jaccard)` — the EXACT
+    * n-gram pair stage over distinct contents (the [[shinglePairs]]
+    * twin), plus `exx` (contents with ≥1 shingle, the within-pair
+    * witness). Shared by the dedup_ngram / clusters / grouped oracles.
+    */
+  private def ngramRepCtes: String =
+    s"""$collapsedShingleCtes,
+       |exx AS MATERIALIZED (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |eex AS (SELECT doc_id, unnest(sh) AS s FROM exx),
+       |esz AS (SELECT doc_id, len(sh) AS n FROM exx),
+       |ei AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+       |  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ngp AS MATERIALIZED (
+       |  SELECT doc_a AS rep_a, doc_b AS rep_b,
+       |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
+       |  FROM ei JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold)""".stripMargin
+
+  /** DuckDB oracle for dedup_ngram: rep-level exact pairs expanded to
+    * member level. Jaccard is a function of the normalized text alone, so
+    * this equals the doc-level shingle self-join while doing the
+    * quadratic stage over DISTINCT contents only — the doc-level form ran
+    * tens of minutes on skewed sf1, this one is bounded like the Spark
+    * side.
+    */
+  def ngramOracleSql: String =
+    s"""WITH $ngramRepCtes,
+       |pairs AS (
+       |${expandSql("ngp", "jaccard", "1.0", "JOIN exx ON g.rep_id = exx.doc_id")})
+       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
+
+  /** CTE chain BODY ending in the rep-level cluster map `rcl(rep_id,
+    * cluster_rep)`: connected components over the SPARSE rep graph (one
+    * edge per scored rep pair; within-group stars are implicit — they
+    * never bridge groups, so components at rep level equal the full-graph
+    * components restricted to reps, and `rep_id = min(members)` makes the
+    * rep-level min label the true min doc id). The old doc-level
+    * recursive closure was quadratic in verbatim-group size.
+    */
+  private def clusterRepCtes: String =
+    s"""$ngramRepCtes,
+       |redges AS MATERIALIZED (
+       |  SELECT rep_a AS src, rep_b AS dst FROM ngp
+       |  UNION ALL SELECT rep_b, rep_a FROM ngp),
+       |rnodes AS (
+       |  SELECT DISTINCT src AS rep FROM redges
+       |  UNION
+       |  SELECT g.rep_id FROM g JOIN exx ON g.rep_id = exx.doc_id
+       |  WHERE len(g.members) >= 2),
+       |rreach AS (
+       |  SELECT rep AS a, rep AS b FROM rnodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM rreach r JOIN redges e ON e.src = r.b),
+       |rcl AS (SELECT a AS rep_id, min(b) AS cluster_rep FROM rreach GROUP BY a)""".stripMargin
+
+  /** DuckDB oracle for dedup_clusters: rep-level components expanded to
+    * members.
+    */
+  def clustersOracleSql: String =
+    s"""WITH RECURSIVE $clusterRepCtes
+       |SELECT m.doc_id AS doc_id, rcl.cluster_rep, m.doc_id = rcl.cluster_rep AS keep
+       |FROM rcl JOIN g ON rcl.rep_id = g.rep_id
+       |CROSS JOIN UNNEST(g.members) AS m(doc_id)""".stripMargin
+
+  /** DuckDB oracle for dedup_cluster_stats: the size histogram from the
+    * rep-level cluster map (cluster size = Σ group sizes).
+    */
+  def clusterStatsOracleSql: String =
+    s"""WITH RECURSIVE $clusterRepCtes,
+       |cs AS (SELECT rcl.cluster_rep,
+       |         CAST(sum(len(g.members)) AS BIGINT) AS cluster_size
+       |       FROM rcl JOIN g ON rcl.rep_id = g.rep_id GROUP BY 1)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+       |FROM cs GROUP BY cluster_size""".stripMargin
+
+  /** CTE chain BODY ending in `cl(doc_id, cluster_rep)` and
+    * `cs(cluster_rep, cluster_size)` — the doc-level cluster map derived
+    * from the rep-level components (curation_weight's oracle front).
+    */
+  def clusterMapCtes: String =
+    s"""$clusterRepCtes,
+       |cl AS (SELECT m.doc_id AS doc_id, rcl.cluster_rep
+       |       FROM rcl JOIN g ON rcl.rep_id = g.rep_id
+       |       CROSS JOIN UNNEST(g.members) AS m(doc_id)),
+       |cs AS (SELECT rcl.cluster_rep,
+       |         CAST(sum(len(g.members)) AS BIGINT) AS cluster_size
+       |       FROM rcl JOIN g ON rcl.rep_id = g.rep_id GROUP BY 1)""".stripMargin
+
+  /** CTE chain BODY ending in `clus(doc_id, dup_keep)` — the LSH-verified
+    * pair graph's keeper map via rep-level components (the
+    * [[verifiedComponentEdgesDf]] construction in SQL; within-group stars
+    * never bridge groups, so rep components + member expansion equal the
+    * full-graph components). Shared by the pipeline_filter and
+    * curation_report oracles; the old doc-level closure was quadratic in
+    * verbatim-group size.
+    */
+  def verifiedClusterMapCtes: String =
+    s"""$verifiedRepCtes,
+       |vredges AS MATERIALIZED (
+       |  SELECT rep_a AS src, rep_b AS dst FROM rvsc WHERE j >= $NgramJaccardThreshold
+       |  UNION ALL
+       |  SELECT rep_b, rep_a FROM rvsc WHERE j >= $NgramJaccardThreshold),
+       |vrnodes AS (
+       |  SELECT DISTINCT src AS rep FROM vredges
+       |  UNION
+       |  SELECT g.rep_id FROM g JOIN nbv ON g.rep_id = nbv.rep_id
+       |  WHERE len(g.members) >= 2),
+       |vrreach AS (
+       |  SELECT rep AS a, rep AS b FROM vrnodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM vrreach r JOIN vredges e ON e.src = r.b),
+       |vrcl AS (SELECT a AS rep_id, min(b) AS cluster_rep FROM vrreach GROUP BY a),
+       |clus AS (
+       |  SELECT m.doc_id AS doc_id, m.doc_id = vrcl.cluster_rep AS dup_keep
+       |  FROM vrcl JOIN g ON vrcl.rep_id = g.rep_id
+       |  CROSS JOIN UNNEST(g.members) AS m(doc_id))""".stripMargin
 
   /** The shared minhash CTE chain (`WITH t … bf`): tokenize → shingle →
     * hash → signatures → band keys → capped buckets. Reused by the
@@ -791,22 +1081,7 @@ object Dedup {
     // chain over DISTINCT contents only, the stop-bucket guard counting
     // contents, plus `nbv` (per-content surviving-band count) for the
     // within-group expansion.
-    s"""g AS MATERIALIZED (
-       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
-       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-       |        FROM documents)
-       |  GROUP BY norm),
-       |t AS (
-       |  SELECT rep_id AS doc_id,
-       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(norm, '\\s+') END AS toks
-       |  FROM g),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-       |         ELSE list_transform(range(1, len(toks) - 1), i ->
-       |           toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]) END) AS sh
-       |  FROM t),
+    s"""$collapsedShingleCtes,
        |h AS (
        |  SELECT doc_id, list_transform(sh, s ->
        |    list_reduce(list_transform(range(1, length(s) + 1),
@@ -899,6 +1174,16 @@ object Dedup {
     * bucket) are hamming 0 by construction.
     */
   def dedupSimhashDf(docs: DataFrame): DataFrame = {
+    val (groups, repPairs, withinVals) = simhashRepParts(docs)
+    expandRepPairs(groups, repPairs, withinVals, "hamming")
+  }
+
+  /** The rep-level simhash stage shared by the audit expansion
+    * ([[dedupSimhashDf]]) and the grouped production form
+    * ([[dedupSimhashGroupedDf]]): verbatim groups, thresholded rep-pair
+    * hammings, and the per-content band-survival witness.
+    */
+  private def simhashRepParts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val groups = normGroups(docs)
     val banded = groups
       .select(col("rep_id"), graft.functions.SimHashConf.column(col("norm")).as("cs"))
@@ -937,7 +1222,7 @@ object Dedup {
       .select(explode(col("ids")).as("r"))
       .select(col("r.rep_id").as("rep_id")).distinct()
       .select(col("rep_id"), lit(0L).as("v"))
-    expandRepPairs(groups, repPairs, withinVals, "hamming")
+    (groups, repPairs, withinVals)
   }
 
   /** DuckDB oracle for dedup_simhash, generated from the same constants so
@@ -946,7 +1231,17 @@ object Dedup {
     * engines; bit probes, chunk packing, and hamming distance are the same
     * integer programs on both sides.
     */
-  def simhashOracleSql: String = {
+  def simhashOracleSql: String =
+    s"""WITH $simhashCtesBody
+       |${expandSql("rps", "hamming", "CAST(0 AS BIGINT)")}""".stripMargin
+
+  /** DuckDB oracle for dedup_simhash_grouped. */
+  def simhashGroupedOracleSql: String =
+    s"""WITH $simhashCtesBody
+       |${groupedSql("rps", "hamming", "hamming", "CAST(0 AS BIGINT)",
+         "JOIN nbv ON g.rep_id = nbv.rep_id")}""".stripMargin
+
+  private def simhashCtesBody: String = {
     // Empty edge tokens (leading \t/\n survives the space-only trim and
     // splits to '') hash to 0 on the Spark side; list_reduce over an empty
     // list errors in DuckDB, so guard with CASE.
@@ -971,7 +1266,7 @@ object Dedup {
     // groups, chunk signatures over distinct contents only, content-level
     // stop guard, `nbv` band survival, member expansion (within pairs are
     // hamming 0).
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
        |        FROM documents)
@@ -1008,8 +1303,7 @@ object Dedup {
        |rps AS (
        |  SELECT rep_a, rep_b, CAST($ham AS BIGINT) AS hamming
        |  FROM cand JOIN c ca ON cand.rep_a = ca.doc_id JOIN c cb ON cand.rep_b = cb.doc_id
-       |  WHERE CAST($ham AS BIGINT) <= $SimhashMaxHamming)
-       |${expandSql("rps", "hamming", "CAST(0 AS BIGINT)")}""".stripMargin
+       |  WHERE CAST($ham AS BIGINT) <= $SimhashMaxHamming)""".stripMargin
   }
 
   /** `dedup_clusters`: connected components over the n-gram near-dup

@@ -30,6 +30,63 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
   }
 
+  test("grouped pair forms expand to exactly the audit pair sets") {
+    // The production (grouped) form must be information-equivalent to the
+    // audit expansion: joining members back recovers EXACTLY the audit
+    // pair multiset, and sum(n_pairs) == the audit row count. One check
+    // per family, same expansion code.
+    import org.apache.spark.sql.DataFrame
+    def expand(grouped: DataFrame, valueCol: String): Set[(Long, Long, Double)] = {
+      val mem = graft.sources.Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text"))), "\\s+", " ").as("norm"))
+        .collect().groupBy(_.getString(1))
+        .map { case (_, rs) => val ids = rs.map(_.getLong(0)).sorted; ids.min -> ids }
+      grouped.collect().flatMap { r =>
+        val (ra, rb) = (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"))
+        val v = r.getAs[Any](valueCol) match {
+          case d: Double => d; case l: Long => l.toDouble
+        }
+        assert(r.getAs[Long]("n_docs_a") == mem(ra).length.toLong)
+        assert(r.getAs[Long]("n_docs_b") == mem(rb).length.toLong)
+        val pairs: Seq[(Long, Long, Double)] =
+          if (ra == rb) {
+            val ids = mem(ra)
+            assert(r.getAs[Long]("n_pairs") == ids.length.toLong * (ids.length - 1) / 2)
+            for (i <- ids.indices; j <- (i + 1) until ids.length)
+              yield (ids(i), ids(j), v)
+          } else {
+            assert(r.getAs[Long]("n_pairs") == mem(ra).length.toLong * mem(rb).length)
+            (for (a <- mem(ra); b <- mem(rb))
+              yield (math.min(a, b), math.max(a, b), v)).toSeq
+          }
+        pairs
+      }.toSet
+    }
+    def audit(df: DataFrame, valueCol: String): Set[(Long, Long, Double)] =
+      df.collect().map { r =>
+        val v = r.getAs[Any](valueCol) match {
+          case d: Double => d; case l: Long => l.toDouble
+        }
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), v)
+      }.toSet
+    for ((g, a, vc) <- Seq(
+        (Dedup.dedupNgramGrouped(spark, dir), Dedup.dedupNgram(spark, dir), "jaccard"),
+        (Dedup.dedupMinhashGrouped(spark, dir), Dedup.dedupMinhash(spark, dir), "n_shared_bands"),
+        (Dedup.dedupVerifiedGrouped(spark, dir), Dedup.dedupVerified(spark, dir), "jaccard"),
+        (Dedup.dedupSimhashGrouped(spark, dir), Dedup.dedupSimhash(spark, dir), "hamming"))) {
+      val ex = expand(g, vc)
+      val au = audit(a, vc)
+      assert(ex == au, s"$vc: grouped expansion != audit pairs " +
+        s"(${(ex -- au).take(3)} extra, ${(au -- ex).take(3)} missing)")
+      val nPairs = g.select(org.apache.spark.sql.functions.sum("n_pairs"))
+        .collect().head.getLong(0)
+      assert(nPairs == a.count(), s"$vc: sum(n_pairs) != audit row count")
+    }
+  }
+
   test("dedup_minhash candidates are deterministic and well-formed") {
     val a = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
