@@ -222,9 +222,10 @@ object SparkEntry {
     *    (DataSketches approx_top_k_*); eviction order and tie order inside
     *    the sketch are engine-specific. Pinned by RelationalSpec: exact
     *    (day, user, count) agreement with q_events_heavy_hitters at test SF
-    *    (8192 tracked slots ≥ distinct users ⇒ the sketch never evicts and
-    *    is provably exact), plus the saturated ±n/maxTracked bound on a
-    *    synthetic skewed stream.
+    *    (65536 tracked slots ≥ distinct users per window at every gate SF
+    *    ⇒ the sketch never evicts and is provably exact), plus the
+    *    saturated NO_FALSE_POSITIVES bound on a synthetic skewed stream
+    *    and VerifyApprox's regime-aware check (see the operator scaladoc).
     *  - curation_decontam_bloom: the eval set folds into a Bloom filter
     *    (bloom_filter_agg) whose bit layout is engine-specific; DuckDB
     *    cannot replay the probe. Pinned by CurationSpec: one-sided

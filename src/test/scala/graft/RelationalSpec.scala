@@ -254,7 +254,7 @@ class RelationalSpec extends SparkSpec {
     }
   }
   test("q_events_heavy_hitters_approx matches exact when the sketch is unsaturated") {
-    // 8192 tracked slots ≥ distinct users at this SF ⇒ the frequent-items
+    // 65536 tracked slots ≥ distinct users at this SF ⇒ the frequent-items
     // sketch never evicts ⇒ counts are provably exact. Ranks can differ only
     // in tie ORDER at the K boundary, so compare (day → count multiset) and
     // pin every reported (day, user) count against the exact per-user count.
