@@ -647,6 +647,25 @@ object Dedup {
     cross.unionByName(within).withColumnRenamed("v", out)
   }
 
+  /** Expand any slice of a `dedup_*_grouped` result back to member-level
+    * pairs against `docs`' verbatim groups — the on-demand audit path:
+    * filter the grouped frame FIRST (one cluster, one rep, a score band),
+    * then expand only that slice, so the quadratic blowup is opt-in and
+    * bounded by the slice. `valueCol` names the grouped score column
+    * (jaccard / n_shared_bands / hamming); output schema matches the
+    * corresponding audit operator: (doc_a, doc_b, valueCol).
+    */
+  def expandGrouped(docs: DataFrame, grouped: DataFrame,
+      valueCol: String): DataFrame = {
+    val groups = normGroups(docs)
+    val cross = grouped.filter(col("rep_a") =!= col("rep_b"))
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"),
+        col(valueCol).as("v"))
+    val within = grouped.filter(col("rep_a") === col("rep_b"))
+      .select(col("rep_a").as("rep_id"), col(valueCol).as("v"))
+    expandRepPairs(groups, cross, within, valueCol)
+  }
+
   /** SURVEY §2 `dedup_ngram_grouped`: the scale-safe production form of
     * [[dedupNgram]] — rep-level Jaccard pairs with group sizes and the
     * implied member-pair count, never the quadratic expansion.

@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("expandGrouped recovers the audit pairs from any grouped slice") {
+    val docs = Tables.documents(spark, dir)
+    // full expansion == the audit operator, row for row
+    val full = Dedup.expandGrouped(docs,
+        Dedup.dedupNgramGroupedDf(docs), "jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val audit = Dedup.dedupNgramDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(full == audit)
+    // a filtered slice expands to exactly the matching audit subset
+    import org.apache.spark.sql.functions.col
+    val strong = Dedup.expandGrouped(docs,
+        Dedup.dedupNgramGroupedDf(docs).filter(col("jaccard") >= 0.5),
+        "jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(strong == audit.filter(_._3 >= 0.5))
+    assert(strong.size < full.size || audit.forall(_._3 >= 0.5))
+  }
+
   test("dedup_minhash candidates are deterministic and well-formed") {
     val a = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
