@@ -142,8 +142,17 @@ object IndexStore {
             .cast("int").as("cell"),
           transform(graft.functions.PqCodes.column(col("vec"), cb), p => p("code"))
             .as("codes"))
-      case _ =>
+      case "flat" =>
         vectors.select(col("id"), col("vec"), lit(0).as("cell"))
+      case other =>
+        // Mirror the reference's loader contract (ingest/backends/
+        // loader.py:10 `raise ValueError(f"Unknown backend: {name}")`)
+        // instead of silently degrading to flat. The reference's HNSW
+        // surface is config-only dead code (its loader raises on it too);
+        // graph-ANN is deliberately not implemented here — ivf/ivf_hier/
+        // ivfpq cover every reachable serving shape.
+        throw new IllegalArgumentException(
+          s"Unknown backend: $other (supported: flat, ivf, ivf_hier, ivfpq)")
     }
     val count = assigned.count()
     val dim = vectors.select(size(col("vec"))).first().getInt(0)
@@ -255,8 +264,11 @@ object IndexStore {
         VectorOps.assignCells(
             newVectors.select(col("id"), col("vec").as("embedding")), cents)
           .select(col("id"), col("embedding").as("vec"), col("cell").cast("int").as("cell"))
-      case _ =>
+      case "flat" =>
         newVectors.select(col("id"), col("vec"), lit(0).as("cell"))
+      case other => // unreachable via build(), but a hand-written manifest could carry it
+        throw new IllegalArgumentException(
+          s"Unknown backend: $other (supported: flat, ivf, ivf_hier, ivfpq)")
     }
     val added = assigned.count()
     val createdAt = ZonedDateTime.now(ZoneOffset.UTC)

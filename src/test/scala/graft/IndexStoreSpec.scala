@@ -81,6 +81,15 @@ class IndexStoreSpec extends SparkSpec {
     assert(manifest.contains("\"backend\": \"ivf_hier\""))
   }
 
+  test("unknown backend raises like the reference loader, never degrades to flat") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.build(vectors, root, "idx", "hnsw")
+    }
+    assert(e.getMessage.contains("Unknown backend: hnsw"))
+    assert(e.getMessage.contains("flat, ivf, ivf_hier, ivfpq"))
+  }
+
   test("list and delete manage indexes like the reference endpoints") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
     IndexStore.build(vectors, root, "ix_a", "flat")
