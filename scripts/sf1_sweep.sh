@@ -27,6 +27,7 @@ SHARDS="${SHARDS:-6}"
 check_sharded() {
   local dump="$1" data="$2" out="$3"
   local names shard rc=0
+  rm -f "/tmp/check_$(basename "$dump")"_*.log
   mapfile -t names < <(find "$dump" -mindepth 1 -maxdepth 1 -type d -printf '%f\n' | sort)
   local pids=()
   for ((s = 0; s < SHARDS; s++)); do
