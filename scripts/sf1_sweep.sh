@@ -42,12 +42,7 @@ check_sharded() {
   done
   cat "/tmp/check_$(basename "$dump")"_*.log > "$out"
   # the per-shard SUMMARY lines are partial; append a combined tally
-  {
-    echo "COMBINED: $(grep -ch '^PASS' "/tmp/check_$(basename "$dump")"_*.log |
-      paste -sd+ | bc) pass, $(grep -ch '^FAIL' "/tmp/check_$(basename "$dump")"_*.log |
-      paste -sd+ | bc) fail, $(grep -ch '^ROWS-ONLY' "/tmp/check_$(basename "$dump")"_*.log |
-      paste -sd+ | bc) rows-only"
-  } >> "$out"
+  echo "COMBINED: $(grep -hc '^PASS' "$out") pass, $(grep -hc '^FAIL' "$out") fail, $(grep -hc '^ROWS-ONLY' "$out") rows-only" >> "$out"
   return "$rc"
 }
 
