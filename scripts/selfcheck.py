@@ -61,29 +61,29 @@ def main(out_dir, sf_dir, only=None):
         t0 = time.time()
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no parquet output")
+            print(f"FAIL {name}: no parquet output", flush=True)
             n_fail += 1
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: {len(got)} rows")
+            print(f"ROWS-ONLY {name}: {len(got)} rows", flush=True)
             n_noracle += 1
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
             n_fail += 1
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}", flush=True)
             n_fail += 1
             continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}", flush=True)
             n_fail += 1
             continue
         # Fast path for multi-million-row frames (the sf1/skew sweeps):
@@ -101,19 +101,19 @@ def main(out_dir, sf_dir, only=None):
                       flush=True)
                 n_pass += 1
             else:
-                print(f"FAIL {name}: value mismatch (fast path)")
+                print(f"FAIL {name}: value mismatch (fast path)", flush=True)
                 n_fail += 1
             continue
         g = sorted(tuple(canon(v) for v in row) for row in got.itertuples(index=False))
         e = sorted(tuple(canon(v) for v in row) for row in exp.itertuples(index=False))
         if g != e:
             bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}", flush=True)
             n_fail += 1
         else:
             print(f"PASS {name}: {len(got)} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only", flush=True)
     return 1 if n_fail else 0
 
 
