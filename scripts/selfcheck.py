@@ -38,11 +38,16 @@ def fast_compare(got, exp):
             if len(s) and not isinstance(s.iloc[0], str):
                 return None
     cols = list(got.columns)
-    g = got.sort_values(cols, na_position="last", kind="mergesort") \
-        .reset_index(drop=True)
-    e = exp.sort_values(cols, na_position="last", kind="mergesort") \
-        .reset_index(drop=True)
-    return bool(g.equals(e))
+    try:
+        g = got.sort_values(cols, na_position="last", kind="mergesort") \
+            .reset_index(drop=True)
+        e = exp.sort_values(cols, na_position="last", kind="mergesort") \
+            .reset_index(drop=True)
+        return bool(g.equals(e))
+    except TypeError:
+        # mixed-type object column the first-element sniff missed — fall
+        # back to the exact driver-replica path instead of crashing the run
+        return None
 
 
 def main(out_dir, sf_dir, only=None):

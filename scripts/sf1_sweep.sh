@@ -33,6 +33,9 @@ check_sharded() {
   for ((s = 0; s < SHARDS; s++)); do
     local mine=()
     for ((i = s; i < ${#names[@]}; i += SHARDS)); do mine+=("${names[i]}"); done
+    # an empty trailing-names list means "check everything" to
+    # selfcheck.py — skip the shard instead of re-running the full suite
+    [[ ${#mine[@]} -eq 0 ]] && continue
     (python3 scripts/selfcheck.py "$dump" "$data" "${mine[@]}" \
       > "/tmp/check_$(basename "$dump")_$s.log" 2>&1) &
     pids+=($!)

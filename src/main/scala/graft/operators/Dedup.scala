@@ -321,10 +321,14 @@ object Dedup {
   private def substringDupWins(docs: DataFrame): (DataFrame, DataFrame) = {
     val L = SubstringLen
     val groups = normGroups(docs)
+    // ntok counts the TRIMMED norm's tokens — the same tokens the
+    // WordWindowHashes kernel (wsTokens space-trims first) windows over,
+    // so window positions and the coverage denominator agree on contents
+    // whose raw text was edged by non-space whitespace.
     val toked = groups.select(
       col("rep_id"), col("members"), size(col("members")).as("nm"),
-      when(length(col("norm")) === 0, lit(0L))
-        .otherwise(size(split(col("norm"), " ")).cast("long")).as("ntok"),
+      when(length(trim(col("norm"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("norm")), " ")).cast("long")).as("ntok"),
       col("norm"))
     // (content, window-start, window-hash) over distinct contents only.
     // Checkpointed: the frame feeds BOTH the duplicated-hash count and
@@ -459,10 +463,10 @@ object Dedup {
        |  GROUP BY norm),
        |t AS (
        |  SELECT rep_id, members, len(members) AS nm,
-       |    CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
-       |         ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS ntok,
-       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split(norm, ' ') END AS toks
+       |    CASE WHEN length(trim(norm)) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split(trim(norm), ' ')) AS BIGINT) END AS ntok,
+       |    CASE WHEN length(trim(norm)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split(trim(norm), ' ') END AS toks
        |  FROM g),
        |w AS MATERIALIZED (
        |  SELECT rep_id, nm, ntok, CAST(i AS BIGINT) AS pos,
@@ -925,22 +929,23 @@ object Dedup {
        |${groupedSql("rvp", "jaccard", "jaccard", "1.0",
          "JOIN nbv ON g.rep_id = nbv.rep_id")}""".stripMargin
 
-  /** CTE chain BODY ending in `pairs(doc_a, doc_b)` — the verified
-    * two-stage pair SET (what cluster propagation consumes).
-    */
-  def verifiedPairsCtes: String =
-    s"""$verifiedScoredCtes,
-       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM vsc WHERE j >= $NgramJaccardThreshold)""".stripMargin
-
   /** The collapsed oracle FRONT shared by every dedup-family oracle:
     * verbatim-dup groups `g` (rep_id = min member, members ascending) and
-    * the distinct-content word-3-gram shingle sets `sh`. Every downstream
-    * pair stage (exact shingle join, minhash bands, simhash chunks) runs
-    * over DISTINCT contents only — the same collapse the Spark operators
+    * the distinct-content token lists `t`. Every downstream pair stage
+    * (exact shingle join, minhash bands, simhash chunks) runs over
+    * DISTINCT contents only — the same collapse the Spark operators
     * apply, which is what keeps the oracle tractable on duplicate-heavy
     * (skewed) corpora.
+    *
+    * The split runs over `trim(norm)` because the Spark kernels do:
+    * [[graft.functions.GraftText.wsTokens]] space-trims before splitting,
+    * and norm's edges are single spaces after the \\s+ collapse (a doc
+    * edged by \t/\n keeps that codepoint through the space-only `trim`,
+    * then collapses it to a leading/trailing ' '). An untrimmed split
+    * would emit empty edge tokens here that the kernel never produces —
+    * phantom shingles on 2-real-token contents (the r9 advisor class).
     */
-  private def collapsedShingleCtes: String =
+  private def collapsedTokenCtes: String =
     s"""g AS MATERIALIZED (
        |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
@@ -948,9 +953,12 @@ object Dedup {
        |  GROUP BY norm),
        |t AS (
        |  SELECT rep_id AS doc_id,
-       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(norm, '\\s+') END AS toks
-       |  FROM g),
+       |    CASE WHEN length(trim(norm)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(norm), '\\s+') END AS toks
+       |  FROM g)""".stripMargin
+
+  private def collapsedShingleCtes: String =
+    s"""$collapsedTokenCtes,
        |sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
@@ -1261,9 +1269,10 @@ object Dedup {
          "JOIN nbv ON g.rep_id = nbv.rep_id")}""".stripMargin
 
   private def simhashCtesBody: String = {
-    // Empty edge tokens (leading \t/\n survives the space-only trim and
-    // splits to '') hash to 0 on the Spark side; list_reduce over an empty
-    // list errors in DuckDB, so guard with CASE.
+    // The trimmed shared front emits no empty tokens, but keep the guard:
+    // list_reduce over an empty list errors in DuckDB, and a silent
+    // tokenization change upstream should degrade to hash 0 (the kernel's
+    // empty-token value), not a query error.
     def poly(base: Long, mod: Long): String =
       s"""CASE WHEN length(tok) = 0 THEN 0
          |    ELSE list_reduce(list_transform(range(1, length(tok) + 1),
@@ -1281,20 +1290,13 @@ object Dedup {
       s"SELECT doc_id, $j AS j, c$j AS chunk FROM c").mkString("\n  UNION ALL ")
     val ham = (0 until SimhashChunks).map(j =>
       s"bit_count(xor(ca.c$j, cb.c$j))").mkString(" + ")
-    // Collapsed construction mirroring the Spark stage: `g` verbatim-dup
-    // groups, chunk signatures over distinct contents only, content-level
-    // stop guard, `nbv` band survival, member expansion (within pairs are
-    // hamming 0).
-    s"""g AS MATERIALIZED (
-       |  SELECT min(doc_id) AS rep_id, list_sort(list(doc_id)) AS members, norm
-       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-       |        FROM documents)
-       |  GROUP BY norm),
-       |t AS (
-       |  SELECT rep_id AS doc_id,
-       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(norm, '\\s+') END AS toks
-       |  FROM g),
+    // Collapsed construction mirroring the Spark stage: the shared
+    // [[collapsedTokenCtes]] front (g verbatim-dup groups + trimmed
+    // distinct-content tokens — one definition for the whole dedup
+    // family, so a tokenization fix can never desync simhash), chunk
+    // signatures over distinct contents only, content-level stop guard,
+    // `nbv` band survival, member expansion (within pairs are hamming 0).
+    s"""$collapsedTokenCtes,
        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
        |hh AS (
        |  SELECT doc_id,

@@ -55,18 +55,23 @@ private[graft] final class FrameCache {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         // Full row CONTENT, not the 32-bit hashCode — a hashCode fold
         // reopens exactly the collision window the class doc rejects.
-        // UnsafeRow exposes its backing bytes; other InternalRows print
-        // every value. Length-prefix each row so concatenations can't
-        // alias across row boundaries.
+        // UnsafeRow exposes its backing bytes; other InternalRows are
+        // folded FIELD-WISE with null markers and length prefixes
+        // (InternalRow.toString comma-joins unescaped, so (null) vs
+        // ("null") or ("a,b","c") vs ("a","b,c") would alias).
+        val types = lr.output.map(_.dataType)
         digest.update(java.nio.ByteBuffer.allocate(4).putInt(lr.data.length).array())
-        lr.data.foreach { r =>
-          val bytes = r match {
-            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-              ur.getBytes
-            case other => other.toString.getBytes(StandardCharsets.UTF_8)
-          }
-          digest.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
-          digest.update(bytes)
+        lr.data.foreach {
+          case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            val bytes = ur.getBytes
+            digest.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+            digest.update(bytes)
+          case other =>
+            var i = 0
+            while (i < types.length) {
+              FrameCache.foldValue(digest, types(i), other.get(i, types(i)))
+              i += 1
+            }
         }
       case lrd: LogicalRDD =>
         digest.update(java.nio.ByteBuffer.allocate(4).putInt(lrd.rdd.id).array())
@@ -128,6 +133,42 @@ private[graft] object FrameCache {
     * letting a snapshot-per-query caller grow unboundedly.
     */
   val MaxPerSession = 4
+
+  /** Injective fold of one field value into the digest: a null marker
+    * byte, then a length-prefixed payload; collections recurse with
+    * element counts so nested values can't alias across boundaries
+    * either. Scalars go through String.valueOf, which is injective per
+    * concrete scalar type (numbers, booleans, UTF8String, Decimal).
+    */
+  private def foldValue(digest: MessageDigest,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    if (v == null) { digest.update(0.toByte); return }
+    digest.update(1.toByte)
+    dt match {
+      case st: StructType =>
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        var i = 0
+        while (i < st.length) { foldValue(digest, st(i).dataType, r.get(i, st(i).dataType)); i += 1 }
+      case at: ArrayType =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        digest.update(java.nio.ByteBuffer.allocate(4).putInt(a.numElements()).array())
+        var i = 0
+        while (i < a.numElements()) { foldValue(digest, at.elementType, a.get(i, at.elementType)); i += 1 }
+      case mt: MapType =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        digest.update(java.nio.ByteBuffer.allocate(4).putInt(m.numElements()).array())
+        foldValue(digest, ArrayType(mt.keyType), m.keyArray())
+        foldValue(digest, ArrayType(mt.valueType), m.valueArray())
+      case _ =>
+        val bytes = v match {
+          case b: Array[Byte] => b // BinaryType: valueOf would print identity
+          case other => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
+        }
+        digest.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+        digest.update(bytes)
+    }
+  }
 
   /** Best-effort eager unpersist of an eagerly-checkpointed frame: find
     * the `LogicalRDD` leaves the checkpoint planted and unpersist their

@@ -30,6 +30,39 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
   }
 
+  test("edge-whitespace contents tokenize TRIMMED everywhere: 2-real-token " +
+      "groups never pair, equal-token norms pair across groups") {
+    // "\tfoo bar\n" normalizes to " foo bar " (trim strips spaces only, the
+    // \s+ collapse leaves edge spaces) — the r9 advisor input class. The
+    // kernel space-trims before splitting, so this content has 2 tokens /
+    // zero 3-gram shingles and its verbatim group must emit NO pairs from
+    // either arm. Conversely "alpha beta gamma delta\n" is a DIFFERENT
+    // verbatim group than the bare form (norm keeps the edge space) with
+    // IDENTICAL trimmed tokens, so the rep-pair arm must score them 1.0.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "\tfoo bar\n"),
+      (2L, "\tfoo bar\n"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma delta"),
+      (5L, "alpha beta gamma delta\n")).toDF("doc_id", "text")
+    val pairs = Dedup.dedupNgramDf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(pairs == Set((3L, 4L, 1.0), (3L, 5L, 1.0), (4L, 5L, 1.0)),
+      s"got $pairs")
+    // the component graph agrees: docs 1-2 are isolated, 3-4-5 connect
+    val edges = Dedup.ngramComponentEdgesDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!edges.exists(e => e._1 <= 2 || e._2 <= 2), s"got $edges")
+    assert(edges.nonEmpty)
+    // substring ntok counts trimmed (real) tokens only
+    val ntoks = Dedup.dedupSubstringDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(ntoks(1L) == 2L && ntoks(3L) == 4L && ntoks(5L) == 4L, s"got $ntoks")
+  }
+
   test("grouped pair forms expand to exactly the audit pair sets") {
     // The production (grouped) form must be information-equivalent to the
     // audit expansion: joining members back recovers EXACTLY the audit

@@ -28,7 +28,7 @@ class VerifyApproxSpec extends SparkSpec {
     // above the error floor) instead of exact agreement — and pass.
     val c = VerifyApprox.heavyHittersCheckImpl(spark, dir, 8)
     assert(!c.detail.contains("(0 saturated"),
-      s"capacity 16 did not saturate the sketch: ${c.detail}")
+      s"capacity 8 did not saturate the sketch: ${c.detail}")
     assert(c.pass, s"${c.metric}=${c.value} (${c.detail})")
   }
 
