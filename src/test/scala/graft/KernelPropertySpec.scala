@@ -208,6 +208,88 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  // -- WordWindowHashes -----------------------------------------------------
+
+  test("WordWindowHashes: positional model; hash SET equals the distinct " +
+      "shingle-hash kernel's") {
+    checkProp(Prop.forAll(genText, Gen.choose(1, 4)) { (s, n) =>
+      val toks = GraftText.wsTokens(s)
+      val got = WordWindowHashes.hashes(s, n)
+      val want =
+        if (toks.length < n) Array.empty[Long]
+        else Array.tabulate(toks.length - n + 1) { i =>
+          val w = toks.slice(i, i + n).mkString(" ")
+          PolyHash.hash(w, SimHashConf.Base1, SimHashConf.Mod1) * SimHashConf.Mod2 +
+            PolyHash.hash(w, SimHashConf.Base2, SimHashConf.Mod2)
+        }
+      java.util.Arrays.equals(got, want) &&
+        got.toSet == WordShingleHashes.hashes(s, n).toSet
+    })
+  }
+
+  // -- MinHashBandKeys ------------------------------------------------------
+
+  test("MinHashBandKeys: equals the set-min model; band/row structure holds") {
+    checkProp(Prop.forAll(genText) { s =>
+      val sh = WordShingles.shingles(s, 3)
+      val got = MinHashConf.bandKeys(s)
+      if (sh.isEmpty) got.isEmpty
+      else {
+        // model: min over the shingle SET per hash function — insertion
+        // order must not matter, so fold over the sorted distinct set
+        val hs = sh.map(x => PolyHash.hash(x, 31, 1000000007L)).toSet
+        val sigs = (0 until MinHashConf.NumHashes).map(j =>
+          hs.map(h => (h * MinHashConf.HashA(j) + MinHashConf.HashB(j)) %
+            MinHashConf.P).min)
+        val want = (0 until MinHashConf.Bands).map(b =>
+          (0 until MinHashConf.RowsPerBand)
+            .map(r => sigs(b * MinHashConf.RowsPerBand + r)).mkString(","))
+        got.toSeq == want &&
+          got.length == MinHashConf.Bands &&
+          got.forall(_.split(",", -1).length == MinHashConf.RowsPerBand) &&
+          sigs.forall(v => v >= 0 && v < MinHashConf.P)
+      }
+    })
+  }
+
+  // -- TextStats ------------------------------------------------------------
+
+  test("TextStats: each fused stat equals its standalone definition") {
+    val stop = Seq("the", "a", "of", "ONE")
+    val expr = TextStats(BoundReference(0, StringType, nullable = true), stop)
+    checkProp(Prop.forAll(genUnicode) { s =>
+      val out = expr.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val toks = GraftText.wsTokens(s)
+      val punct = s.codePoints().toArray.count { cp =>
+        val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          (cp >= '0' && cp <= '9')
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r'
+        !alnum && !ws
+      }
+      out.length == 4 &&
+        out(0) == toks.length.toLong &&
+        out(1) == punct.toLong &&
+        out(2) == toks.count(stop.contains).toLong &&
+        out(3) == toks.map(w => w.codePointCount(0, w.length).toLong).sum
+    })
+  }
+
+  // -- ProfileHits ----------------------------------------------------------
+
+  test("ProfileHits: per-profile counts equal independent filters") {
+    val profiles = Seq(Seq("the", "a", "le"), Seq("der", "die", "das"), Seq.empty)
+    val expr = ProfileHits(BoundReference(0, StringType, nullable = true),
+      profiles.map(_.toIndexedSeq).toIndexedSeq)
+    checkProp(Prop.forAll(genText) { s =>
+      val out = expr.eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val toks = GraftText.wsTokens(s)
+      out.toSeq == profiles.map(p => toks.count(p.toSet).toLong)
+    })
+  }
+
   // -- PolyHash inside the combine never overflows --------------------------
 
   test("shingle combine stays within Long (no silent overflow)") {
