@@ -1007,6 +1007,58 @@ object Dedup {
     * rep-level min label the true min doc id). The old doc-level
     * recursive closure was quadratic in verbatim-group size.
     */
+  /** Fixed rounds for the [[hashToMinCcSql]] chains: hash-to-min halves
+    * the effective component diameter per round (measured: a shuffled
+    * 100k-node PATH graph fully labels by round ~20 ≈ log₂ diameter), so
+    * 24 rounds cover any remotely plausible near-dup graph. Convergence
+    * is still externally checked: an unconverged run's labels disagree
+    * with the Spark side and the artifact compare fails LOUDLY — fixed
+    * rounds can never silently pass a wrong answer.
+    */
+  private val CcRounds = 24
+
+  /** Min-label connected components over `$nodes(rep)` / `$edges(src,
+    * dst)` (symmetric edge list) as a FIXED-ROUND hash-to-min CTE chain
+    * ending in `$out(rep_id, cluster_rep)` — cluster_rep = component min.
+    *
+    * Why not `WITH RECURSIVE`: DuckDB 1.0's only closure form
+    * materializes all-pairs reachability — Θ(Σ component²) distinct rows
+    * — which on the skewed-sf1 rep graph ran for HOURS (the r8 sweep
+    * killer). Hash-to-min (Rastogi et al., "Finding Connected Components
+    * in MapReduce and Beyond"-family, ICDE'13) keeps per-round state at
+    * O(V+E) rows: each node holds a candidate set C(v) (rows (v,u)),
+    * per round the set min m(v) is broadcast to every u ∈ C(v) and C(v)
+    * migrates to m(v); components label in O(log diameter) rounds. Every
+    * round's CTE is MATERIALIZED — unhinted, DuckDB inlines a CTE per
+    * reference and this chain references each round three times (3^24
+    * plan blowup).
+    */
+  private def hashToMinCcSql(p: String, nodes: String, edges: String,
+      out: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${p}0 AS MATERIALIZED (
+         |  SELECT src AS v, dst AS u FROM $edges
+         |  UNION
+         |  SELECT rep, rep FROM $nodes)""".stripMargin)
+    for (k <- 1 to CcRounds) {
+      sb.append(
+        s""",
+           |${p}m$k AS MATERIALIZED (SELECT v, min(u) AS m FROM ${p}${k - 1} GROUP BY v),
+           |${p}$k AS MATERIALIZED (
+           |  SELECT DISTINCT v, u FROM (
+           |    SELECT mm.m AS v, c.u FROM ${p}${k - 1} c JOIN ${p}m$k mm ON c.v = mm.v
+           |    UNION ALL
+           |    SELECT c.u AS v, mm.m AS u FROM ${p}${k - 1} c JOIN ${p}m$k mm ON c.v = mm.v
+           |  ))""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |$out AS MATERIALIZED (
+         |  SELECT v AS rep_id, min(u) AS cluster_rep FROM ${p}$CcRounds GROUP BY v)""".stripMargin)
+    sb.toString
+  }
+
   private def clusterRepCtes: String =
     s"""$ngramRepCtes,
        |redges AS MATERIALIZED (
@@ -1017,11 +1069,7 @@ object Dedup {
        |  UNION
        |  SELECT g.rep_id FROM g JOIN exx ON g.rep_id = exx.doc_id
        |  WHERE len(g.members) >= 2),
-       |rreach AS (
-       |  SELECT rep AS a, rep AS b FROM rnodes
-       |  UNION
-       |  SELECT r.a, e.dst FROM rreach r JOIN redges e ON e.src = r.b),
-       |rcl AS (SELECT a AS rep_id, min(b) AS cluster_rep FROM rreach GROUP BY a)""".stripMargin
+       |${hashToMinCcSql("cc", "rnodes", "redges", "rcl")}""".stripMargin
 
   /** DuckDB oracle for dedup_clusters: rep-level components expanded to
     * members.
@@ -1078,11 +1126,7 @@ object Dedup {
        |  UNION
        |  SELECT g.rep_id FROM g JOIN nbv ON g.rep_id = nbv.rep_id
        |  WHERE len(g.members) >= 2),
-       |vrreach AS (
-       |  SELECT rep AS a, rep AS b FROM vrnodes
-       |  UNION
-       |  SELECT r.a, e.dst FROM vrreach r JOIN vredges e ON e.src = r.b),
-       |vrcl AS (SELECT a AS rep_id, min(b) AS cluster_rep FROM vrreach GROUP BY a),
+       |${hashToMinCcSql("vcc", "vrnodes", "vredges", "vrcl")},
        |clus AS (
        |  SELECT m.doc_id AS doc_id, m.doc_id = vrcl.cluster_rep AS dup_keep
        |  FROM vrcl JOIN g ON vrcl.rep_id = g.rep_id
