@@ -1033,7 +1033,7 @@ object Dedup {
     * reference and this chain references each round three times (3^24
     * plan blowup).
     */
-  private def hashToMinCcSql(p: String, nodes: String, edges: String,
+  private[operators] def hashToMinCcSql(p: String, nodes: String, edges: String,
       out: String): String = {
     val sb = new StringBuilder
     sb.append(

@@ -284,25 +284,23 @@ object Multimodal {
       multimodalPhashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
 
   /** DuckDB oracle for multimodal_phash_clusters: the phash pair CTEs +
-    * the recursive-CTE reachability min-label (the pipeline_filter
-    * pattern).
+    * the shared fixed-round hash-to-min component chain (the all-pairs
+    * reachability closure this replaces is Θ(Σ component²) rows — fine on
+    * the small media dup graph, but one shared scale-safe generator beats
+    * two closure idioms; see [[Dedup.hashToMinCcSql]]).
     */
   def phashClustersOracleSql: String = {
     val pairCte = phashPairsOracleSql
       .replaceFirst("(?s)\\nSELECT doc_a, doc_b.*$", "")
-      .replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$pairCte,
        |pp AS (SELECT doc_a, doc_b FROM cand
        |       WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming),
        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pp
        |          UNION ALL SELECT doc_b, doc_a FROM pp),
-       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-       |reach AS (
-       |  SELECT doc AS a, doc AS b FROM nodes
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-       |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
-       |FROM reach GROUP BY a""".stripMargin
+       |nodes AS (SELECT DISTINCT src AS rep FROM edges),
+       |${Dedup.hashToMinCcSql("mcc", "nodes", "edges", "mcl")}
+       |SELECT rep_id AS doc_id, cluster_rep, rep_id = cluster_rep AS keep
+       |FROM mcl""".stripMargin
   }
 
   /** Feature-extract for media payloads: the stub encoder over the payload
