@@ -835,14 +835,8 @@ object Dedup {
        |exx AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
        |eex AS (SELECT doc_id, unnest(sh) AS s FROM exx),
        |esz AS (SELECT doc_id, len(sh) AS n FROM exx),
-       |ei AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-       |  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |erp AS (
-       |  SELECT doc_a AS rep_a, doc_b AS rep_b, 1 AS one
-       |  FROM ei JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
-       |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold),
+       |$slicedNgpCtes,
+       |erp AS (SELECT rep_a, rep_b, 1 AS one FROM ngp),
        |ep AS (
        |  SELECT doc_a, doc_b FROM (
        |${expandSql("erp", "one", "1", "JOIN exx ON g.rep_id = exx.doc_id")}
@@ -976,15 +970,41 @@ object Dedup {
        |exx AS MATERIALIZED (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
        |eex AS (SELECT doc_id, unnest(sh) AS s FROM exx),
        |esz AS (SELECT doc_id, len(sh) AS n FROM exx),
-       |ei AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-       |  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |$slicedNgpCtes""".stripMargin
+
+  /** How many `doc_a % N` slices the exact shingle-join pair aggregation
+    * runs in. The join's pre-aggregation intermediate is Σ_s postings(s)²
+    * rows — 2.5 BILLION at skewed sf1 (one boilerplate shingle shared by
+    * 5,018 distinct contents contributes 12.6M pair rows alone), and the
+    * grouping hashtable over it exceeded both DuckDB's memory limit and
+    * the disk's spill headroom. Slicing by the smaller pair id partitions
+    * the PAIR space exactly (each pair's full count lands in one slice),
+    * total join work is unchanged, and each slice's aggregation state is
+    * 1/N the size and thresholded before materialization — the skewed-sf1
+    * pair stage went from a >1 h ENOSPC death to 27 s, no spill.
+    */
+  private val EiSlices = 16
+
+  /** Sliced exact pair stage over `eex`/`esz`, ending in
+    * `ngp(rep_a, rep_b, jaccard)` (threshold applied inside each slice).
+    */
+  private def slicedNgpCtes: String = {
+    val slices = (0 until EiSlices).map { i =>
+      s"""ngp$i AS MATERIALIZED (
+         |  SELECT doc_a AS rep_a, doc_b AS rep_b,
+         |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         |    FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    WHERE a.doc_id % $EiSlices = $i
+         |    GROUP BY 1, 2) ei
+         |  JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold)""".stripMargin
+    }.mkString(",\n")
+    s"""$slices,
        |ngp AS MATERIALIZED (
-       |  SELECT doc_a AS rep_a, doc_b AS rep_b,
-       |    CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) AS jaccard
-       |  FROM ei JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
-       |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold)""".stripMargin
+       |  ${(0 until EiSlices).map(i => s"SELECT * FROM ngp$i").mkString("\n  UNION ALL ")})""".stripMargin
+  }
 
   /** DuckDB oracle for dedup_ngram: rep-level exact pairs expanded to
     * member level. Jaccard is a function of the normalized text alone, so
