@@ -839,7 +839,7 @@ object Dedup {
        |erp AS (SELECT rep_a, rep_b, 1 AS one FROM ngp),
        |ep AS (
        |  SELECT doc_a, doc_b FROM (
-       |${expandSql("erp", "one", "1", "JOIN exx ON g.rep_id = exx.doc_id")}
+       |${expandSql("erp", "one", "1", "JOIN exx ON ta.rep_id = exx.doc_id")}
        |)),
        |j AS (
        |  SELECT COALESCE(e.one, 0) AS in_exact, COALESCE(a.one, 0) AS in_approx
@@ -949,7 +949,8 @@ object Dedup {
        |  SELECT rep_id AS doc_id,
        |    CASE WHEN length(trim(norm)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE string_split_regex(trim(norm), '\\s+') END AS toks
-       |  FROM g)""".stripMargin
+       |  FROM g),
+       |gm AS MATERIALIZED (SELECT rep_id, unnest(members) AS m FROM g)""".stripMargin
 
   private def collapsedShingleCtes: String =
     s"""$collapsedTokenCtes,
@@ -1016,7 +1017,7 @@ object Dedup {
   def ngramOracleSql: String =
     s"""WITH $ngramRepCtes,
        |pairs AS (
-       |${expandSql("ngp", "jaccard", "1.0", "JOIN exx ON g.rep_id = exx.doc_id")})
+       |${expandSql("ngp", "jaccard", "1.0", "JOIN exx ON ta.rep_id = exx.doc_id")})
        |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
 
   /** CTE chain BODY ending in the rep-level cluster map `rcl(rep_id,
@@ -1200,22 +1201,27 @@ object Dedup {
     * $v)` plus the within-group arm valued by `$withinV` per rep — the SQL
     * twin of the Spark expansion. `withinJoin` states when a group's
     * within pairs exist at all (band survival for the LSH graphs, shingle
-    * nonemptiness for the exact graph).
+    * nonemptiness for the exact graph) and must join on `ta.rep_id`.
+    *
+    * Joins the flat member table `gm` (the shared front) instead of
+    * CROSS JOIN UNNEST over the `members` lists: the list form carried a
+    * COPY of the member array in every rep-pair join row, so a hot rep
+    * (the 5,018-copy verbatim group) multiplied its 40 KB list across
+    * every one of its rep pairs — tens of GB of transient state that
+    * ENOSPC'd the skewed-sf1 compare. The flat join's intermediate is
+    * exactly the output rows.
     */
   private def expandSql(src: String, v: String, withinV: String,
-      withinJoin: String = "JOIN nbv ON g.rep_id = nbv.rep_id"): String =
-    s"""  SELECT least(ta.ma, tb.mb) AS doc_a, greatest(ta.ma, tb.mb) AS doc_b, $src.$v AS $v
+      withinJoin: String = "JOIN nbv ON ta.rep_id = nbv.rep_id"): String =
+    s"""  SELECT least(ma.m, mb.m) AS doc_a, greatest(ma.m, mb.m) AS doc_b, $src.$v AS $v
        |  FROM $src
-       |  JOIN g ga ON $src.rep_a = ga.rep_id
-       |  JOIN g gb ON $src.rep_b = gb.rep_id
-       |  CROSS JOIN UNNEST(ga.members) AS ta(ma)
-       |  CROSS JOIN UNNEST(gb.members) AS tb(mb)
+       |  JOIN gm ma ON $src.rep_a = ma.rep_id
+       |  JOIN gm mb ON $src.rep_b = mb.rep_id
        |  UNION ALL
-       |  SELECT ta.ma AS doc_a, tb.mb AS doc_b, $withinV AS $v
-       |  FROM g $withinJoin
-       |  CROSS JOIN UNNEST(g.members) AS ta(ma)
-       |  CROSS JOIN UNNEST(g.members) AS tb(mb)
-       |  WHERE ta.ma < tb.mb""".stripMargin
+       |  SELECT ta.m AS doc_a, tb.m AS doc_b, $withinV AS $v
+       |  FROM gm ta
+       |  JOIN gm tb ON ta.rep_id = tb.rep_id AND ta.m < tb.m
+       |  $withinJoin""".stripMargin
 
   /** DuckDB oracle for dedup_minhash, generated from the same constants so
     * Spark and the oracle can never drift.
