@@ -28,6 +28,24 @@ def canon(v):
     return repr(v)
 
 
+def _float_bits(col):
+    """Float column -> integer bit patterns with canonical NaN: equality
+    becomes BIT-exact (distinguishing -0.0 from 0.0, which pandas
+    `.equals` would conflate) while any-NaN == any-NaN regardless of
+    payload — the same semantics as the slow path's canon/repr cells.
+    Returns None for non-float dtypes."""
+    import numpy as np
+    a = col.to_numpy()
+    if a.dtype.kind != "f" or a.dtype.itemsize not in (4, 8):
+        return None
+    a = a.copy()
+    a[np.isnan(a)] = np.nan  # canonical NaN bits, dtype preserved
+    import pandas as pd
+    return pd.Series(
+        a.view(np.int64 if a.dtype.itemsize == 8 else np.int32),
+        index=col.index)
+
+
 def fast_compare(got, exp):
     """Sorted-frame equality via pandas; None = not eligible, fall back."""
     if [str(d) for d in got.dtypes] != [str(d) for d in exp.dtypes]:
@@ -37,6 +55,11 @@ def fast_compare(got, exp):
             s = got[c].dropna()
             if len(s) and not isinstance(s.iloc[0], str):
                 return None
+    got, exp = got.copy(deep=False), exp.copy(deep=False)
+    for c in got.columns:
+        gb = _float_bits(got[c])
+        if gb is not None:
+            got[c], exp[c] = gb, _float_bits(exp[c])
     cols = list(got.columns)
     try:
         g = got.sort_values(cols, na_position="last", kind="mergesort") \
@@ -92,11 +115,12 @@ def main(out_dir, sf_dir, only=None):
             n_fail += 1
             continue
         # Fast path for multi-million-row frames (the sf1/skew sweeps):
-        # vectorized pandas sort + NaN-aware frame equality instead of
-        # python tuple reprs (which cost minutes and GBs at 50M rows).
-        # Semantics match the slow path except -0.0 == 0.0; requires
-        # identical dtypes and no non-string object columns, else falls
-        # back to the exact driver-replica compare.
+        # vectorized pandas sort + frame equality over float BIT patterns
+        # (canonical NaN) instead of python tuple reprs (which cost
+        # minutes and GBs at 50M rows). Semantics match the slow path —
+        # -0.0 != 0.0, any NaN == any NaN; requires identical dtypes and
+        # no non-string object columns, else falls back to the exact
+        # driver-replica compare.
         fast = None
         if len(got) > 500_000:
             fast = fast_compare(got, exp)

@@ -128,7 +128,6 @@ object VerifyApprox {
   private[graft] def heavyHittersCheckImpl(spark: SparkSession, dir: String,
       maxTracked: Int): Check = {
     val k = operators.Relational.HeavyHittersK
-    val exact = operators.Relational.qEventsHeavyHitters(spark, dir)
     val approx = operators.Relational
       .qEventsHeavyHittersApprox(spark, dir, maxTracked).localCheckpoint(true)
     // TRUE trailing counts for EVERY window user (not just the top-K) —
@@ -138,6 +137,15 @@ object VerifyApprox {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("user_id"),
         col("n_events").as("ne"))
       .localCheckpoint(true)
+    // The exact twin is heavyHittersTrailing + a per-day top-K rank
+    // (qEventsHeavyHitters's own definition), so derive it from the
+    // checkpointed `full` instead of re-running the whole events scan +
+    // trailing aggregation a second time per VerifyApprox run.
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("ne").desc, col("user_id"))
+    val exact = full.withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("user_id"), col("ne").as("n_events"))
     val dayStats = full.groupBy(col("day"))
       .agg(count(lit(1)).as("u"), sum(col("ne")).as("n"))
       .select(col("day"), col("u"),

@@ -646,8 +646,9 @@ object Dedup {
       .join(sizes.filter(col("nd") >= 2), Seq("rep_id"))
       .select(col("rep_id").as("rep_a"), col("rep_id").as("rep_b"), col("v"),
         col("nd").as("n_docs_a"), col("nd").as("n_docs_b"),
-        // integer-exact: g(g-1) is even; plain `/` would widen to double
-        ((col("nd") * (col("nd") - 1)) / 2).cast("long").as("n_pairs"))
+        // g(g-1) is even, so integral DIV 2 is exact; plain `/` widens to
+        // double and rounds past 2^53 members-squared
+        expr("nd * (nd - 1) DIV 2").as("n_pairs"))
     cross.unionByName(within).withColumnRenamed("v", out)
   }
 
@@ -872,11 +873,13 @@ object Dedup {
 
   /** CTE chain BODY ending in `rvsc(rep_a, rep_b, j)` — the rep-level
     * LSH-verified scored pairs, shared by the expanded and grouped
-    * verified oracles.
+    * verified oracles. MATERIALIZED because the cluster oracles
+    * (vredges) reference it twice — unhinted, DuckDB would inline and
+    * re-run the expensive list_intersect verify join per reference.
     */
   private def verifiedRepCtes: String =
     s"""${minhashCtesBody},
-       |rvsc AS (
+       |rvsc AS MATERIALIZED (
        |  SELECT rep_a, rep_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS j
@@ -899,7 +902,7 @@ object Dedup {
        |UNION ALL
        |SELECT g.rep_id, g.rep_id, $withinV AS $outName,
        |  CAST(len(g.members) AS BIGINT), CAST(len(g.members) AS BIGINT),
-       |  CAST(len(g.members) * (len(g.members) - 1) / 2 AS BIGINT)
+       |  CAST(len(g.members) * (len(g.members) - 1) // 2 AS BIGINT)
        |FROM g $withinJoin
        |WHERE len(g.members) >= 2""".stripMargin
 
@@ -983,6 +986,11 @@ object Dedup {
     * total join work is unchanged, and each slice's aggregation state is
     * 1/N the size and thresholded before materialization — the skewed-sf1
     * pair stage went from a >1 h ENOSPC death to 27 s, no spill.
+    *
+    * The slice predicate double-mods because DuckDB's `%` keeps the
+    * dividend's sign: a NEGATIVE doc_id (the operators accept any
+    * (doc_id, text) frame) would otherwise match no slice 0..N-1 and its
+    * pairs would silently vanish from the oracle.
     */
   private val EiSlices = 16
 
@@ -997,7 +1005,7 @@ object Dedup {
          |  FROM (
          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
          |    FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |    WHERE a.doc_id % $EiSlices = $i
+         |    WHERE ((a.doc_id % $EiSlices) + $EiSlices) % $EiSlices = $i
          |    GROUP BY 1, 2) ei
          |  JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
          |  WHERE CAST(m AS DOUBLE) / CAST(sa.n + sb.n - m AS DOUBLE) >= $NgramJaccardThreshold)""".stripMargin
