@@ -5,6 +5,11 @@
 #   scripts/sf1_sweep.sh check    — DuckDB selfcheck both dumps, SHARDED
 #   scripts/sf1_sweep.sh bench    — Bench both dirs + SkewReport
 #   scripts/sf1_sweep.sh approx   — VerifyApprox at sf0.1 + sf1 + skew
+#   scripts/sf1_sweep.sh adv      — hostile-input lane: generate the
+#                                   adversarial dir from sf0.1 (negative
+#                                   doc ids, ws-edged/empty/short/astral
+#                                   text, degenerate sources), Verify it,
+#                                   DuckDB-check all queries
 # Artifacts land as CORRECTNESS_{sf1,skew}_${ROUND}.txt,
 # BENCH_{sf1,skew}_${ROUND}.json, SKEW_REPORT_${ROUND}.json,
 # CORRECTNESS_approx_${ROUND}.json. Set ROUND=rNN to retarget (default r09).
@@ -49,7 +54,7 @@ check_sharded() {
   return "$rc"
 }
 
-case "${1:?gen|verify|check|bench|approx}" in
+case "${1:?gen|verify|check|bench|approx|adv}" in
   gen)
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$UNI" 10 4
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$SKW" 10 4 --skew
@@ -84,6 +89,15 @@ case "${1:?gen|verify|check|bench|approx}" in
       2>/dev/null | tail -1 > "BENCH_skew_${ROUND}.json"
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx24g graft.SkewReport "$SKW" "$UNI" \
       2>/dev/null | tail -1 > "SKEW_REPORT_${ROUND}.json"
+    ;;
+  adv)
+    ADV=testdata-adv
+    SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx12g graft.GenScale \
+      /root/testdata/sf0.1 "$ADV" 1 1 --adversarial
+    SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.Verify "$ADV" /tmp/vadv \
+      2>/tmp/vadv.err
+    grep "\[verify\]" /tmp/vadv.err && exit 1 || true
+    python3 scripts/selfcheck.py /tmp/vadv "$ADV" | tee "CORRECTNESS_adv_${ROUND}.txt"
     ;;
   approx)
     SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx16g graft.VerifyApprox \

@@ -40,7 +40,24 @@ import graft.sources.Tables
   *   all assignments to be capped; at nlist=32 that is 12.5%), so the
   *   sweep proves the guard actually fires, not just that it exists.
   *
-  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor] [--skew]`
+  * `--adversarial` (hostile-input mode) perturbs DOCUMENTS into the
+  * input classes the engine's contracts must survive but generated data
+  * never exercises — both engines read the same parquet, so the DuckDB
+  * gate stays exact:
+  * - every 3rd doc_id is NEGATED (`-id - 1`, still unique): ids are
+  *   opaque keys, nothing may assume a sign (the oracle slice-predicate
+  *   class — DuckDB's `%` keeps the dividend's sign);
+  * - whitespace-edged text (`\t…\n`), including a many-copy verbatim
+  *   group of "hi there\n" — 2 real tokens edged by a newline, the
+  *   r9 advisor's phantom-shingle class;
+  * - empty, 1-token, and 2-token documents;
+  * - two 120-word verbatim mega-groups, one of them whitespace-edged,
+  *   whose members span BOTH id signs;
+  * - astral-plane + combining-mark unicode (surrogate-pair handling in
+  *   the fused kernels vs DuckDB's codepoint functions).
+  * Events / embeddings / relational tables stay verbatim copies.
+  *
+  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor] [--skew|--adversarial]`
   */
 object GenScale {
 
@@ -63,7 +80,8 @@ object GenScale {
     val srcDir = args(0)
     val outDir = args(1)
     val skew = args.contains("--skew")
-    val rest = args.drop(2).filterNot(_ == "--skew")
+    val adversarial = args.contains("--adversarial")
+    val rest = args.drop(2).filterNot(a => a == "--skew" || a == "--adversarial")
     val factor = if (rest.length > 0) rest(0).toInt else 10
     val embFactor = if (rest.length > 1) rest(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -143,7 +161,33 @@ object GenScale {
     val docsAmp = amplify(docs, factor, "doc_id" -> dS)
     val embAmp = amplify(emb, embFactor, "vec_id" -> vS)
 
-    if (!skew) {
+    if (adversarial) {
+      write(evAmp, "events")
+      write(embAmp, "embeddings")
+      // Class selector on the ORIGINAL id (before negation) so the id and
+      // text perturbations compose: the mega-groups gain members of both
+      // signs. pmod (not %) keeps the selector total on any input ids.
+      val m = pmod(col("doc_id"), lit(20))
+      val grpProse = skewProse(17, 120)
+      val advText =
+        when(m === 0, concat(lit("\t"), col("text"), lit("\n")))
+          .when(m === 1, lit(""))
+          .when(m === 2, lit("solitary"))
+          .when(m === 3, lit(" two tokens\n"))
+          .when(m === 4, lit(grpProse))
+          .when(m === 5, concat(lit("\n\t "), lit(grpProse), lit(" \t")))
+          .when(m === 6, lit("hi there\n"))
+          .when(m === 7, lit("𝕏 café ☃ naïve " +
+            "𝒜́ data pipeline 𝕏 café"))
+          .otherwise(col("text"))
+      write(docsAmp
+        .withColumn("text", advText)
+        .withColumn("doc_id",
+          when(pmod(col("doc_id"), lit(3)) === 0, -col("doc_id") - 1)
+            .otherwise(col("doc_id")))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+        "documents")
+    } else if (!skew) {
       write(evAmp, "events")
       write(docsAmp, "documents")
       write(embAmp, "embeddings")

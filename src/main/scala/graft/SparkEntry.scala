@@ -1063,7 +1063,10 @@ object SparkEntry {
     "multimodal_framesample" ->
       """WITH v AS (SELECT doc_id,
         |             round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 3) AS dur
-        |           FROM documents WHERE doc_id % 3 = 2),
+        |           -- video is the ELSE media class (not 0=image, not
+        |           -- 1=audio): `= 2` would miss NEGATIVE ids, whose
+        |           -- sign-preserving remainder is -1/-2 on both engines
+        |           FROM documents WHERE doc_id % 3 NOT IN (0, 1)),
         |f AS (SELECT doc_id, CAST(floor(dur * 25) AS BIGINT) AS n_frames FROM v WHERE floor(dur * 25) > 0),
         |g AS (SELECT doc_id, n_frames,
         |        greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT)) AS step

@@ -256,8 +256,12 @@ object Curation {
        |  GROUP BY norm),
        |t AS (
        |  SELECT rep_id, members,
-       |    CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE string_split_regex(norm, '\\s+') END AS toks
+       |    -- split the TRIMMED norm (same as the dedup-family oracles):
+       |    -- norm keeps single-space edges when the raw text was edged
+       |    -- by a tab or newline, and an untrimmed split would emit
+       |    -- phantom empty edge tokens the kernel never produces
+       |    CASE WHEN length(trim(norm)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(norm), '\\s+') END AS toks
        |  FROM g),
        |hs AS (
        |  SELECT rep_id,
@@ -296,7 +300,11 @@ object Curation {
     val total = sum(col("src_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy())
     bySource
       .withColumn("weight",
-        round((total.cast("double") / k.cast("double")) / col("src_tokens").cast("double"), 6))
+        // a zero-token source (every doc empty) has no defined equalizing
+        // weight — NULL, not a divide-by-zero (ANSI mode throws on /0)
+        when(col("src_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (total.cast("double") / k.cast("double")) / col("src_tokens").cast("double"), 6)))
       .select(col("source"), col("n_docs"), col("src_tokens").cast("long").as("src_tokens"),
         col("weight"))
   }
@@ -311,7 +319,8 @@ object Curation {
       |s AS (SELECT source, count(*) AS n_docs, sum(n_ws_tokens) AS src_tokens FROM d GROUP BY 1),
       |g AS (SELECT count(*) AS k, sum(src_tokens) AS total FROM s)
       |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
-      |  round((CAST(total AS DOUBLE) / CAST(k AS DOUBLE)) / CAST(src_tokens AS DOUBLE), 6) AS weight
+      |  round((CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+      |    / NULLIF(CAST(src_tokens AS DOUBLE), 0), 6) AS weight
       |FROM s, g""".stripMargin
 
   val PackBudget = 2048L
