@@ -163,7 +163,29 @@ object GenScale {
 
     if (adversarial) {
       write(evAmp, "events")
-      write(embAmp, "embeddings")
+      // embeddings: the vector-side hostile classes —
+      // - every 5th vec_id NEGATED (ids are opaque keys here too);
+      // - every 4th embedding replaced by ONE shared constant vector: a
+      //   25% exact-duplicate group, so every ANN/knn top-k hits massive
+      //   score TIES and only a deterministic id tie-break keeps the
+      //   DuckDB compare exact (SURVEY §5's determinism rule, proven);
+      // - every 10th (absent the duplicate class) scaled to ~1e-20 norm:
+      //   cosine against it is still IEEE-defined, but any kernel that
+      //   squares before normalizing underflows to 0/0 if written
+      //   carelessly.
+      val vm = pmod(col("vec_id"), lit(20))
+      val dupVec = transform(sequence(lit(0), size(col("embedding")) - 1),
+        j => (lit(0.25) + j.cast("double") * lit(0.001)).cast("float"))
+      val tinyVec = transform(col("embedding"), x => (x * lit(1e-20f)).cast("float"))
+      write(embAmp
+        .withColumn("embedding",
+          when(vm % 4 === 1, dupVec)
+            .when(vm === 0, tinyVec)
+            .otherwise(col("embedding")))
+        .withColumn("vec_id",
+          when(pmod(col("vec_id"), lit(5)) === 2, -col("vec_id") - 1)
+            .otherwise(col("vec_id"))),
+        "embeddings")
       // Class selector on the ORIGINAL id (before negation) so the id and
       // text perturbations compose: the mega-groups gain members of both
       // signs. pmod (not %) keeps the selector total on any input ids.

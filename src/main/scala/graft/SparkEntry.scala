@@ -141,9 +141,13 @@ object SparkEntry {
   private def rankedCtes(p: String, qFilter: String, metric: String): String = {
     val dotExpr =
       "list_sum(list_transform(list_zip(q.q_emb, e.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    // `+ 0.0` normalizes IEEE -0.0 to +0.0: DuckDB's round preserves the
+    // sign of a tiny negative score, Spark's (BigDecimal) never emits
+    // -0.0 — without the normalization a near-zero dot/cosine (e.g.
+    // against a denormal-scale vector) hash-mismatches as '-0.0' vs '0.0'.
     val score = metric match {
-      case "dot" => s"round($dotExpr, 6)"
-      case _     => s"round($dotExpr / (q.q_nrm * e.nrm), 6)"
+      case "dot" => s"round($dotExpr, 6) + 0.0"
+      case _     => s"round($dotExpr / (q.q_nrm * e.nrm), 6) + 0.0"
     }
     s"""${p}n AS (
        |  SELECT vec_id, embedding,

@@ -758,7 +758,7 @@ object VectorOps {
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
        |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
        |p AS (SELECT q.q_id, nn.vec_id AS neighbor_id,
-       |        round(${dotSql("q.q_emb", "nn.embedding")} / (q.q_nrm * nn.nrm), 6) AS score
+       |        round(${dotSql("q.q_emb", "nn.embedding")} / (q.q_nrm * nn.nrm), 6) + 0.0 AS score
        |      FROM qc JOIN q ON q.q_id = qc.q_id
        |              JOIN asg ON asg.cell = qc.cell
        |              JOIN nn ON nn.vec_id = asg.vec_id
@@ -1031,7 +1031,7 @@ object VectorOps {
     s"""$normCte,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
        |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
-       |        round($dots / (q.q_nrm * sqrt($ns)), 6) AS score
+       |        round($dots / (q.q_nrm * sqrt($ns)), 6) + 0.0 AS score
        |      FROM q JOIN pv ON pv.vec_id <> q.q_id
        |        $joins),
        |r AS (SELECT q_id, neighbor_id, score,
@@ -1062,7 +1062,7 @@ object VectorOps {
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
        |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
        |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
-       |        round($pqDotSum / (q.q_nrm * sqrt($pqNormSum)), 6) AS score
+       |        round($pqDotSum / (q.q_nrm * sqrt($pqNormSum)), 6) + 0.0 AS score
        |      FROM qc JOIN q ON q.q_id = qc.q_id
        |        JOIN asg ON asg.cell = qc.cell
        |        JOIN pv ON pv.vec_id = asg.vec_id AND pv.vec_id <> q.q_id
@@ -1085,7 +1085,7 @@ object VectorOps {
     s"""${annIvfPqCtes(cents, cb)},
        |sl AS (SELECT q_id, neighbor_id FROM r WHERE rk <= ${DefaultK * RerankFactor}),
        |rr AS (SELECT sl.q_id, sl.neighbor_id,
-       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
+       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) + 0.0 AS score
        |      FROM sl JOIN q ON q.q_id = sl.q_id
        |        JOIN nn nc ON nc.vec_id = sl.neighbor_id),
        |r2 AS (SELECT q_id, neighbor_id, score,
@@ -1107,7 +1107,7 @@ object VectorOps {
 
   private def recallTailSqlFrom(chain: String): String =
     s"""ed AS (SELECT q.q_id, nc.vec_id AS neighbor_id,
-       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) AS score
+       |        round(${dotSql("q.q_emb", "nc.embedding")} / (q.q_nrm * nc.nrm), 6) + 0.0 AS score
        |      FROM q CROSS JOIN nn nc WHERE nc.vec_id <> q.q_id),
        |er AS (SELECT q_id, neighbor_id,
        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rk
