@@ -162,7 +162,31 @@ object GenScale {
     val embAmp = amplify(emb, embFactor, "vec_id" -> vS)
 
     if (adversarial) {
-      write(evAmp, "events")
+      // events: the time/value hostile classes —
+      // - every 7th user_id NEGATED;
+      // - ~1.4% of events collapsed onto ONE shared instant (a
+      //   same-microsecond burst across users, and repeated same-instant
+      //   events within a user): every sessionize/asof/window ORDER BY ts
+      //   then rides on its explicit deterministic tie-break;
+      // - every 13th ts floored to exact midnight (day-window boundary
+      //   membership must agree between engines);
+      // - every 11th value set to IEEE -0.0 and every 17th to NULL
+      //   (sign-preserving vs sign-erasing arithmetic, null-skipping
+      //   aggregation paths).
+      val em = pmod(col("event_id"), lit(1001))
+      write(evAmp
+        .withColumn("ts",
+          when(em < 14, lit("2024-01-15 12:00:00").cast("timestamp"))
+            .when(pmod(col("event_id"), lit(13)) === 0, date_trunc("day", col("ts")))
+            .otherwise(col("ts")))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(7)) === 3, -col("user_id") - 1)
+            .otherwise(col("user_id")))
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(17)) === 5, lit(null).cast("double"))
+            .when(pmod(col("event_id"), lit(11)) === 4, lit(-0.0))
+            .otherwise(col("value"))),
+        "events")
       // embeddings: the vector-side hostile classes —
       // - every 5th vec_id NEGATED (ids are opaque keys here too);
       // - every 4th embedding replaced by ONE shared constant vector: a

@@ -451,7 +451,11 @@ object SparkEntry {
         |        max(CASE WHEN cum_start <= ceil(k99) AND ceil(k99) < cum_end THEN value END) AS hi99,
         |        max(k99) AS kk99
         |      FROM c3 GROUP BY 1)
-        |SELECT event_type, n_events, round(v_min, 6) AS v_min, round(v_max, 6) AS v_max,
+        |-- `+ 0.0` maps an IEEE -0.0 min/max to +0.0: Spark's grouping
+        |-- normalizes -0.0 keys to 0.0 and its round never emits -0.0,
+        |-- DuckDB's representative value and round both keep the sign
+        |SELECT event_type, n_events, round(v_min, 6) + 0.0 AS v_min,
+        |  round(v_max, 6) + 0.0 AS v_max,
         |  round(lo50 + (hi50 - lo50) * (kk50 - floor(kk50)), 6) AS p50,
         |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) AS p95,
         |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
@@ -534,7 +538,10 @@ object SparkEntry {
       """WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
         |r AS (SELECT ts, user_id, value FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT l.event_id, l.user_id, l.ts,
-        |        count(r.value) AS n_recent_purchases,
+        |        -- count matched purchase ROWS (r.ts is never null on a
+        |        -- match): count(r.value) would silently skip purchases
+        |        -- whose value is NULL, which the query counts
+        |        count(r.ts) AS n_recent_purchases,
         |        sum(r.value) AS sv
         |      FROM l LEFT JOIN r
         |        ON r.user_id = l.user_id

@@ -532,19 +532,22 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct carry, not one last() per field: ignoreNulls must skip
+    // only non-purchase rows, and a purchase whose VALUE is genuinely
+    // NULL is still the match — three independent last(field) calls would
+    // skip past it for the value while the id/ts point at it, serving a
+    // value from an OLDER purchase (found by the hostile-input lane).
     tagged
-      .withColumn("match_event_id",
-        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("m_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("match_value",
-        last(when(col("side") === 0, col("r_value")), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("side") === 0,
+          struct(col("event_id"), col("ts"), col("r_value"))),
+          ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-        col("match_event_id"),
-        date_format(col("m_ts"), "yyyy-MM-dd HH:mm:ss").as("match_ts_s"),
-        col("match_value"))
+        col("m.event_id").as("match_event_id"),
+        date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("match_ts_s"),
+        col("m.r_value").as("match_value"))
   }
 
   val RangeJoinWindowUs: Long = 3600L * 1000000L // trailing hour, micros
