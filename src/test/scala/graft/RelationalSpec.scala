@@ -76,6 +76,37 @@ class RelationalSpec extends SparkSpec {
   }
 
 
+  test("q_events_asof carries a NULL-valued purchase as the match (struct carry)") {
+    // The hostile-input-lane regression: a purchase whose VALUE is NULL is
+    // still the latest purchase — per-field last(..., ignoreNulls) carries
+    // would skip it for the value while the id points at it. Also pins the
+    // same-instant tie-break (max event_id among equal-ts purchases, and
+    // a purchase at the click's own instant counts).
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("asofnull").toString
+    val ts = (h: Int, m: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(10, 0), 1L, "purchase", Some(5.0), "{}"),
+      (2L, ts(10, 30), 1L, "purchase", None: Option[Double], "{}"),
+      (3L, ts(11, 0), 1L, "click", Some(1.0), "{}"),
+      (4L, ts(10, 45), 1L, "click", Some(1.0), "{}"),
+      (5L, ts(9, 0), 2L, "click", Some(1.0), "{}"),
+      (6L, ts(12, 0), 3L, "purchase", Some(1.0), "{}"),
+      (7L, ts(12, 0), 3L, "purchase", Some(2.0), "{}"),
+      (8L, ts(12, 0), 3L, "click", Some(9.0), "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.qEventsAsof(spark, tmp).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("match_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("match_value")).map(_.toDouble))).toMap
+    assert(got(3L) == (Some(2L), None), "NULL-valued purchase must be the match")
+    assert(got(4L) == (Some(2L), None))
+    assert(got(5L) == (None, None))
+    assert(got(8L) == (Some(7L), Some(2.0)), "max event_id wins the same-instant tie")
+  }
+
   test("q_events_range_join matches a brute-force trailing-hour replica") {
     val ev = graft.sources.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value").collect()
