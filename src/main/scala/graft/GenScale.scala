@@ -185,7 +185,15 @@ object GenScale {
         .withColumn("value",
           when(pmod(col("event_id"), lit(17)) === 5, lit(null).cast("double"))
             .when(pmod(col("event_id"), lit(11)) === 4, lit(-0.0))
-            .otherwise(col("value"))),
+            .otherwise(col("value")))
+        // semi-structured hostility: malformed JSON, a missing key, and a
+        // non-numeric key value — the enrich path must degrade to NULL
+        // buckets on both engines, never to a parse/cast error
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(19)) === 7, lit("not json {"))
+            .when(pmod(col("event_id"), lit(23)) === 9, lit("{}"))
+            .when(pmod(col("event_id"), lit(29)) === 11, lit("""{"k": "wat"}"""))
+            .otherwise(col("props"))),
         "events")
       // embeddings: the vector-side hostile classes —
       // - every 5th vec_id NEGATED (ids are opaque keys here too);

@@ -552,13 +552,21 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     "q_events_enrich" ->
-      """SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    -- mirror the query's try-parse degradation: malformed JSON, a
+        |    -- missing key, or a non-numeric key value all land in the
+        |    -- NULL bucket instead of erroring the whole query
+        |    CASE WHEN json_valid(props)
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  k // 10 AS k_decile,
         |  count(*) AS n_events,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(25,10))), 6) AS DOUBLE) AS sum_value,
-        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-        |FROM events
+        |  min(k) AS k_min,
+        |  max(k) AS k_max
+        |FROM e
         |GROUP BY 1, 2""".stripMargin,
 
     "doc_normalize" ->

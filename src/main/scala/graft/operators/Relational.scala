@@ -602,7 +602,11 @@ object Relational {
     * but the extracted column.
     */
   def qEventsEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    // try_cast, not cast: get_json_object already yields NULL on malformed
+    // JSON or a missing key, but a NON-NUMERIC key value reaches the cast,
+    // and under ANSI mode a plain cast turns one bad row into a query
+    // error. Dirty semi-structured rows degrade to the NULL bucket.
+    val k = get_json_object(col("props"), "$.k").try_cast("long")
     Tables.events(spark, dir)
       .withColumn("k", k)
       .groupBy(col("event_type"), (col("k") / 10).cast("long").as("k_decile"))
