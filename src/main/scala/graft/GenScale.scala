@@ -236,6 +236,15 @@ object GenScale {
           .otherwise(col("text"))
       write(docsAmp
         .withColumn("text", advText)
+        // NULL source / empty-string lang: group-by-key and join paths
+        // must treat the null and the empty string as ordinary (distinct)
+        // keys on both engines
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(31)) === 12, lit(null).cast("string"))
+            .otherwise(col("source")))
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(37)) === 15, lit(""))
+            .otherwise(col("lang")))
         .withColumn("doc_id",
           when(pmod(col("doc_id"), lit(3)) === 0, -col("doc_id") - 1)
             .otherwise(col("doc_id")))
