@@ -188,7 +188,13 @@ object GenScale {
             .otherwise(col("value")))
         // semi-structured hostility: malformed JSON, a missing key, and a
         // non-numeric key value — the enrich path must degrade to NULL
-        // buckets on both engines, never to a parse/cast error
+        // buckets on both engines, never to a parse/cast error. Named
+        // boundary: PARTIALLY-valid JSON (a valid object with trailing
+        // garbage) is deliberately NOT generated — Spark's
+        // get_json_object short-circuits after resolving the path
+        // (lenient; the library's contract) while DuckDB's json_valid
+        // rejects the whole document, and no oracle expression replays
+        // the lenient streaming parse.
         .withColumn("props",
           when(pmod(col("event_id"), lit(19)) === 7, lit("not json {"))
             .when(pmod(col("event_id"), lit(23)) === 9, lit("{}"))
@@ -201,10 +207,9 @@ object GenScale {
       //   25% exact-duplicate group, so every ANN/knn top-k hits massive
       //   score TIES and only a deterministic id tie-break keeps the
       //   DuckDB compare exact (SURVEY §5's determinism rule, proven);
-      // - every 10th (absent the duplicate class) scaled to ~1e-20 norm:
-      //   cosine against it is still IEEE-defined, but any kernel that
-      //   squares before normalizing underflows to 0/0 if written
-      //   carelessly.
+      // - every 20th scaled to ~1e-20 norm: cosine against it is still
+      //   IEEE-defined, but any kernel that squares before normalizing
+      //   underflows to 0/0 if written carelessly.
       val vm = pmod(col("vec_id"), lit(20))
       val dupVec = transform(sequence(lit(0), size(col("embedding")) - 1),
         j => (lit(0.25) + j.cast("double") * lit(0.001)).cast("float"))
@@ -215,7 +220,8 @@ object GenScale {
             .when(vm === 0, tinyVec)
             .otherwise(col("embedding")))
         .withColumn("vec_id",
-          when(pmod(col("vec_id"), lit(5)) === 2, -col("vec_id") - 1)
+          when(pmod(col("vec_id"), lit(5)) === 2 && col("vec_id") >= 10,
+            -col("vec_id") - 1)
             .otherwise(col("vec_id"))),
         "embeddings")
       // Class selector on the ORIGINAL id (before negation) so the id and
@@ -245,8 +251,14 @@ object GenScale {
         .withColumn("lang",
           when(pmod(col("doc_id"), lit(37)) === 15, lit(""))
             .otherwise(col("lang")))
+        // keep ids 0..9 un-negated: the preview/sample operators and the
+        // ANN-family query sets slice on `id < k` with tiny k, and negated
+        // ids (< 0 < k) would silently inflate those bounded-sample slices
+        // from ~5 rows to ~a third of the corpus — the lane must test the
+        // intended bounded query shape, not a 400-query blowup of it
         .withColumn("doc_id",
-          when(pmod(col("doc_id"), lit(3)) === 0, -col("doc_id") - 1)
+          when(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") >= 10,
+            -col("doc_id") - 1)
             .otherwise(col("doc_id")))
         .withColumn("n_chars", length(col("text")).cast("long")),
         "documents")

@@ -197,7 +197,7 @@ object SparkEntry {
     """g AS (SELECT q.vec_id AS q_id, min(o.vec_id) AS expected_id
       |      FROM embeddings q JOIN embeddings o
       |        ON o.label = q.label AND o.vec_id <> q.vec_id
-      |      WHERE q.vec_id < 50 GROUP BY 1)""".stripMargin
+      |      WHERE q.vec_id BETWEEN 0 AND 49 GROUP BY 1)""".stripMargin
 
   /** Driver-contract surface: DuckDB-dialect oracle SQL per query at the
     * default verify scale. The IVF oracles embed fitted centroid literals
@@ -456,9 +456,9 @@ object SparkEntry {
         |-- DuckDB's representative value and round both keep the sign
         |SELECT event_type, n_events, round(v_min, 6) + 0.0 AS v_min,
         |  round(v_max, 6) + 0.0 AS v_max,
-        |  round(lo50 + (hi50 - lo50) * (kk50 - floor(kk50)), 6) AS p50,
-        |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) AS p95,
-        |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) AS p99
+        |  round(lo50 + (hi50 - lo50) * (kk50 - floor(kk50)), 6) + 0.0 AS p50,
+        |  round(lo95 + (hi95 - lo95) * (kk95 - floor(kk95)), 6) + 0.0 AS p95,
+        |  round(lo99 + (hi99 - lo99) * (kk99 - floor(kk99)), 6) + 0.0 AS p99
         |FROM g""".stripMargin,
 
     "q13_customer_distribution" ->
@@ -893,11 +893,11 @@ object SparkEntry {
         |FROM p WHERE c >= 0.35""".stripMargin,
 
     "knn_bruteforce" ->
-      s"""WITH ${rankedCtes("", "vec_id < 10", "cos")}
+      s"""WITH ${rankedCtes("", "vec_id BETWEEN 0 AND 9", "cos")}
          |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "ann_bruteforce" ->
-      s"""WITH ${rankedCtes("", "vec_id < 10", "dot")}
+      s"""WITH ${rankedCtes("", "vec_id BETWEEN 0 AND 9", "dot")}
          |SELECT q_id, rk, neighbor_id, score FROM r WHERE rk <= 5""".stripMargin,
 
     "vec_norm_stats" -> graft.operators.VectorOps.vecNormStatsOracleSql,
@@ -935,7 +935,7 @@ object SparkEntry {
          |SELECT rk, id, round(rrf, 6) AS rrf_score FROM fr WHERE rk <= 10""".stripMargin,
 
     "eval_recall" ->
-      s"""WITH ${rankedCtes("", "vec_id < 50", "cos")},
+      s"""WITH ${rankedCtes("", "vec_id BETWEEN 0 AND 49", "cos")},
          |$goldCte,
          |gr AS (SELECT g.q_id, r.rk AS rnk
          |       FROM g LEFT JOIN r
@@ -947,8 +947,8 @@ object SparkEntry {
          |FROM gr""".stripMargin,
 
     "eval_compare" ->
-      s"""WITH ${rankedCtes("l", "vec_id < 50", "cos")},
-         |${rankedCtes("rt", "vec_id < 50", "dot")},
+      s"""WITH ${rankedCtes("l", "vec_id BETWEEN 0 AND 49", "cos")},
+         |${rankedCtes("rt", "vec_id BETWEEN 0 AND 49", "dot")},
          |$goldCte,
          |lg AS (SELECT g.q_id, lr.rk AS lrnk
          |       FROM g LEFT JOIN lr
@@ -1097,7 +1097,7 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "chunk_preview" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 5),
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id BETWEEN 0 AND 4),
         |e AS (SELECT doc_id, text, t.j AS j
         |      FROM d, UNNEST(range(CASE WHEN n <= 50 THEN 1 ELSE 1 + (n - 11) // 40 END)) AS t(j))
         |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) AS chunk_id,

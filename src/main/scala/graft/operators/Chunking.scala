@@ -114,12 +114,12 @@ object Chunking {
 
   /** `chunk_preview` (reference `api/chunk_preview.py`): try alternative
     * chunking params on a small sample of documents — same column program
-    * with (size=50, overlap=10) over doc_id < 5.
+    * with (size=50, overlap=10) over doc_id 0..4 (sign-robust slice).
     */
   def chunkPreview(spark: SparkSession, dir: String): DataFrame =
     chunkFixedDf(
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < PreviewDocs),
+        .filter(col("doc_id").between(0, PreviewDocs - 1)),
       PreviewSize, PreviewOverlap)
       .select(col("chunk_id"), col("doc_id"), col("j"), col("chunk"), col("chunk_len"))
 

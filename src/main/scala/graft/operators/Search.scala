@@ -326,14 +326,14 @@ object Search {
   val EvalK = 5
   val NGold = 50
 
-  /** Gold set: for each query vector (vec_id < 50), expected_id = the
+  /** Gold set: for each query vector (vec_id 0..49), expected_id = the
     * smallest other vec_id with the same label — a deterministic,
     * SQL-expressible stand-in for the reference's (question, expected_id)
     * upload (eval_api.py:206-263).
     */
   private def gold(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    e.filter(col("vec_id") < NGold).as("q")
+    e.filter(col("vec_id").between(0, NGold - 1)).as("q")
       .join(e.as("o"),
         col("o.label") === col("q.label") && col("o.vec_id") =!= col("q.vec_id"))
       .groupBy(col("q.vec_id").as("q_id"))
@@ -417,7 +417,7 @@ object Search {
 
   private def goldRanks(spark: SparkSession, dir: String, metric: String): DataFrame = {
     val e = VectorOps.embWithNorm(spark, dir)
-    val hits = VectorOps.topK(e, e.filter(col("vec_id") < NGold), EvalK, metric)
+    val hits = VectorOps.topK(e, e.filter(col("vec_id").between(0, NGold - 1)), EvalK, metric)
     goldRanksFor(gold(spark, dir), hits)
   }
 

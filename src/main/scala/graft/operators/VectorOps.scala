@@ -78,7 +78,7 @@ object VectorOps {
   /** SURVEY §2 `knn_bruteforce`: exact cosine top-5 for queries vec_id<10. */
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(spark, dir)
-    topK(e, e.filter(col("vec_id") < 10), DefaultK, "cos")
+    topK(e, e.filter(col("vec_id").between(0, 9)), DefaultK, "cos")
   }
 
   /** SURVEY §2 `ann_bruteforce`: exact inner-product top-5 (the faiss-flat
@@ -86,7 +86,7 @@ object VectorOps {
     */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(spark, dir)
-    topK(e, e.filter(col("vec_id") < 10), DefaultK, "dot")
+    topK(e, e.filter(col("vec_id").between(0, 9)), DefaultK, "dot")
   }
 
   /** Cell assignment as a narrow broadcast map: the fitted centroids
@@ -120,7 +120,7 @@ object VectorOps {
     */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
-    val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+    val qCells = embWithNorm(spark, dir).filter(col("vec_id").between(0, 9))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(graft.functions.IvfProbes.column(col("embedding"), cents,
@@ -547,7 +547,7 @@ object VectorOps {
       .select(col("vec_id"),
         transform(graft.functions.PqCodes.column(col("embedding"), cb), p => p("code"))
           .as("codes"))
-    val q = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+    val q = embWithNorm(spark, dir).filter(col("vec_id").between(0, 9))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("score",
@@ -582,7 +582,7 @@ object VectorOps {
   private def ivfPqAdcRanked(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
     val cb = PqModel.codebooks(spark, dir)
-    val qCells = embWithNorm(spark, dir).filter(col("vec_id") < 10)
+    val qCells = embWithNorm(spark, dir).filter(col("vec_id").between(0, 9))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(graft.functions.IvfProbes.column(col("embedding"), cents,
@@ -753,7 +753,7 @@ object VectorOps {
     s"""WITH ${IvfModel.centsCte(cents)},
        |$assignCtes,
        |$normCte,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id BETWEEN 0 AND 9),
        |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
        |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
@@ -1029,7 +1029,7 @@ object VectorOps {
     val dots = pqDotSum
     val ns = pqNormSum
     s"""$normCte,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id BETWEEN 0 AND 9),
        |sc AS (SELECT q.q_id, pv.vec_id AS neighbor_id,
        |        round($dots / (q.q_nrm * sqrt($ns)), 6) + 0.0 AS score
        |      FROM q JOIN pv ON pv.vec_id <> q.q_id
@@ -1057,7 +1057,7 @@ object VectorOps {
        |$assignCtes,
        |$pqCodesCtes,
        |$normCte,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM nn WHERE vec_id BETWEEN 0 AND 9),
        |qd AS (SELECT q.q_id, c.cell, ${d2Sql("q.q_emb")} AS d2 FROM q CROSS JOIN cents c),
        |qr AS (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS crk FROM qd),
        |qc AS (SELECT q_id, cell FROM qr WHERE crk <= ${scaledNProbe(cents.length)}),
