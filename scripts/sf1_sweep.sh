@@ -106,11 +106,18 @@ case "${1:?gen|verify|check|bench|approx|adv}" in
       "$UNI" /tmp/approx_sf1.json 2>/tmp/approx_sf1.err
     SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx24g graft.VerifyApprox \
       "$SKW" /tmp/approx_skew.json 2>/tmp/approx_skew.err
+    # the hostile-input corpus too, when it has been generated (adv arm)
+    if [[ -d testdata-adv ]]; then
+      SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx16g graft.VerifyApprox \
+        testdata-adv /tmp/approx_adv.json 2>/tmp/approx_adv.err
+    fi
     python3 - "$ROUND" <<'EOF'
-import json, sys
+import json, sys, os
 out = {"sf0.1": json.load(open("/tmp/approx_sf01.json")),
        "sf1": json.load(open("/tmp/approx_sf1.json")),
        "skew_sf1": json.load(open("/tmp/approx_skew.json"))}
+if os.path.exists("/tmp/approx_adv.json"):
+    out["adversarial"] = json.load(open("/tmp/approx_adv.json"))
 out["pass"] = all(c["pass"] for d in out.values() if isinstance(d, dict)
                   for c in d.values())
 path = f"CORRECTNESS_approx_{sys.argv[1]}.json"
