@@ -67,14 +67,23 @@ object Chunking {
     * form — starts colliding at ~50k chunks.)
     */
   def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val ch = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    // Single-scan shape: the self-join form (chunks ⋈ per-fp distinct-doc
+    // counts) reads the corpus and evaluates the fingerprint kernel TWICE
+    // (once per join branch) — at 100 TB the scan is the dominant cost.
+    // Instead pre-aggregate to one row per (fp, doc_id) carrying its
+    // chunk count, window-count distinct docs per fp over that reduced
+    // frame, and roll up per doc: one scan, one kernel pass, three
+    // narrow-key shuffles, identical semantics (nd = rows per fp in the
+    // pre-agg = distinct docs holding that fingerprint).
+    val perDoc = chunkFixedDf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.fingerprintWide(col("chunk")).as("fp"))
-    val dup = ch.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    ch.join(dup, Seq("fp"))
+      .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val nd = count(lit(1)).over(Window.partitionBy(col("fp")))
+    perDoc
+      .withColumn("nd", nd)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_boilerplate"))
       .withColumn("boiler_ratio",
         round(col("n_boilerplate").cast("double") / col("n_chunks").cast("double"), 6))
   }
