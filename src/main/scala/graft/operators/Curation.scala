@@ -384,9 +384,15 @@ object Curation {
     * global window DuckDB can afford at test SF.
     */
   def curationPackGlobal(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the (doc_id, n_tokens) frame BEFORE the prefix sum:
+    // PrefixSum.exclusive consumes its input in two branches (per-bucket
+    // totals + the final join), and an unmaterialized input would run the
+    // whole tokenizer kernel scan twice. The checkpointed frame is two
+    // longs per doc — negligible next to re-reading the text.
     val docs = TextOps.textTokens(spark, dir)
       .select(col("doc_id"), col("n_ws_tokens"))
       .filter(col("n_ws_tokens") > 0)
+      .localCheckpoint(true)
     graft.functions.PrefixSum.exclusive(docs, "doc_id", "n_ws_tokens", "tokens_before")
       .select(col("doc_id"), col("n_ws_tokens"),
         expr(s"tokens_before div $PackBudget").as("seq_id"),
