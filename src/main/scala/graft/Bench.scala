@@ -37,6 +37,7 @@ object Bench {
     "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
     "dedup_substring", "dedup_verified", "dedup_clusters", "dedup_embedding_lsh",
     "dedup_ngram_grouped", "dedup_verified_grouped",
+    "dedup_minhash_grouped", "dedup_simhash_grouped",
     "knn_bruteforce", "ivf_search", "ann_ivf", "ann_ivf_hier", "ann_pq", "ann_ivfpq",
     "ann_ivfpq_rerank",
     "vec_pca", "bm25_topk", "hybrid_rrf", "eval_recall",

