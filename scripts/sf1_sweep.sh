@@ -10,6 +10,15 @@
 #                                   doc ids, ws-edged/empty/short/astral
 #                                   text, degenerate sources), Verify it,
 #                                   DuckDB-check all queries
+#   scripts/sf1_sweep.sh advsf1   — the SAME hostile classes composed with
+#                                   the ×10 amplification: scale guards and
+#                                   hostile inputs exercised in ONE corpus
+#   scripts/sf1_sweep.sh uncap    — the IVF un-cap evidence (r10): amplify
+#                                   sf0.1 embeddings ×64 (128k vectors →
+#                                   nlist 500, past the old 256 cap), then
+#                                   UncapReport vs the sf1 dir: occupancy
+#                                   flat, sub-linear pair times, sampled
+#                                   recall held
 # Artifacts land as CORRECTNESS_{sf1,skew}_${ROUND}.txt,
 # BENCH_{sf1,skew}_${ROUND}.json, SKEW_REPORT_${ROUND}.json,
 # CORRECTNESS_approx_${ROUND}.json. Set ROUND=rNN to retarget (default r09).
@@ -34,7 +43,7 @@ check_sharded() {
   local names shard rc=0
   rm -f "/tmp/check_$(basename "$dump")"_*.log
   mapfile -t names < <(find "$dump" -mindepth 1 -maxdepth 1 -type d -printf '%f\n' | sort)
-  local pids=()
+  local pids=() sids=()
   for ((s = 0; s < SHARDS; s++)); do
     local mine=()
     for ((i = s; i < ${#names[@]}; i += SHARDS)); do mine+=("${names[i]}"); done
@@ -43,18 +52,37 @@ check_sharded() {
     [[ ${#mine[@]} -eq 0 ]] && continue
     (python3 scripts/selfcheck.py "$dump" "$data" "${mine[@]}" \
       > "/tmp/check_$(basename "$dump")_$s.log" 2>&1) &
-    pids+=($!)
+    pids+=($!); sids+=($s)
   done
-  for p in "${pids[@]}"; do
-    if ! wait "$p"; then rc=1; fi
+  # A shard that CRASHES (python traceback, OOM kill) emits no FAIL lines,
+  # so a pass/fail grep alone could read green for a dead arm (r9 advisor).
+  # Record each shard's exit status in the artifact and tally checked
+  # queries against the dump's query count so truncation is visible too.
+  local statuses=()
+  for i in "${!pids[@]}"; do
+    local st=0
+    wait "${pids[i]}" || st=$?
+    statuses+=("$st")
+    if [[ $st -ne 0 ]]; then
+      rc=1
+      echo "SHARD-ERROR: shard ${sids[i]} exited $st" \
+        >> "/tmp/check_$(basename "$dump")_${sids[i]}.log"
+    fi
   done
   cat "/tmp/check_$(basename "$dump")"_*.log > "$out"
   # the per-shard SUMMARY lines are partial; append a combined tally
-  echo "COMBINED: $(grep -hc '^PASS' "$out") pass, $(grep -hc '^FAIL' "$out") fail, $(grep -hc '^ROWS-ONLY' "$out") rows-only" >> "$out"
+  local checked
+  checked=$(grep -hcE '^(PASS|FAIL|ROWS-ONLY)' "$out" || true)
+  checked=${checked:-0}
+  echo "COMBINED: $(grep -hc '^PASS' "$out") pass, $(grep -hc '^FAIL' "$out") fail, $(grep -hc '^ROWS-ONLY' "$out") rows-only; checked $checked of ${#names[@]} queries; shard exits: ${statuses[*]}" >> "$out"
+  if [[ "$checked" -ne "${#names[@]}" ]]; then
+    echo "SHARD-ERROR: only $checked of ${#names[@]} queries produced a verdict" >> "$out"
+    rc=1
+  fi
   return "$rc"
 }
 
-case "${1:?gen|verify|check|bench|approx|adv}" in
+case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap}" in
   gen)
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$UNI" 10 4
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$SKW" 10 4 --skew
@@ -98,6 +126,24 @@ case "${1:?gen|verify|check|bench|approx|adv}" in
       2>/tmp/vadv.err
     grep "\[verify\]" /tmp/vadv.err && exit 1 || true
     python3 scripts/selfcheck.py /tmp/vadv "$ADV" | tee "CORRECTNESS_adv_${ROUND}.txt"
+    ;;
+  advsf1)
+    AS1=testdata-advsf1
+    SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale \
+      /root/testdata/sf0.1 "$AS1" 10 4 --adversarial
+    SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx32g graft.Verify "$AS1" /tmp/vadvsf1 \
+      2>/tmp/vadvsf1.err
+    grep "\[verify\]" /tmp/vadvsf1.err && exit 1 || true
+    check_sharded /tmp/vadvsf1 "$AS1" "CORRECTNESS_adv_sf1_${ROUND}.txt"
+    tail -1 "CORRECTNESS_adv_sf1_${ROUND}.txt"
+    ;;
+  uncap)
+    UNC=testdata-uncap
+    SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale \
+      /root/testdata/sf0.1 "$UNC" 1 64
+    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport "$UNC" "$UNI" \
+      2>/dev/null | tail -1 > "UNCAP_REPORT_${ROUND}.json"
+    cat "UNCAP_REPORT_${ROUND}.json"
     ;;
   approx)
     SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx16g graft.VerifyApprox \

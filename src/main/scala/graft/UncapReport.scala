@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfModel, VectorOps}
+import graft.sources.Tables
+
+/** Scale evidence for the un-capped IVF family (r10: MaxCells 256 →
+  * 65536): measures, on a corpus LARGER than the old ~65k-vector pin and
+  * on a reference corpus below it, that
+  *  - adaptive nlist actually grew past the old 256-cell cap,
+  *  - mean cell occupancy stayed ≈ [[VectorOps.TargetCellSize]] (flat, not
+  *    growing with n — the Θ(n²/K) pair-stage guard),
+  *  - the pair-family runtimes scale sub-quadratically (wall-clock ratio
+  *    vs the vector-count ratio),
+  *  - recall holds, via [[VectorOps.sampledPairRecall]] — the bounded
+  *    anchor-sampled measurement, since the exact all-pairs frame is
+  *    infeasible past [[graft.operators.Dedup.EmbeddingAuditMaxRows]].
+  *
+  * Prints ONE JSON line: per-dir {n_vectors, nlist, fit_sec, occupancy
+  * mean/max, hot cells, per-query seconds, sampled recalls} plus
+  * big/small ratios. Companion to [[SkewReport]] in the sweep tooling.
+  *
+  * Usage: `runMain graft.UncapReport <bigDir> <smallDir>`
+  */
+object UncapReport {
+
+  def main(args: Array[String]): Unit = {
+    val bigDir = args(0)
+    val smallDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def dirReport(dir: String): String = {
+      val n = Tables.embeddings(spark, dir).count()
+      val t0 = System.nanoTime()
+      val cents = IvfModel.centroids(spark, dir) // includes the sample fit
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val k = cents.length
+
+      // single-assign occupancy (the dedup_semantic / ivf_build shape)
+      val occ = VectorOps.ivfBuild(spark, dir)
+        .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+        .agg(count(lit(1)).as("cells_used"), max(col("nc")).as("occ_max"),
+          sum(col("nc")).as("tot"))
+        .head()
+      val cellsUsed = occ.getLong(0)
+      val occMax = occ.getLong(1)
+      val occMean = occ.getLong(2).toDouble / k
+      // hot cells under the integer-exact MaxCellFactor rule on the
+      // multi-probe assignment (the ann_ivf guard's own counting frame)
+      val multi = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          explode(graft.functions.IvfProbes.column(col("embedding"), cents,
+            VectorOps.AssignProbes)).as("p"))
+        .select(col("vec_id"), col("p.cell").as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint(true)
+      val mTot = multi.agg(sum(col("nc"))).head().getLong(0)
+      val hotCells = multi
+        .filter(col("nc") * k > lit(VectorOps.MaxCellFactor.toLong * mTot))
+        .count()
+
+      def time(name: String): Double = {
+        val t = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      val qs = Seq("ivf_build", "ivf_build_hier", "ann_ivf", "ann_ivf_hier",
+        "dedup_semantic").map(q => s""""$q":${time(q)}""").mkString(",")
+
+      // anchor-sampled recall (~≤2000 anchors either way)
+      val step = math.max(1L, n / 2000L)
+      def recall(approx: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val r = VectorOps.sampledPairRecall(spark, dir, approx, step).head()
+        (r.getAs[Long]("n_exact_pairs"), r.getAs[Double]("recall"))
+      }
+      val (nExactFlat, recFlat) = recall(VectorOps.annIvf(spark, dir))
+      val (_, recHier) = recall(VectorOps.annIvfHier(spark, dir))
+
+      s"""{"n_vectors":$n,"nlist":$k,"fit_sec":$fitSec,""" +
+        s""""cells_used":$cellsUsed,"occ_mean":$occMean,"occ_max":$occMax,""" +
+        s""""hot_cells_capped":$hotCells,"anchor_step":$step,""" +
+        s""""n_exact_anchor_pairs":$nExactFlat,"recall_ivf":$recFlat,""" +
+        s""""recall_ivf_hier":$recHier,"queries":{$qs}}"""
+    }
+
+    val small = dirReport(smallDir)
+    val big = dirReport(bigDir)
+    def field(j: String, k: String): Double =
+      ("\"" + k + "\":([0-9.E-]+)").r.findFirstMatchIn(j).get.group(1).toDouble
+    val nRatio = field(big, "n_vectors") / field(small, "n_vectors")
+    def qRatio(q: String): Double = {
+      val r = ("\"" + q + "\":([0-9.E-]+)").r
+      r.findFirstMatchIn(big).get.group(1).toDouble /
+        r.findFirstMatchIn(small).get.group(1).toDouble
+    }
+    val ratios = Seq("ann_ivf", "ann_ivf_hier", "dedup_semantic")
+      .map(q => s""""$q":${qRatio(q)}""").mkString(",")
+    println(s"""{"small":$small,"big":$big,"n_ratio":$nRatio,""" +
+      s""""time_ratios":{$ratios},""" +
+      s""""occ_mean_ratio":${field(big, "occ_mean") / field(small, "occ_mean")}}""")
+    spark.stop()
+  }
+}

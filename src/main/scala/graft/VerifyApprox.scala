@@ -118,8 +118,15 @@ object VerifyApprox {
   private def heavyHittersCheck(spark: SparkSession, dir: String): Check =
     heavyHittersCheckImpl(spark, dir, operators.Relational.HeavyHittersMaxTracked)
 
-  /** Spark's ApproxTopK map sizing: next power of two ≥ maxTracked/0.75. */
-  private def maxMapSize(maxTracked: Int): Int =
+  /** Spark's ApproxTopK map sizing: next power of two ≥ maxTracked/0.75.
+    * Re-derived here (with the eps = 3.5·n/maxMapSize a-priori constant)
+    * rather than imported; VerifyApproxSpec cross-checks BOTH against the
+    * actual `ApproxTopK.calMaxMapSize` and DataSketches
+    * `ItemsSketch.getAprioriError`, so a Spark/DataSketches upgrade that
+    * changes either constant breaks a unit test instead of silently
+    * invalidating the sweep bounds (r9 advisor).
+    */
+  private[graft] def maxMapSize(maxTracked: Int): Int =
     Integer.highestOneBit(math.ceil(maxTracked / 0.75).toInt * 2 - 1)
 
   /** Spec hook: the same check at an explicit sketch capacity, so the
@@ -195,8 +202,18 @@ object VerifyApprox {
       .count()
     val v = (coverageViol + msMismatch + unsatDrift + estViol + presenceViol).toDouble
     val nApprox = approx.count()
+    // Zero reported rows is legitimate ONLY when every day is saturated
+    // AND no user clears the 2·eps qualification floor — the saturated
+    // NO_FALSE_POSITIVES contract then allows an empty report (r9 advisor:
+    // the unconditional nApprox > 0 gate failed exactly that corpus).
+    // Any unsaturated day, or any user the absence bound says MUST appear,
+    // makes an empty report a real failure again.
+    val mustReport = (nDays - nSat) > 0 ||
+      full.join(dayStats.filter(col("saturated")), Seq("day"))
+        .filter(col("ne").cast("double") > lit(2.0) * col("eps"))
+        .limit(1).count() > 0
     Check("q_events_heavy_hitters_approx", "q_events_heavy_hitters",
-      "n_disagreements", v, 0.0, nApprox > 0 && v == 0.0,
+      "n_disagreements", v, 0.0, (nApprox > 0 || !mustReport) && v == 0.0,
       s"$nApprox reported rows over $nDays days ($nSat saturated, " +
         s"maxTracked=$maxTracked); coverage=$coverageViol multiset=$msMismatch " +
         s"drift=$unsatDrift est_bound=$estViol presence=$presenceViol")

@@ -922,6 +922,38 @@ object VectorOps {
   def annHierRecall(spark: SparkSession, dir: String): DataFrame =
     pairRecall(Dedup.dedupEmbedding(spark, dir), annIvfHier(spark, dir))
 
+  /** Recall of an approx τ-pair set against the EXACT τ-pair set restricted
+    * to pairs touching a deterministic anchor slice (vec_id ≡ 0 mod step) —
+    * the bounded measurement form ann_recall's scaladoc promises for corpus
+    * sizes where the exact all-pairs frame is infeasible (above
+    * [[Dedup.EmbeddingAuditMaxRows]] the audit form fail-fasts by design).
+    * The exact side is a broadcast of ~n/step anchors scored against the
+    * full corpus — O(n·n/step) narrow work, no corpus shuffle; the approx
+    * side is filtered to the same anchor-touching pairs, so the ratio is an
+    * unbiased estimate of pair recall under the anchor sampling. step = 1
+    * degenerates to the full ann_recall measurement (VectorOpsSpec pins
+    * equality).
+    */
+  private[graft] def sampledPairRecall(spark: SparkSession, dir: String,
+      approxPairs: DataFrame, step: Long): DataFrame = {
+    val e = embWithNorm(spark, dir)
+    val anchors = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+    val exact = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .withColumn("c", cosinePre(dot(col("a_emb"), col("embedding")),
+        col("a_nrm"), col("nrm")))
+      .filter(col("c") >= Dedup.EmbeddingCosThreshold)
+      // anchor-anchor pairs are scored from both ends — canonicalize + dedup
+      .select(least(col("a_id"), col("vec_id")).as("vec_id_a"),
+        greatest(col("a_id"), col("vec_id")).as("vec_id_b"))
+      .dropDuplicates("vec_id_a", "vec_id_b")
+    val approxAnchor = approxPairs.filter(
+      pmod(col("vec_id_a"), lit(step)) === 0 ||
+        pmod(col("vec_id_b"), lit(step)) === 0)
+    pairRecall(exact, approxAnchor)
+  }
+
   private def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
     val exact = exactPairs
       .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_exact"))

@@ -126,6 +126,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(recall - nHit.toDouble / nExact) < 1e-6)
   }
 
+  test("sampledPairRecall at step=1 equals the full ann_recall measurement") {
+    val approx = VectorOps.annIvf(spark, dir)
+    val full = VectorOps.annRecall(spark, dir).collect()(0)
+    val s1 = VectorOps.sampledPairRecall(spark, dir, approx, 1L).collect()(0)
+    assert(s1.getLong(0) === full.getLong(0), "exact pair count")
+    assert(s1.getLong(1) === full.getLong(1), "approx pair count")
+    assert(s1.getLong(2) === full.getLong(2), "hit count")
+    assert(s1.getDouble(3) === full.getDouble(3), "recall")
+    // a strict anchor slice still yields a well-formed estimate
+    val s3 = VectorOps.sampledPairRecall(spark, dir, approx, 3L).collect()(0)
+    assert(s3.getLong(0) > 0 && s3.getLong(0) < full.getLong(0))
+    assert(s3.getLong(2) <= s3.getLong(1) && s3.getLong(2) <= s3.getLong(0))
+    assert(s3.getDouble(3) > 0.0 && s3.getDouble(3) <= 1.0)
+  }
+
   test("dedup_semantic replays the cell-local min-id greedy exactly") {
     val rows = VectorOps.dedupSemantic(spark, dir).collect()
     assert(rows.length === emb.length)

@@ -32,6 +32,24 @@ class VerifyApproxSpec extends SparkSpec {
     assert(c.pass, s"${c.metric}=${c.value} (${c.detail})")
   }
 
+  test("maxMapSize and the eps constant track Spark and DataSketches exactly") {
+    // The saturated heavy-hitters bound re-derives two library constants:
+    // Spark ApproxTopK's map sizing (0.75 load factor, next power of two)
+    // and DataSketches' a-priori error factor (3.5/maxMapSize). A library
+    // upgrade changing either must break HERE, not silently invalidate
+    // the committed sweep artifacts (r9 advisor).
+    for (cap <- Seq(8, 100, 8192, 65536, 100000)) {
+      val m = VerifyApprox.maxMapSize(cap)
+      assert(m == org.apache.spark.sql.catalyst.expressions.aggregate
+        .ApproxTopK.calMaxMapSize(cap),
+        s"maxMapSize($cap) diverged from Spark's calMaxMapSize")
+      for (n <- Seq(1000L, 1000000L))
+        assert(3.5 * n / m == org.apache.datasketches.frequencies
+          .ItemsSketch.getAprioriError(m, n),
+          s"eps constant diverged from DataSketches at maxMapSize=$m n=$n")
+    }
+  }
+
   test("report JSON parses and carries the contract fields") {
     val json = VerifyApprox.reportJson(spark, dir)
     // dependency-free structural probe: one object per rows-only query,
