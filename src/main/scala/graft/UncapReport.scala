@@ -47,6 +47,7 @@ object UncapReport {
       val cents = IvfModel.centroids(spark, dir) // includes the sample fit
       val fitSec = (System.nanoTime() - t0) / 1e9
       val k = cents.length
+      System.err.println(f"[uncap] $dir n=$n k=$k fit: $fitSec%.2f s")
 
       // single-assign occupancy (the dedup_semantic / ivf_build shape)
       val occ = VectorOps.ivfBuild(spark, dir)
@@ -75,7 +76,9 @@ object UncapReport {
         val t = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t) / 1e9
+        val sec = (System.nanoTime() - t) / 1e9
+        System.err.println(f"[uncap] $dir $name: $sec%.2f s")
+        sec
       }
       val qs = Seq("ivf_build", "ivf_build_hier", "ann_ivf", "ann_ivf_hier",
         "dedup_semantic").map(q => s""""$q":${time(q)}""").mkString(",")
@@ -83,7 +86,9 @@ object UncapReport {
       // anchor-sampled recall (~≤2000 anchors either way)
       val step = math.max(1L, n / 2000L)
       def recall(approx: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t = System.nanoTime()
         val r = VectorOps.sampledPairRecall(spark, dir, approx, step).head()
+        System.err.println(f"[uncap] $dir recall pass: ${(System.nanoTime() - t) / 1e9}%.2f s")
         (r.getAs[Long]("n_exact_pairs"), r.getAs[Double]("recall"))
       }
       val (nExactFlat, recFlat) = recall(VectorOps.annIvf(spark, dir))

@@ -894,18 +894,10 @@ case class IvfProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int
         acc += t * t
         j += 1
       }
-      d2(c) = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      d2(c) = acc
       c += 1
     }
-    val order = (0 until k).sortBy(c => (d2(c), c))
-    val out = new Array[Any](math.min(nprobe, k))
-    var i = 0
-    while (i < out.length) {
-      val cell = order(i)
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(cell.toLong, d2(cell))
-      i += 1
-    }
-    new GenericArrayData(out)
+    new GenericArrayData(IvfProbes.selectRounded(d2, nprobe))
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfProbes =
@@ -916,6 +908,57 @@ object IvfProbes {
   def column(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     Bridge.column(IvfProbes(Bridge.expression(c),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+
+  /** Top-`nprobe` cells by (6dp-rounded d2, cell id) from RAW distances,
+    * rounding only the boundary candidates (r10: the old per-row path was
+    * one BigDecimal.setScale per CENTROID plus a boxed sortBy over all K —
+    * 64M BigDecimal allocations for one ivf_build pass at K=500/n=128k,
+    * the flat kernel's real cost, not the arithmetic). Equivalence to
+    * rounding everything: HALF_UP moves a value by ≤ 5e-7, so round(x) ==
+    * round(y) requires |x−y| < 1e-6 — any cell that could TIE the m-th
+    * raw-ranked cell after rounding lies within 1e-6 of it (monotonicity:
+    * nothing beyond can rank strictly better). Candidates = raw ≤ m-th raw
+    * + 2e-6 (double the bound for fp headroom); those are rounded exactly
+    * and ordered by the canonical (rounded, id) rule. Output is therefore
+    * IDENTICAL to the full-rounding program — the DuckDB oracles replay
+    * unchanged — at ~m BigDecimals per row plus one primitive sort.
+    */
+  private[functions] def selectRounded(d2raw: Array[Double], nprobe: Int): Array[Any] = {
+    val top = topByRounded(d2raw, null, nprobe)
+    val out = new Array[Any](top.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(top(i)._2.toLong, top(i)._1)
+      i += 1
+    }
+    out
+  }
+
+  /** The boundary-candidate selection shared by both probe kernels:
+    * top-m entries by (6dp-rounded value, id) from RAW values, where
+    * `ids(i)` labels `raw(i)` (null ids = identity). See [[selectRounded]]
+    * for the equivalence argument.
+    */
+  private[graft] def topByRounded(raw: Array[Double], ids: Array[Int],
+      m0: Int): Array[(Double, Int)] = {
+    val n = raw.length
+    val m = math.min(m0, n)
+    if (m <= 0) return Array.empty
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sorted = raw.clone()
+    java.util.Arrays.sort(sorted)
+    val thr = sorted(m - 1) + 2e-6
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    var i = 0
+    while (i < n) {
+      if (raw(i) <= thr) cand += ((r6(raw(i)), if (ids == null) i else ids(i)))
+      i += 1
+    }
+    cand.sortBy(identity)(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      .take(m).toArray
+  }
 }
 
 /** Two-level [[IvfProbes]]: probe the `superProbes` nearest SUPER-cells
@@ -959,7 +1002,7 @@ case class IvfProbesHier(child: Expression, superCents: Seq[Seq[Double]],
     out.map(_.toArray)
   }
 
-  private def d2round(a: ArrayData, cent: Array[Double]): Double = {
+  private def d2raw(a: ArrayData, cent: Array[Double]): Double = {
     var acc = 0.0
     var j = 0
     while (j < cent.length) {
@@ -967,22 +1010,23 @@ case class IvfProbesHier(child: Expression, superCents: Seq[Seq[Double]],
       acc += t * t
       j += 1
     }
-    BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    acc
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val sd = Array.tabulate(sup.length)(s => d2round(a, sup(s)))
-    val sOrder = sup.indices.sortBy(s => (sd(s), s))
-    val probed = sOrder.take(math.min(superProbes, sup.length))
-    val cand = probed.iterator.flatMap(s => members(s).iterator).toArray
-    val cd = cand.map(c => d2round(a, cel(c)))
-    val order = cand.indices.sortBy(i => (cd(i), cand(i)))
-    val out = new Array[Any](math.min(nprobe, cand.length))
+    // both levels use the boundary-candidate rounding (IvfProbes
+    // .topByRounded) — identical output to rounding every distance, at
+    // ~probes BigDecimals per row instead of one per centroid visited
+    val sd = Array.tabulate(sup.length)(s => d2raw(a, sup(s)))
+    val probed = IvfProbes.topByRounded(sd, null, superProbes)
+    val cand = probed.iterator.flatMap(p => members(p._2).iterator).toArray
+    val cd = cand.map(c => d2raw(a, cel(c)))
+    val top = IvfProbes.topByRounded(cd, cand, nprobe)
+    val out = new Array[Any](top.length)
     var i = 0
     while (i < out.length) {
-      val idx = order(i)
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(cand(idx).toLong, cd(idx))
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(top(i)._2.toLong, top(i)._1)
       i += 1
     }
     new GenericArrayData(out)

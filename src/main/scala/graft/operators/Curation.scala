@@ -198,8 +198,14 @@ object Curation {
     * agreement at test SF against [[curationDecontam]].
     */
   def curationDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (r10; the r9 bench had this at 3.2× the exact
+    // twin): materializing every content's hash array costs more than the
+    // kernel itself, because the build branch needs hashes for only the
+    // ~1/DecontamEvalMod eval slice — unmaterialized, Catalyst pushes the
+    // has_eval filter below the kernel projection, so the build pass runs
+    // the kernel over 1% of contents and the probe pass runs it once over
+    // the train side, both straight off the checkpointed normGroups frame.
     val contents = decontamContents(spark, dir)
-      .localCheckpoint(true) // feeds the filter build AND the probe pass
     // Bounded driver artifact (the IVF-centroid-literal pattern):
     // `might_contain` requires a CONSTANT filter — Spark's own runtime-
     // filter rewrite materializes the build side the same way — and the

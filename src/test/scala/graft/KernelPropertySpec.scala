@@ -297,4 +297,34 @@ class KernelPropertySpec extends AnyFunSuite {
     val worst = (SimHashConf.Mod1 - 1) * SimHashConf.Mod2 + (SimHashConf.Mod2 - 1)
     assert(worst > 0L, "combine overflowed Long at the documented moduli")
   }
+
+  // -- IvfProbes boundary-candidate selection == full-rounding program ------
+
+  test("topByRounded equals round-everything-then-sort, near-ties included") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def naive(raw: Array[Double], m: Int): Seq[(Double, Int)] =
+      raw.indices.map(i => (r6(raw(i)), i))
+        .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        .take(math.min(m, raw.length))
+    // engineered near-ties: values differing by < 1e-6 around the probe
+    // boundary, exact .5 ulps at the 7th decimal, duplicates
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      base <- Gen.choose(0.0, 10.0)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0.0, 10.0),
+        Gen.choose(-8e-7, 8e-7).map(base + _), // rounding-tie cluster
+        Gen.const(base),                        // exact duplicates
+        Gen.choose(0, 20).map(base + _ * 5e-7)))// .5-at-7th-decimal ladder
+      m <- Gen.choose(1, 8)
+    } yield (vs.toArray, m)
+    val prop = Prop.forAll(gen) { case (raw, m) =>
+      IvfProbes.topByRounded(raw, null, m).toSeq == naive(raw, m)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500)
+        .withInitialSeed(Seed(20260815L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
