@@ -1421,16 +1421,60 @@ object PcaProject {
       comps.map(_.toIndexedSeq).toIndexedSeq))
 }
 
-/** Column wrapper over Spark's internal `BloomFilterMightContain` — the
-  * probe side of `bloom_filter_agg` (SQL-registered) which Spark exposes
-  * only to its own runtime-filter rewrite, not the function registry.
-  * Codegen'd by Spark itself; value must be the same LONG hash fed to the
+/** Serialized-Bloom-filter holder with PRECOMPUTED hashCode and
+  * eq-short-circuited equals: a 4 MiB filter as a plain binary `Literal`
+  * turns every plan-tree hash/compare during analysis, optimization and
+  * canonicalization into a full array scan — profiled at ~1 s of DRIVER
+  * time per curation_decontam_bloom run, dwarfing the executors' 23
+  * ns/probe work. As a scalar expression parameter wrapped in this class,
+  * tree operations cost O(1) and the bytes still serialize into the task
+  * binary exactly once per stage.
+  */
+final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+  private val h = java.util.Arrays.hashCode(bytes)
+  override def hashCode: Int = h
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBytes =>
+      (b eq this) || (b.h == h && java.util.Arrays.equals(b.bytes, bytes))
+    case _ => false
+  }
+  override def toString: String = s"BloomBytes(${bytes.length}B, #$h)"
+  @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+}
+
+/** Probe side of `bloom_filter_agg`: `mightContainLong` against the
+  * serialized filter, deserialized ONCE per instance (`@transient lazy`).
+  * Replaces Spark's internal `BloomFilterMightContain` + binary-Literal
+  * shape (r10): the probe itself is 23 ns, the fat Literal's plan-time
+  * hashing was the cost — see [[BloomBytes]]. Same semantics: null value
+  * → null; the probed value must be the same LONG hash fed to the
   * aggregate (curation_decontam_bloom probes WordShingleHashes output).
   */
+case class BloomProbe(child: Expression, bf: BloomBytes)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint probe value, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bloom_probe"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bf.filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
 object MightContain {
-  def column(bloom: Column, value: Column): Column =
-    Bridge.column(org.apache.spark.sql.catalyst.expressions
-      .BloomFilterMightContain(Bridge.expression(bloom), Bridge.expression(value)))
+  def column(bloomBytes: Array[Byte], value: Column): Column =
+    Bridge.column(BloomProbe(Bridge.expression(value), new BloomBytes(bloomBytes)))
 }
 
 /** Column wrapper over Spark's internal `BloomFilterAggregate` (the build

@@ -162,7 +162,7 @@ object Curation {
     * slice, and the shingle-hash array from the shared WordShingleHashes
     * kernel.
     */
-  private def decontamContents(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def decontamContents(spark: SparkSession, dir: String): DataFrame = {
     val groups = Dedup.normGroups(graft.sources.Tables.documents(spark, dir))
     groups.select(col("rep_id"),
       filter(col("members"), m => m % DecontamEvalMod =!= 0).as("train_members"),
@@ -214,6 +214,13 @@ object Curation {
     // size is the entire point of the sketch.
     val bfRow = contents.filter(col("has_eval"))
       .select(explode(col("hs")).as("h"))
+      // one partition for the build: BloomAgg's partial state is the full
+      // 4 MiB bitmap, so P partitions serialize P·4 MiB into the final
+      // merge — for the ~1/DecontamEvalMod eval slice that merge traffic
+      // WAS the query's cost (r10 profile: 32 partials ≈ 128 MB ≈ 1.4 s).
+      // One task runs the eval kernel (1% of contents) and emits one state.
+      // At a 100 TB eval corpus, raise this toward a small tree instead.
+      .coalesce(1)
       .agg(graft.functions.BloomAgg.column(col("h"),
         DecontamBloomEstItems, DecontamBloomBits).as("bf"))
       .collect()(0)
@@ -228,7 +235,7 @@ object Curation {
       .withColumn("hit",
         if (bf == null) lit(false)
         else coalesce(
-          graft.functions.MightContain.column(lit(bf), col("h")), lit(false)))
+          graft.functions.MightContain.column(bf, col("h")), lit(false)))
       .groupBy(col("rep_id"))
       .agg(max(col("n_ngrams")).as("n_ngrams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
