@@ -88,9 +88,9 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap}" in
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$SKW" 10 4 --skew
     ;;
   verify)
-    SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx24g graft.Verify "$UNI" /tmp/vsf1 2>/tmp/vsf1.err &
+    SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx32g graft.Verify "$UNI" /tmp/vsf1 2>/tmp/vsf1.err &
     P1=$!
-    SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx24g graft.Verify "$SKW" /tmp/vskew 2>/tmp/vskew.err &
+    SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx32g graft.Verify "$SKW" /tmp/vskew 2>/tmp/vskew.err &
     P2=$!
     S1=0; S2=0
     wait $P1 || S1=$?

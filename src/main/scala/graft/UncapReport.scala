@@ -63,7 +63,7 @@ object UncapReport {
       val multi = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           explode(graft.functions.IvfProbes.column(col("embedding"), cents,
-            VectorOps.AssignProbes)).as("p"))
+            VectorOps.scaledAssignProbes(cents.length))).as("p"))
         .select(col("vec_id"), col("p.cell").as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
         .localCheckpoint(true)

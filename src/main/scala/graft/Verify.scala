@@ -23,6 +23,12 @@ object Verify {
       .config("spark.sql.files.openCostInBytes", "64k")
       // events.parquet is INT64 TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 113 queries' localCheckpoint blocks are reclaimed by the
+      // ContextCleaner only after a GC notices the RDDs are unreachable;
+      // the default periodic-GC interval (30 min) never fires inside a
+      // sweep run, so blocks pile up until a 512 MB page allocation OOMs
+      // the heap (r10: the skewed-sf1 Verify died exactly this way).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

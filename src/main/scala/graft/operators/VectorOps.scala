@@ -239,6 +239,20 @@ object VectorOps {
     */
   val AssignProbes = 2
 
+  /** Multi-probe count as a SLOW function of nlist (r10, from the uncap
+    * sweep: fixed r=2 at nlist 32 → 500 measured recall 0.49 → 0.37):
+    * fixed r covers r/K of cells — vanishing neighborhood coverage as K
+    * grows — while r ∝ K re-quadratifies the pair stage (cost ∝
+    * r²·occupancy per vector). log₁₆ growth holds every historical regime
+    * (gate K=16, sf1-sweep K=32, all ≤ 256) at exactly [[AssignProbes]]
+    * and adds one probe per 16× more cells: 500 cells → 3, 65536 → 4 —
+    * the pair-cost multiplier (r/2)² stays ≤ 4 across the full
+    * [[MaxCells]] range while coverage decays like log instead of 1/K.
+    */
+  def scaledAssignProbes(nCells: Int): Int =
+    math.max(AssignProbes,
+      math.ceil(math.log(nCells.toDouble) / math.log(16.0)).toInt)
+
   /** Hot-cell cap: in-cell pair generation is Θ(|cell|²), so one dominant
     * cell (the norm for near-duplicate-heavy corpora at 100 TB) reproduces
     * the quadratic blowup the simhash stop-bucket guard exists for. A cell
@@ -265,7 +279,8 @@ object VectorOps {
     // simhash-chunks lesson).
     val multi = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        explode(graft.functions.IvfProbes.column(col("embedding"), cents, AssignProbes)).as("p"))
+        explode(graft.functions.IvfProbes.column(col("embedding"), cents,
+          scaledAssignProbes(cents.length))).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
     cellLocalPairs(multi, cents.length)
@@ -291,7 +306,8 @@ object VectorOps {
     val multi = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbesHier.column(col("embedding"),
-          supers, cents, memberOf, SuperProbes, AssignProbes)).as("p"))
+          supers, cents, memberOf, SuperProbes,
+          scaledAssignProbes(cents.length))).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
     cellLocalPairs(multi, cents.length)
@@ -824,7 +840,7 @@ object VectorOps {
     s"""mr AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |       FROM md),
-       |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $AssignProbes),
+       |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= ${scaledAssignProbes(nCells)}),
        |cc AS (SELECT cell, count(*) AS n FROM mp GROUP BY 1),
        |tot AS (SELECT sum(n) AS t FROM cc),
        |hot AS (SELECT cell FROM cc, tot WHERE n * $nCells > $MaxCellFactor * t),

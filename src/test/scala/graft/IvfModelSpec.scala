@@ -115,6 +115,17 @@ class IvfModelSpec extends SparkSpec {
     assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("scaledAssignProbes holds historical regimes at 2 and grows log16") {
+    // gate (16), sf1 sweep (32) and the whole flat-fit range stay at the
+    // historical 2 — oracle artifacts for those SFs are unchanged
+    for (k <- Seq(16, 32, 64, 256))
+      assert(VectorOps.scaledAssignProbes(k) == VectorOps.AssignProbes, s"k=$k")
+    assert(VectorOps.scaledAssignProbes(500) == 3)
+    assert(VectorOps.scaledAssignProbes(4096) == 3)
+    assert(VectorOps.scaledAssignProbes(4097) == 4)
+    assert(VectorOps.scaledAssignProbes(VectorOps.MaxCells) == 4)
+  }
+
   test("centsCte emits one literal row per centroid") {
     val cte = IvfModel.centsCte(Array(Array(0.5, -1.25), Array(3.0, 0.000001)))
     assert(cte.contains("(CAST(0 AS BIGINT), [0.5, -1.25]::DOUBLE[])"))
