@@ -82,7 +82,7 @@ check_sharded() {
   return "$rc"
 }
 
-case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap}" in
+case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega}" in
   gen)
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$UNI" 10 4
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$SKW" 10 4 --skew
@@ -144,6 +144,18 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap}" in
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport "$UNC" "$UNI" \
       2>/dev/null | tail -1 > "UNCAP_REPORT_${ROUND}.json"
     cat "UNCAP_REPORT_${ROUND}.json"
+    ;;
+  uncapmega)
+    # one octave further: >1M vectors => k > DriverFitMaxK, so the fit
+    # takes the seed-plus-one-distributed-refine path; build-only (the
+    # flat O(N*K) coarse assignment is the retired design at this K)
+    MEG=testdata-uncapmega
+    SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale \
+      /root/testdata/sf0.1 "$MEG" 1 600
+    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport \
+      "$MEG" testdata-uncap --buildonly \
+      2>/dev/null | tail -1 > "UNCAP_MEGA_${ROUND}.json"
+    cat "UNCAP_MEGA_${ROUND}.json"
     ;;
   approx)
     SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx16g graft.VerifyApprox \

@@ -50,6 +50,12 @@ object DocStream {
     * boilerplate bucket in a stream would otherwise emit O(n²) pairs
     * forever. Downstream, pairs feed the same exact-Jaccard verify as the
     * batch two-stage pipeline.
+    *
+    * This is the DOC-LEVEL (audit) form — within one verbatim content
+    * group it emits C(g,2) pairs by definition, like the batch
+    * dedup_minhash audit form. The production path for boilerplate-heavy
+    * streams is [[nearDupCandidatesGrouped]], whose output is linear in
+    * distinct contents.
     */
   def nearDupCandidates(docs: DataFrame, withinMinutes: Int = 60,
                         maxBucket: Int = Dedup.MaxBucketSize): Dataset[CandPair] = {
