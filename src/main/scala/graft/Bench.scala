@@ -39,7 +39,7 @@ object Bench {
     "dedup_ngram_grouped", "dedup_verified_grouped",
     "dedup_minhash_grouped", "dedup_simhash_grouped",
     "knn_bruteforce", "ivf_search", "ann_ivf", "ann_ivf_hier", "ann_pq", "ann_ivfpq",
-    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank", "dedup_semantic", "ivf_build_hier",
     "vec_pca", "bm25_topk", "hybrid_rrf", "eval_recall",
     "search_highlights", "pipeline_filter",
     "multimodal_phash_pairs", "curation_decontam", "curation_decontam_bloom",

@@ -211,10 +211,28 @@ object VectorOps {
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Coarse assignment: exact flat argmin while K sits in the flat-fit
+    // regime (every gate/sweep SF — unchanged results), the O(N·√K)
+    // two-level probe once the corpus-adaptive nlist passes
+    // [[IvfModel.FlatFitMaxK]] — at K = 65536 a flat O(N·K) pass is the
+    // design this family retired (r10; the oracle generator switches on
+    // the SAME cents.length condition, so the two engines can't drift).
+    // SemDeDup semantics are unaffected: the cell id is a clustering
+    // heuristic, and the in-cell greedy is exact either way.
+    val assigned =
+      if (cents.length <= IvfModel.FlatFitMaxK) assignCells(vecs, cents)
+      else {
+        val (supers, memberOf) = IvfModel.superModel(cents)
+        vecs.select(col("vec_id"), col("embedding"),
+            try_element_at(graft.functions.IvfProbesHier.column(col("embedding"),
+              supers, cents, memberOf, SuperProbes, 1), lit(1)).as("p"))
+          .filter(col("p").isNotNull)
+          .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
+      }
     // Materialized once: feeds the hot-cell pre-pass, both sides of the
     // cell-local self-join, AND the keep/drop join-back (the annIvf lesson).
-    val asg = assignCells(
-        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
+    val asg = assigned
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint(true)
     val e = capHotCells(asg, cents.length, MaxCellFactor)
@@ -863,9 +881,25 @@ object VectorOps {
     * ([[assignCtes]]), same integer-exact hot-cell rule, same cell-local
     * pair chain, then the min-id drop verdict as a grouped min + left join.
     */
-  def dedupSemanticOracleSql(cents: Array[Array[Double]]): String =
+  /** DuckDB oracle for dedup_semantic. The assignment CTE switches on
+    * cents.length exactly as [[dedupSemantic]] does — flat argmin in the
+    * flat-fit regime, the two-level chain beyond — so the engines share
+    * one condition and cannot drift.
+    */
+  def dedupSemanticOracleSql(cents: Array[Array[Double]]): String = {
+    val asgCtes =
+      if (cents.length <= IvfModel.FlatFitMaxK) assignCtes
+      else {
+        val (supers, memberOf) = IvfModel.superModel(cents)
+        s"""${IvfModel.superCtes(supers, memberOf)},
+           |$hierMdCtes,
+           |hr AS (SELECT vec_id, cell, d2,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+           |       FROM md),
+           |asg AS (SELECT vec_id, cell, d2 FROM hr WHERE crk = 1)""".stripMargin
+      }
     s"""WITH ${IvfModel.centsCte(cents)},
-       |$assignCtes,
+       |$asgCtes,
        |scc AS (SELECT cell, count(*) AS n FROM asg GROUP BY 1),
        |stot AS (SELECT sum(n) AS t FROM scc),
        |shot AS (SELECT cell FROM scc, stot WHERE n * ${cents.length} > $MaxCellFactor * t),
@@ -879,6 +913,7 @@ object VectorOps {
        |          GROUP BY 1)
        |SELECT asg.vec_id, asg.cell, sdrop.dup_of IS NULL AS keep, sdrop.dup_of
        |FROM asg LEFT JOIN sdrop ON asg.vec_id = sdrop.vec_id""".stripMargin
+  }
 
   def annIvfHierOracleSql(cents: Array[Array[Double]],
       supers: Array[Array[Double]], memberOf: Array[Int]): String =

@@ -102,7 +102,6 @@ object DocStream {
       maxBucket: Int = Dedup.MaxBucketSize): Dataset[GroupCandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val windowMs = withinMinutes * 60L * 1000L
     // the batch dedup family's normalization, fingerprinted: xxhash64 of
     // the collapsed-whitespace lowercased text (a 64-bit fp, not the norm
     // string, so state stays bytes-per-group; a collision merges two
@@ -115,6 +114,20 @@ object DocStream {
           .as(Seq("band", "key")))
       .select(col("band"), col("key"), col("doc_id"), col("fp"), col("ts"))
       .as[GroupBandHit]
+    bucketCandidatesGrouped(hits, withinMinutes, maxBucket)
+  }
+
+  /** The GROUPED keyed bucket-state machine shared by every rep-level
+    * streaming LSH candidate generator (text minhash bands, vector sign
+    * chunks) — the content-counted twin of [[bucketCandidates]]. Callers
+    * map their modality into [[GroupBandHit]] rows, choosing `fp` so that
+    * members of one verbatim group share it.
+    */
+  def bucketCandidatesGrouped(hits: Dataset[GroupBandHit], withinMinutes: Int,
+      maxBucket: Int): Dataset[GroupCandPair] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val windowMs = withinMinutes * 60L * 1000L
 
     def fold(bk: (Int, String), it: Iterator[GroupBandHit],
              state: GroupState[GroupBucketState]): Iterator[GroupCandPair] = {

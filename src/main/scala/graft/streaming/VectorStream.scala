@@ -72,6 +72,36 @@ object VectorStream {
       withinMinutes, maxBucket)
   }
 
+  /** Rep-level streaming embedding near-dup — the grouped twin of
+    * [[nearDupCandidates]] over [[DocStream.bucketCandidatesGrouped]]:
+    * byte-identical vectors share an `xxhash64(embedding)` fingerprint
+    * and occupy ONE bucket residency, so an exact-duplicate vector flood
+    * (the adversarial lane's 25% shared-constant class; re-encoded crawl
+    * snapshots in production) refreshes one group instead of emitting
+    * C(g,2) pairs. Pairs emit only across distinct vectors; the stop cap
+    * counts distinct vectors. Member recovery is a join on the
+    * fingerprint, exactly like the batch grouped forms.
+    */
+  def nearDupCandidatesGrouped(vectors: DataFrame, dim: Int,
+      withinMinutes: Int = 60,
+      maxBucket: Int = graft.operators.Dedup.MaxBucketSize)
+      : org.apache.spark.sql.Dataset[DocStream.GroupCandPair] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(graft.operators.Dedup.EmbLshBits, dim)(
+      (k, j) => graft.operators.Dedup.hyperplane(k, j))
+    DocStream.bucketCandidatesGrouped(
+      vectors.select(col("vec_id").as("doc_id"), col("ts"),
+          xxhash64(col("embedding")).as("fp"),
+          posexplode(graft.functions.VecSignChunks.column(
+            col("embedding"), planes, graft.operators.Dedup.EmbLshChunkBits))
+            .as(Seq("band", "key")))
+        .select(col("band"), col("key").cast("string").as("key"),
+          col("doc_id"), col("fp"), col("ts"))
+        .as[DocStream.GroupBandHit],
+      withinMinutes, maxBucket)
+  }
+
   /** Per-micro-batch top-k ranking of [[adcCandidates]] output (run it
     * inside `foreachBatch`): deterministic 6dp-score ordering with id
     * tiebreak — identical to the batch serving path.

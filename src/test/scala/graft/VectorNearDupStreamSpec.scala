@@ -57,4 +57,32 @@ class VectorNearDupStreamSpec extends SparkSpec {
     assert(streamed == want)
     assert(want.nonEmpty, "testdata should produce at least one candidate")
   }
+
+  test("grouped vector stream: a duplicate-vector flood emits one rep pair") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = 8
+    val base = Array.tabulate(dim)(j => (0.3f + 0.05f * j))
+    val near = base.clone(); near(0) = base(0) + 1e-4f // same signs -> same buckets
+    val far = Array.tabulate(dim)(j => (if (j % 2 == 0) -1f else 1f) * (1f + j))
+    // 40 byte-identical copies + 1 near-dup + 1 unrelated
+    val vecs = (0L until 40L).map(i => TimedVec(i, new Timestamp(T0 + i), base)) ++
+      Seq(TimedVec(40L, new Timestamp(T0 + 40), near),
+        TimedVec(41L, new Timestamp(T0 + 41), far))
+    val mem = MemoryStream[TimedVec]
+    mem.addData(vecs: _*)
+    val q = VectorStream.nearDupCandidatesGrouped(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("vec_neardup_grouped")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vec_neardup_grouped").collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b")))
+    // the 40-copy group pairs once per shared chunk-band with the near-dup,
+    // never within itself; the unrelated vector shares no full chunk
+    assert(rows.toSet == Set((0L, 40L)))
+    assert(rows.length <= Dedup.EmbLshBits / Dedup.EmbLshChunkBits,
+      s"raw emissions ${rows.length} exceed the chunk-band count")
+  }
 }

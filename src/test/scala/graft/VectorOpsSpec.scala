@@ -141,6 +141,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(s3.getDouble(3) > 0.0 && s3.getDouble(3) <= 1.0)
   }
 
+  test("dedup_semantic oracle switches to the two-level chain past FlatFitMaxK") {
+    // the query and its oracle share ONE condition (cents.length); pin
+    // that the generated SQL actually flips with it
+    def cents(k: Int) = Array.tabulate(k)(i => Array.tabulate(4)(d => i * 4.0 + d))
+    val flat = VectorOps.dedupSemanticOracleSql(cents(16))
+    assert(!flat.contains("supers(") && flat.contains("ad AS"))
+    val hier = VectorOps.dedupSemanticOracleSql(
+      cents(graft.operators.IvfModel.FlatFitMaxK + 1))
+    assert(hier.contains("supers(sup, supcent)") && hier.contains("mem(cell, sup)"))
+    assert(hier.contains("srk <= ") && !hier.contains("ad AS"))
+  }
+
   test("dedup_semantic replays the cell-local min-id greedy exactly") {
     val rows = VectorOps.dedupSemantic(spark, dir).collect()
     assert(rows.length === emb.length)
