@@ -128,7 +128,8 @@ object IndexStore {
         // probed supers memberless) and ANSI element_at would throw.
         vectors.select(col("id"), col("vec"),
             try_element_at(graft.functions.IvfProbesHier.column(col("vec"),
-              supers, cents, memberOf, VectorOps.SuperProbes, 1), lit(1))("cell")
+              supers, cents, memberOf,
+              VectorOps.scaledSuperProbes(cents.length), 1), lit(1))("cell")
               .cast("int").as("cell"))
           .filter(col("cell").isNotNull)
       case "ivfpq" =>

@@ -254,7 +254,8 @@ object IvfModel {
     val dim = seed.head.length
     val sums = df
       .select(try_element_at(graft.functions.IvfProbesHier.column(
-          col(vecCol), supers, seed, memberOf, VectorOps.SuperProbes, 1),
+          col(vecCol), supers, seed, memberOf,
+          VectorOps.scaledSuperProbes(seed.length), 1),
           lit(1))("cell").as("cell"),
         col(vecCol).as("v"))
       .filter(col("cell").isNotNull) // all probed supers memberless

@@ -169,7 +169,8 @@ object VectorOps {
       // (Spark 4 default) element_at on an empty array throws instead of
       // returning null. try_element_at yields null → the filter drops it.
       .withColumn("p", try_element_at(graft.functions.IvfProbesHier.column(
-        col("embedding"), supers, cents, memberOf, SuperProbes, 1), lit(1)))
+        col("embedding"), supers, cents, memberOf,
+        scaledSuperProbes(cents.length), 1), lit(1)))
       .filter(col("p").isNotNull) // a vector whose probed supers are all memberless
       .select(col("vec_id"), col("p.cell").as("cell"), col("p.d2").as("d2"))
   }
@@ -226,7 +227,8 @@ object VectorOps {
         val (supers, memberOf) = IvfModel.superModel(cents)
         vecs.select(col("vec_id"), col("embedding"),
             try_element_at(graft.functions.IvfProbesHier.column(col("embedding"),
-              supers, cents, memberOf, SuperProbes, 1), lit(1)).as("p"))
+              supers, cents, memberOf,
+              scaledSuperProbes(cents.length), 1), lit(1)).as("p"))
           .filter(col("p").isNotNull)
           .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       }
@@ -307,6 +309,18 @@ object VectorOps {
   /** How many super-cells the hierarchical coarse probe visits. */
   val SuperProbes = 2
 
+  /** Super-probe count as a slow function of nlist (the
+    * [[scaledAssignProbes]] rule at the coarse level): 2 fixed probes of
+    * ⌈√K⌉ supers cover 2/√K of the cell space — at K = 500 that is 2 of
+    * 23 supers and the uncap sweep measured hier/flat build agreement
+    * 0.708. log₁₆ growth keeps every K ≤ 256 regime at the historical 2
+    * and probes one more super per 16× more cells; hier build cost grows
+    * by the same small factor (still O(N·√K)).
+    */
+  def scaledSuperProbes(nCells: Int): Int =
+    math.max(SuperProbes,
+      math.ceil(math.log(nCells.toDouble) / math.log(16.0)).toInt)
+
   /** SURVEY §2 `ann_ivf_hier`: [[annIvf]] with a TWO-LEVEL coarse probe —
     * the [[graft.functions.IvfProbesHier]] kernel visits the
     * [[SuperProbes]] nearest of ⌈√K⌉ super-centroids, then argmins only
@@ -324,7 +338,7 @@ object VectorOps {
     val multi = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbesHier.column(col("embedding"),
-          supers, cents, memberOf, SuperProbes,
+          supers, cents, memberOf, scaledSuperProbes(cents.length),
           scaledAssignProbes(cents.length))).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
@@ -832,7 +846,7 @@ object VectorOps {
     * probed supers' members. Shared by the hier pair chain, the hier
     * build, and the agreement oracle.
     */
-  private def hierMdCtes: String =
+  private def hierMdCtes(nCells: Int): String =
     s"""sd AS (SELECT e.vec_id, s.sup,
        |         round(list_sum(list_transform(list_zip(e.embedding, s.supcent),
        |           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6) AS d2
@@ -840,7 +854,7 @@ object VectorOps {
        |sr AS (SELECT vec_id, sup,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, sup) AS srk
        |       FROM sd),
-       |sp AS (SELECT vec_id, sup FROM sr WHERE srk <= $SuperProbes),
+       |sp AS (SELECT vec_id, sup FROM sr WHERE srk <= ${scaledSuperProbes(nCells)}),
        |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e
        |       JOIN sp ON sp.vec_id = e.vec_id
@@ -848,7 +862,7 @@ object VectorOps {
        |       JOIN cents c ON c.cell = mem.cell)""".stripMargin
 
   private def annIvfHierCtes(nCells: Int): String =
-    s"""$hierMdCtes,
+    s"""${hierMdCtes(nCells)},
        |${pairTailCtes(nCells)}""".stripMargin
 
   /** mr … sc: probe ranking, hot-cell cap, cell-local scored pairs — shared
@@ -892,7 +906,7 @@ object VectorOps {
       else {
         val (supers, memberOf) = IvfModel.superModel(cents)
         s"""${IvfModel.superCtes(supers, memberOf)},
-           |$hierMdCtes,
+           |${hierMdCtes(cents.length)},
            |hr AS (SELECT vec_id, cell, d2,
            |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
            |       FROM md),
@@ -927,7 +941,7 @@ object VectorOps {
       supers: Array[Array[Double]], memberOf: Array[Int]): String =
     s"""WITH ${IvfModel.centsCte(cents)},
        |${IvfModel.superCtes(supers, memberOf)},
-       |$hierMdCtes,
+       |${hierMdCtes(cents.length)},
        |mr AS (SELECT vec_id, cell, d2,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |       FROM md)
@@ -938,7 +952,7 @@ object VectorOps {
     s"""WITH ${IvfModel.centsCte(cents)},
        |${IvfModel.superCtes(supers, memberOf)},
        |$assignCtes,
-       |$hierMdCtes,
+       |${hierMdCtes(cents.length)},
        |hmr AS (SELECT vec_id, cell,
        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |        FROM md),

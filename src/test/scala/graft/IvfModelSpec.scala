@@ -124,6 +124,11 @@ class IvfModelSpec extends SparkSpec {
     assert(VectorOps.scaledAssignProbes(4096) == 3)
     assert(VectorOps.scaledAssignProbes(4097) == 4)
     assert(VectorOps.scaledAssignProbes(VectorOps.MaxCells) == 4)
+    // the super-probe count follows the same rule at the coarse level
+    for (k <- Seq(16, 32, 256))
+      assert(VectorOps.scaledSuperProbes(k) == VectorOps.SuperProbes, s"k=$k")
+    assert(VectorOps.scaledSuperProbes(500) == 3)
+    assert(VectorOps.scaledSuperProbes(VectorOps.MaxCells) == 4)
   }
 
   test("centsCte emits one literal row per centroid") {
