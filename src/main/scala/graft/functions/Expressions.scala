@@ -846,6 +846,96 @@ case class SimHashChunks(child: Expression)
     copy(child = newChild)
 }
 
+/** Primitive centroid/hyperplane bank as a kernel parameter, with
+  * PRECOMPUTED hashCode and eq-short-circuited equals — the [[BloomBytes]]
+  * treatment for matrix-shaped expression params. As `Seq[Seq[Double]]`
+  * case-class fields, a K = 65536 × 64 centroid bank is ~4.2M BOXED
+  * doubles hashed and compared on every plan-tree canonicalization,
+  * semanticEquals and subexpression-elimination pass — the exact
+  * driver-side pathology profiled at ~1 s/run for the 4 MiB Bloom binary
+  * Literal (r10). Wrapped, tree ops cost O(1) (hash is precomputed, equals
+  * short-circuits on reference then hash), plan strings print a digest
+  * instead of megabytes of doubles, and VALUE equality is preserved (deep
+  * primitive-array compare behind the hash guard) so Catalyst CSE still
+  * unifies identical kernels. The arrays are handed over by the model fits
+  * and never mutated afterward (the [[BloomBytes]] ownership rule).
+  */
+final class DoubleMatrix(val rows: Array[Array[Double]]) extends Serializable {
+  private val h = {
+    var acc = 1
+    var i = 0
+    while (i < rows.length) { acc = 31 * acc + java.util.Arrays.hashCode(rows(i)); i += 1 }
+    acc
+  }
+  override def hashCode: Int = h
+  override def equals(o: Any): Boolean = o match {
+    case m: DoubleMatrix =>
+      (m eq this) || (m.h == h && m.rows.length == rows.length && {
+        var i = 0
+        var same = true
+        while (same && i < rows.length) {
+          same = java.util.Arrays.equals(m.rows(i), rows(i)); i += 1
+        }
+        same
+      })
+    case _ => false
+  }
+  override def toString: String =
+    s"DoubleMatrix(${rows.length}x${if (rows.isEmpty) 0 else rows(0).length}, #$h)"
+}
+
+/** [[DoubleMatrix]]'s int-vector sibling (IVF cell→super membership: 65536
+  * boxed Ints as a Seq param carry the same per-tree-op tax).
+  */
+final class IntVec(val values: Array[Int]) extends Serializable {
+  private val h = java.util.Arrays.hashCode(values)
+  override def hashCode: Int = h
+  override def equals(o: Any): Boolean = o match {
+    case v: IntVec =>
+      (v eq this) || (v.h == h && java.util.Arrays.equals(v.values, values))
+    case _ => false
+  }
+  override def toString: String = s"IntVec(${values.length}, #$h)"
+}
+
+/** [[DoubleMatrix]]'s rank-3 sibling for PQ codebooks
+  * (subspace × code × dim).
+  */
+final class CodebookBank(val books: Array[Array[Array[Double]]]) extends Serializable {
+  private val h = {
+    var acc = 1
+    var m = 0
+    while (m < books.length) {
+      var c = 0
+      while (c < books(m).length) {
+        acc = 31 * acc + java.util.Arrays.hashCode(books(m)(c)); c += 1
+      }
+      m += 1
+    }
+    acc
+  }
+  override def hashCode: Int = h
+  override def equals(o: Any): Boolean = o match {
+    case b: CodebookBank =>
+      (b eq this) || (b.h == h && b.books.length == books.length && {
+        var same = true
+        var m = 0
+        while (same && m < books.length) {
+          same = b.books(m).length == books(m).length
+          var c = 0
+          while (same && c < books(m).length) {
+            same = java.util.Arrays.equals(b.books(m)(c), books(m)(c)); c += 1
+          }
+          m += 1
+        }
+        same
+      })
+    case _ => false
+  }
+  override def toString: String =
+    s"CodebookBank(${books.length} books, #$h)"
+}
+
 /** The `nprobe` nearest IVF cells of an `array<float>` embedding against a
   * fixed centroid table (reference `backends/faiss_ivf.py` probe step), as
   * one narrow kernel: squared-L2 to each centroid (floats promoted to
@@ -860,7 +950,7 @@ case class SimHashChunks(child: Expression)
   * the kernel needs no join. CodegenFallback: one JVM call per row around
   * two tight loops — the surrounding stage stays codegen'd.
   */
-case class IvfProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+case class IvfProbes(child: Expression, centroids: DoubleMatrix, nprobe: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -876,8 +966,7 @@ case class IvfProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int
     containsNull = false)
   override def prettyName: String = "graft_ivf_probes"
 
-  @transient private lazy val cents: Array[Array[Double]] =
-    centroids.map(_.toArray).toArray
+  private def cents: Array[Array[Double]] = centroids.rows
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -907,7 +996,7 @@ case class IvfProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int
 object IvfProbes {
   def column(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     Bridge.column(IvfProbes(Bridge.expression(c),
-      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+      new DoubleMatrix(centroids), nprobe))
 
   /** Top-`nprobe` cells by (6dp-rounded d2, cell id) from RAW distances,
     * rounding only the boundary candidates (r10: the old per-row path was
@@ -937,7 +1026,12 @@ object IvfProbes {
   /** The boundary-candidate selection shared by both probe kernels:
     * top-m entries by (6dp-rounded value, id) from RAW values, where
     * `ids(i)` labels `raw(i)` (null ids = identity). See [[selectRounded]]
-    * for the equivalence argument.
+    * for the equivalence argument. The headroom scales with magnitude:
+    * the fixed 2e-6 covers the HALF_UP quantization (≤ 5e-7 each side,
+    * doubled), but round6(x).toDouble adds up to ulp(x)/2 of
+    * decimal→double conversion error PER VALUE — above |x| ≈ 1e10 that
+    * exceeds the fixed term (r10 advisor), so 4·ulp covers both values'
+    * conversion error with the same 2× safety factor.
     */
   private[graft] def topByRounded(raw: Array[Double], ids: Array[Int],
       m0: Int): Array[(Double, Int)] = {
@@ -948,11 +1042,17 @@ object IvfProbes {
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val sorted = raw.clone()
     java.util.Arrays.sort(sorted)
-    val thr = sorted(m - 1) + 2e-6
+    val thr = sorted(m - 1) + 2e-6 + 4 * Math.ulp(sorted(m - 1))
+    // non-finite raw values are never candidates: BigDecimal(Inf/NaN)
+    // throws, and an infinite distance can't rank anywhere meaningful —
+    // a vector whose every distance is non-finite yields an EMPTY probe
+    // list, which every consumer already handles (the memberless-super
+    // path). NaN is excluded by the <= comparison itself.
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
     var i = 0
     while (i < n) {
-      if (raw(i) <= thr) cand += ((r6(raw(i)), if (ids == null) i else ids(i)))
+      if (raw(i) <= thr && !raw(i).isInfinite)
+        cand += ((r6(raw(i)), if (ids == null) i else ids(i)))
       i += 1
     }
     cand.sortBy(identity)(
@@ -968,14 +1068,16 @@ object IvfProbes {
   * nlist at 100 TB (FAISS IMI's trade). Distances round to 6 dp with
   * ties to the lower id at BOTH levels and the emitted (cell, d2) structs
   * follow [[IvfProbes]]' exact conventions, so a DuckDB oracle replays
-  * the identical two-level program over the same literals. Seq params for
-  * value equality (Catalyst canonicalization).
+  * the identical two-level program over the same literals.
+  * [[DoubleMatrix]]/[[IntVec]] params keep value equality (Catalyst
+  * canonicalization) at O(1) tree-op cost — at K = 65536 the old
+  * Seq[Seq[Double]] form hashed ~4.2M boxed doubles per plan compare.
   */
-case class IvfProbesHier(child: Expression, superCents: Seq[Seq[Double]],
-    cents: Seq[Seq[Double]], memberOf: Seq[Int], superProbes: Int, nprobe: Int)
+case class IvfProbesHier(child: Expression, superCents: DoubleMatrix,
+    cents: DoubleMatrix, memberOf: IntVec, superProbes: Int, nprobe: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(memberOf.length == cents.length,
+  require(memberOf.values.length == cents.rows.length,
     "memberOf must assign every cell to a super-cell")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -991,14 +1093,13 @@ case class IvfProbesHier(child: Expression, superCents: Seq[Seq[Double]],
     containsNull = false)
   override def prettyName: String = "graft_ivf_probes_hier"
 
-  @transient private lazy val sup: Array[Array[Double]] =
-    superCents.map(_.toArray).toArray
-  @transient private lazy val cel: Array[Array[Double]] =
-    cents.map(_.toArray).toArray
+  private def sup: Array[Array[Double]] = superCents.rows
+  private def cel: Array[Array[Double]] = cents.rows
   @transient private lazy val members: Array[Array[Int]] = {
+    val mo = memberOf.values
     val out = Array.fill(sup.length)(new scala.collection.mutable.ArrayBuffer[Int]())
     var c = 0
-    while (c < memberOf.length) { out(memberOf(c)) += c; c += 1 }
+    while (c < mo.length) { out(mo(c)) += c; c += 1 }
     out.map(_.toArray)
   }
 
@@ -1041,9 +1142,8 @@ object IvfProbesHier {
       cents: Array[Array[Double]], memberOf: Array[Int],
       superProbes: Int, nprobe: Int): Column =
     Bridge.column(IvfProbesHier(Bridge.expression(c),
-      superCents.map(_.toIndexedSeq).toIndexedSeq,
-      cents.map(_.toIndexedSeq).toIndexedSeq,
-      memberOf.toIndexedSeq, superProbes, nprobe))
+      new DoubleMatrix(superCents), new DoubleMatrix(cents),
+      new IntVec(memberOf), superProbes, nprobe))
 }
 
 object PolyHash {
@@ -1085,7 +1185,7 @@ object PolyHash {
   * inside the expression (a few KB). CodegenFallback: one call per row
   * around tight loops; the surrounding stage stays codegen'd.
   */
-case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+case class PqCodes(child: Expression, codebooks: CodebookBank)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -1101,8 +1201,7 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     containsNull = false)
   override def prettyName: String = "graft_pq_codes"
 
-  @transient private lazy val cb: Array[Array[Array[Double]]] =
-    codebooks.map(_.map(_.toArray).toArray).toArray
+  private def cb: Array[Array[Array[Double]]] = codebooks.books
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -1143,8 +1242,7 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
 object PqCodes {
   def column(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    Bridge.column(PqCodes(Bridge.expression(c),
-      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+    Bridge.column(PqCodes(Bridge.expression(c), new CodebookBank(codebooks)))
 }
 
 /** Asymmetric-distance cosine for PQ search (the ADC scan of IVF-PQ): an
@@ -1161,7 +1259,7 @@ object PqCodes {
   * broadcast side, and the codebooks (+ norms) live inside the expression.
   */
 case class PqAdcScore(first: Expression, second: Expression, third: Expression,
-                      codebooks: Seq[Seq[Seq[Double]]])
+                      codebooks: CodebookBank)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
     with CodegenFallback {
 
@@ -1177,8 +1275,7 @@ case class PqAdcScore(first: Expression, second: Expression, third: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc_score"
 
-  @transient private lazy val cb: Array[Array[Array[Double]]] =
-    codebooks.map(_.map(_.toArray).toArray).toArray
+  private def cb: Array[Array[Array[Double]]] = codebooks.books
   @transient private lazy val nsq: Array[Array[Double]] = cb.map(_.map { c =>
     var acc = 0.0
     var j = 0
@@ -1220,8 +1317,7 @@ object PqAdcScore {
   def column(qEmb: Column, qNrm: Column, codes: Column,
              codebooks: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcScore(Bridge.expression(qEmb), Bridge.expression(qNrm),
-      Bridge.expression(codes),
-      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+      Bridge.expression(codes), new CodebookBank(codebooks)))
 }
 
 /** Within-token adjacent character-pair counts — the count table of the

@@ -220,16 +220,24 @@ object VectorOps {
     // design this family retired (r10; the oracle generator switches on
     // the SAME cents.length condition, so the two engines can't drift).
     // SemDeDup semantics are unaffected: the cell id is a clustering
-    // heuristic, and the in-cell greedy is exact either way.
+    // heuristic, and the in-cell greedy is exact either way. The hier
+    // probe can come back EMPTY (all probed supers memberless — empty-
+    // cluster centroids exist by the fit's empty-cell rule); those
+    // vectors FALL BACK to the flat argmin instead of being dropped
+    // (r10 advisor: silently vanishing rows broke the per-vector
+    // keep/drop contract). coalesce short-circuits, so the O(K) flat
+    // kernel only ever evaluates on the tiny null-probe remainder.
     val assigned =
       if (cents.length <= IvfModel.FlatFitMaxK) assignCells(vecs, cents)
       else {
         val (supers, memberOf) = IvfModel.superModel(cents)
         vecs.select(col("vec_id"), col("embedding"),
-            try_element_at(graft.functions.IvfProbesHier.column(col("embedding"),
-              supers, cents, memberOf,
-              scaledSuperProbes(cents.length), 1), lit(1)).as("p"))
-          .filter(col("p").isNotNull)
+            coalesce(
+              try_element_at(graft.functions.IvfProbesHier.column(col("embedding"),
+                supers, cents, memberOf,
+                scaledSuperProbes(cents.length), 1), lit(1)),
+              element_at(graft.functions.IvfProbes.column(
+                col("embedding"), cents, 1), lit(1))).as("p"))
           .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       }
     // Materialized once: feeds the hot-cell pre-pass, both sides of the
@@ -898,7 +906,9 @@ object VectorOps {
   /** DuckDB oracle for dedup_semantic. The assignment CTE switches on
     * cents.length exactly as [[dedupSemantic]] does — flat argmin in the
     * flat-fit regime, the two-level chain beyond — so the engines share
-    * one condition and cannot drift.
+    * one condition and cannot drift. The hier chain replays the null-probe
+    * flat fallback too: vectors absent from `md` (all probed supers
+    * memberless) get the flat argmin, mirroring the query's coalesce.
     */
   def dedupSemanticOracleSql(cents: Array[Array[Double]]): String = {
     val asgCtes =
@@ -910,7 +920,15 @@ object VectorOps {
            |hr AS (SELECT vec_id, cell, d2,
            |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
            |       FROM md),
-           |asg AS (SELECT vec_id, cell, d2 FROM hr WHERE crk = 1)""".stripMargin
+           |ha AS (SELECT vec_id, cell, d2 FROM hr WHERE crk = 1),
+           |fb AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
+           |       FROM embeddings e CROSS JOIN cents c
+           |       WHERE e.vec_id NOT IN (SELECT vec_id FROM ha)),
+           |fbr AS (SELECT vec_id, cell, d2,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
+           |        FROM fb),
+           |asg AS (SELECT vec_id, cell, d2 FROM ha
+           |        UNION ALL SELECT vec_id, cell, d2 FROM fbr WHERE crk = 1)""".stripMargin
       }
     s"""WITH ${IvfModel.centsCte(cents)},
        |$asgCtes,

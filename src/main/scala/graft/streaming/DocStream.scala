@@ -73,7 +73,18 @@ object DocStream {
 
   case class GroupBandHit(band: Int, key: String, doc_id: Long, fp: Long,
                           ts: Timestamp)
-  case class GroupCandPair(rep_a: Long, rep_b: Long, band: Int)
+
+  /** Rep-level candidate pair with the CONTENT FINGERPRINTS carried
+    * alongside the rep ids (r10 advisor): under out-of-order arrival a
+    * group's rep id only tightens toward the min doc_id over time, so one
+    * content group can surface under several rep ids across the stream's
+    * life — a member-recovery join on rep would silently miss the earlier
+    * stale-rep pairs. The fingerprint is the group's arrival-order-stable
+    * identity: downstream joins membership on (fp_a, fp_b); rep_a/rep_b
+    * remain the min-so-far keeper hints.
+    */
+  case class GroupCandPair(rep_a: Long, rep_b: Long, fp_a: Long, fp_b: Long,
+                           band: Int)
 
   /** Per-bucket GROUP state: live distinct contents as (content
     * fingerprint, rep doc_id, newest member tsMs). poisoned = more
@@ -96,7 +107,9 @@ object DocStream {
     * counts distinct contents, mirroring the batch content-counted
     * stop-bucket rule (verbatim mega-groups are kept, Dedup.scala
     * BoundedSortedCollect). Downstream recovers member-level pairs by
-    * joining group membership — [[Dedup.expandGrouped]]'s contract.
+    * joining group membership ON THE CONTENT FINGERPRINTS (fp_a, fp_b) —
+    * see [[GroupCandPair]]: fps are stable under out-of-order arrival
+    * where the rep ids may still be tightening toward the batch min.
     */
   def nearDupCandidatesGrouped(docs: DataFrame, withinMinutes: Int = 60,
       maxBucket: Int = Dedup.MaxBucketSize): Dataset[GroupCandPair] = {
@@ -146,9 +159,12 @@ object DocStream {
               st = GroupBucketState(
                 others :+ ((fp, math.min(rep, h.doc_id), tMs)), st.poisoned)
             case Nil =>
-              for ((_, rep, _) <- others if rep != h.doc_id)
-                out += GroupCandPair(
-                  math.min(rep, h.doc_id), math.max(rep, h.doc_id), bk._1)
+              // pair order follows the rep ids; each fp travels WITH its
+              // rep so the (fp_a, fp_b) key is consistent either way
+              for ((fpO, rep, _) <- others if rep != h.doc_id)
+                out += (if (rep < h.doc_id)
+                  GroupCandPair(rep, h.doc_id, fpO, h.fp, bk._1)
+                else GroupCandPair(h.doc_id, rep, h.fp, fpO, bk._1))
               val groups = others :+ ((h.fp, h.doc_id, tMs))
               st =
                 if (groups.length > maxBucket) GroupBucketState(Nil, poisoned = true)

@@ -100,6 +100,46 @@ class GroupedNearDupStreamSpec extends SparkSpec {
     assert(got.contains((0L, 11L)))
   }
 
+  test("out-of-order arrival: the fingerprint carries group identity across stale reps") {
+    // content A arrives FIRST as doc 5 (stale rep), pairs with content B
+    // under rep 5; doc 0 (same content A) arrives later and tightens the
+    // rep, so A's NEXT pair (with content C) emits under rep 0. A
+    // member-recovery join on rep ids would see two unrelated groups; the
+    // carried fp_a/fp_b must tie both pairs to ONE content-A fingerprint
+    // (the r10 advisor's out-of-order class).
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      TimedDoc(5L, t(0), base),               // content A under stale rep 5
+      TimedDoc(6L, t(1), base + " tail b"),   // content B → pair (5, 6)
+      TimedDoc(0L, t(2), base),               // A again: rep tightens to 0
+      TimedDoc(7L, t(3), base + " tail c"))   // content C → pair (0, 7)
+    val mem = MemoryStream[TimedDoc]
+    mem.addData(docs: _*)
+    val q = DocStream.nearDupCandidatesGrouped(mem.toDF(), 600, 100)
+      .writeStream.format("memory").queryName("grouped_ooo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("grouped_ooo").collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+        r.getAs[Long]("fp_a"), r.getAs[Long]("fp_b"))).distinct
+    val ab = pairs.filter(p => Set(p._1, p._2) == Set(5L, 6L))
+    val ac = pairs.filter(p => Set(p._1, p._2) == Set(0L, 7L))
+    assert(ab.nonEmpty, s"missing the stale-rep A-B pair: ${pairs.toSeq}")
+    assert(ac.nonEmpty, s"missing the tightened-rep A-C pair: ${pairs.toSeq}")
+    // content A's fp rides with rep 5 in the first pair and rep 0 in the
+    // second — identical fingerprint, so an fp join unifies the group
+    val fpA1 = ab.map(p => if (p._1 == 5L) p._3 else p._4).head
+    val fpA2 = ac.map(p => if (p._1 == 0L) p._3 else p._4).head
+    assert(fpA1 == fpA2,
+      "the same content must carry one fingerprint across rep changes")
+    // and the two distinct tails carry fps different from A's
+    val fpB = ab.map(p => if (p._1 == 5L) p._4 else p._3).head
+    assert(fpB != fpA1)
+  }
+
   test("group liveness refreshes on repeat members") {
     // window 60: rep 0 at t0, a repeat member at t50 (refresh), a distinct
     // content at t100 — 100-50 <= 60, so the pair must emit even though

@@ -99,6 +99,32 @@ class IvfModelSpec extends SparkSpec {
       assert(v == BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("refineDistributed skips non-finite elements without skewing the mean") {
+    import spark.implicits._
+    // r10 advisor: a NaN/Inf float cast to DECIMAL yielded a null (or an
+    // ANSI cast error) while count(*) still counted the row — the mean
+    // silently skewed. try_cast + count(xd) must make the skipped element
+    // invisible to that dim's divisor, and the kernel must not throw on
+    // the Inf-distance row (BigDecimal(Infinity) used to).
+    val clean = (0L until 50L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val dirty = Seq(
+      // non-finite DISTANCE → no probe at all (the kernel's finite guard)
+      (50L, Array(Float.NaN, 20.0f, 3.0f, 4.0f)),
+      (51L, Array(Float.PositiveInfinity, 2.0f, 30.0f, 4.0f)),
+      // finite distance but the dim-0 element OVERFLOWS DECIMAL(30,10):
+      // try_cast nulls it, and count(xd) must shrink dim 0's divisor with
+      // it while dims 1-3 still count this row
+      (52L, Array(1.0e30f, 2.0f, 3.0f, 4.0f)))
+    val df = (clean ++ dirty).toDF("id", "vec")
+    val seed = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val r = IvfModel.refineDistributed(df, "id", "vec", seed)
+    assert(r.length == 1)
+    // dim 0: mean over the 50 clean values only (overflow row skipped from
+    // BOTH sum and count); dims 1-3: the overflow row participates and
+    // matches the clean values, so every mean is exact
+    assert(r(0).toSeq == Seq(1.0, 2.0, 3.0, 4.0), r(0).toSeq.toString)
+  }
+
   test("fitFromDf routes k past DriverFitMaxK through the distributed refine") {
     import spark.implicits._
     // tiny corpus, absurd k: the point is the code path, not the quality —

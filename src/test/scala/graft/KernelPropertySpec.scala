@@ -308,15 +308,20 @@ class KernelPropertySpec extends AnyFunSuite {
         .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
         .take(math.min(m, raw.length))
     // engineered near-ties: values differing by < 1e-6 around the probe
-    // boundary, exact .5 ulps at the 7th decimal, duplicates
+    // boundary, exact .5 ups at the 7th decimal, duplicates — at SMALL and
+    // LARGE magnitude (r10 advisor: above |x| ≈ 1e10 the decimal→double
+    // conversion error exceeds a fixed 2e-6 headroom; topByRounded now
+    // scales it with ulp, and this generator exercises that regime with
+    // ulp-step tie ladders where round6 collapses whole ladders to ties)
     val gen = for {
       n <- Gen.choose(1, 40)
-      base <- Gen.choose(0.0, 10.0)
+      base <- Gen.oneOf(Gen.choose(0.0, 10.0), Gen.choose(1e10, 1e14))
       vs <- Gen.listOfN(n, Gen.oneOf(
         Gen.choose(0.0, 10.0),
         Gen.choose(-8e-7, 8e-7).map(base + _), // rounding-tie cluster
         Gen.const(base),                        // exact duplicates
-        Gen.choose(0, 20).map(base + _ * 5e-7)))// .5-at-7th-decimal ladder
+        Gen.choose(0, 20).map(base + _ * 5e-7),// .5-at-7th-decimal ladder
+        Gen.choose(0, 20).map(k => base + k * Math.ulp(base)))) // ulp ladder
       m <- Gen.choose(1, 8)
     } yield (vs.toArray, m)
     val prop = Prop.forAll(gen) { case (raw, m) =>
