@@ -82,7 +82,7 @@ check_sharded() {
   return "$rc"
 }
 
-case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega}" in
+case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega|uncap4m|clustered}" in
   gen)
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$UNI" 10 4
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale /root/testdata/sf0.1 "$SKW" 10 4 --skew
@@ -111,9 +111,11 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega}" in
     exit $((S1 != 0 || S2 != 0 ? 1 : 0))
     ;;
   bench)
-    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$UNI" scripts/runmain.sh -Xmx48g graft.Bench \
+    # --all: the sweep benches time the FULL registry (r10 judge #6 — no
+    # query ships timing-blind); the driver's own bench stays on Headliners
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$UNI" scripts/runmain.sh -Xmx48g graft.Bench --all \
       2>/dev/null | tail -1 > "BENCH_sf1_${ROUND}.json"
-    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SKW" scripts/runmain.sh -Xmx48g graft.Bench \
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SKW" scripts/runmain.sh -Xmx48g graft.Bench --all \
       2>/dev/null | tail -1 > "BENCH_skew_${ROUND}.json"
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx24g graft.SkewReport "$SKW" "$UNI" \
       2>/dev/null | tail -1 > "SKEW_REPORT_${ROUND}.json"
@@ -156,6 +158,36 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega}" in
       "$MEG" testdata-uncap --buildonly \
       2>/dev/null | tail -1 > "UNCAP_MEGA_${ROUND}.json"
     cat "UNCAP_MEGA_${ROUND}.json"
+    ;;
+  uncap4m)
+    # the r10 judge's done-bar: >=4M vectors (k ~ 16k, two octaves past
+    # the driver-fit envelope) vs the 1.2M mega corpus — fit sub-linear
+    # in K*N, occupancy flat, plan/analysis time flat vs K (the kernel-
+    # param wrapper claim), hier recall + sampled agreement green
+    M4=testdata-uncap4m
+    [[ -d "$M4" ]] || SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx32g \
+      graft.GenScale /root/testdata/sf0.1 "$M4" 1 2100
+    [[ -d testdata-uncapmega ]] || SPARK_GRAFT_CPUS=24 scripts/runmain.sh \
+      -Xmx24g graft.GenScale /root/testdata/sf0.1 testdata-uncapmega 1 600
+    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx64g graft.UncapReport \
+      "$M4" testdata-uncapmega --buildonly \
+      2>/dev/null | tail -1 > "UNCAP_4M_${ROUND}.json"
+    cat "UNCAP_4M_${ROUND}.json"
+    ;;
+  clustered)
+    # the r10 judge's recall-regime arm: deterministic 256-cluster
+    # mixture embeddings (IVF's design regime) at two scales — expect
+    # recall >> the uniform-random 0.44 and flag if not
+    CL1=testdata-clustered
+    CL2=testdata-clustered4x
+    [[ -d "$CL1" ]] || SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g \
+      graft.GenScale /root/testdata/sf0.1 "$CL1" 1 16 --clustered
+    [[ -d "$CL2" ]] || SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g \
+      graft.GenScale /root/testdata/sf0.1 "$CL2" 1 64 --clustered
+    SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport \
+      "$CL2" "$CL1" \
+      2>/dev/null | tail -1 > "UNCAP_CLUSTERED_${ROUND}.json"
+    cat "UNCAP_CLUSTERED_${ROUND}.json"
     ;;
   approx)
     SPARK_GRAFT_CPUS=16 scripts/runmain.sh -Xmx16g graft.VerifyApprox \

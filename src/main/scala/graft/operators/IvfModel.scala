@@ -332,6 +332,25 @@ object IvfModel {
     * O(N·K) to O(N·√K).
     */
   def superModel(cents: Array[Array[Double]]): (Array[Array[Double]], Array[Int]) = {
+    // identity-keyed cache: the centroid arrays come out of [[cache]] (one
+    // instance per (dir, k)), and every consumer (hier build, hier ANN,
+    // dedup_semantic, the refine rounds) re-derives the SAME super layer —
+    // at k = 65536 that is a ~10 s driver fit per query without this.
+    // WeakHashMap: a dropped centroid set releases its super layer too.
+    // Pure function of cents, so caching cannot change any result.
+    val hit = superCache.get(cents)
+    if (hit != null) return hit
+    val computed = superModelUncached(cents)
+    superCache.put(cents, computed)
+    computed
+  }
+
+  private val superCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Array[Double]],
+      (Array[Array[Double]], Array[Int])]())
+
+  private def superModelUncached(
+      cents: Array[Array[Double]]): (Array[Array[Double]], Array[Int]) = {
     val s = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val supers = fit(cents, s)
     val memberOf = cents.map { c =>

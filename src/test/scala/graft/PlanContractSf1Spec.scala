@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators._
+
+/** Plan contracts AT sf1 (r10 judge #5): PLANS.md and PlanContractSpec run
+  * at tiny SFs where AQE can afford to broadcast everything, so two real
+  * regressions are invisible there — a dimension/small side that stops
+  * broadcasting at realistic sizes, and a sort-merge join surviving where
+  * a broadcast fits. This suite re-pins the join strategies and exchange
+  * shapes of the most expensive sf1 headliners (the BENCH_sf1 top set) on
+  * the ×10 corpus, against the AQE-FINALIZED plans.
+  *
+  * Gated on the generated `testdata-sf1` dir (scripts/sf1_sweep.sh gen):
+  * the suite is skipped, not failed, when the sweep corpus is absent.
+  */
+class PlanContractSf1Spec extends SparkSpec {
+  private val dir = "testdata-sf1"
+
+  private def sf1Present: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "lineitem.parquet"))
+
+  /** AQE-finalized plan of the df's own QueryExecution, final section only
+    * (the PlanContractSpec helper's rules).
+    */
+  private def finalPlan(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    qe.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def noCartesian(p: String, what: String): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$what degraded to a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$what degraded to a nested-loop join:\n$p")
+  }
+
+  private def distinctExchanges(p: String): Int =
+    """Exchange (?:hash|Single|range|Round)[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("sf1 q5: all dimension joins still broadcast at x10; no sort-merge join") {
+    assume(sf1Present, s"$dir not generated")
+    val p = finalPlan(Relational.q5NationRevenue(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"a dimension join stopped broadcasting at sf1:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ where broadcast fits:\n$p")
+    noCartesian(p, "q5")
+  }
+
+  test("sf1 q3: customer/orders joins hash-broadcast; single agg exchange") {
+    assume(sf1Present, s"$dir not generated")
+    val p = finalPlan(Relational.q3TopOrders(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"SMJ where broadcast fits:\n$p")
+    assert(distinctExchanges(p) <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("sf1 q1_agg: join-free, one shuffle pair for the decimal agg") {
+    assume(sf1Present, s"$dir not generated")
+    val p = finalPlan(Relational.q1Agg(spark, dir))
+    assert(!p.contains("Join"), s"q1 must not join:\n$p")
+    assert(distinctExchanges(p) <= 2, s"agg grew extra shuffles:\n$p")
+  }
+
+  test("sf1 ann_ivf / ann_ivf_hier: cell-keyed pairs, no embeddings in the pair-dedup shuffle") {
+    assume(sf1Present, s"$dir not generated")
+    for (q <- Seq(VectorOps.annIvf(spark, dir), VectorOps.annIvfHier(spark, dir))) {
+      val p = finalPlan(q)
+      noCartesian(p, "the ANN pair join")
+      assert(!p.contains("SortMergeJoin"), s"SMJ where broadcast fits:\n$p")
+      p.linesIterator.filter(_.contains("hashpartitioning(vec_id_a")).foreach(l =>
+        assert(!l.contains("embedding"), "pair-dedup shuffle carries embeddings"))
+    }
+  }
+
+  test("sf1 pipeline_filter: the dup-verdict join broadcasts at x10 (no SMJ)") {
+    assume(sf1Present, s"$dir not generated")
+    val p = finalPlan(Curation.pipelineFilter(spark, dir))
+    // the STATIC plan has an SMJ here; AQE must convert it once the
+    // verified-pair side's runtime size is known — the exact
+    // SMJ-where-broadcast-fits class this suite exists for
+    assert(!p.contains("SortMergeJoin"), s"SMJ where broadcast fits:\n$p")
+    noCartesian(p, "pipeline_filter")
+  }
+
+  test("sf1 events sketch headliners: bounded exchanges, no join regression") {
+    assume(sf1Present, s"$dir not generated")
+    val pd = finalPlan(Relational.qEventsDauWau(spark, dir))
+    assert(distinctExchanges(pd) <= 5, s"dau_wau shuffle count grew:\n$pd")
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"), pd)
+    val ph = finalPlan(Relational.qEventsHeavyHitters(spark, dir))
+    assert(distinctExchanges(ph) <= 4, s"heavy_hitters shuffle count grew:\n$ph")
+    assert(!ph.contains("SortMergeJoin") && !ph.contains("CartesianProduct"), ph)
+  }
+
+  test("sf1 text headliners: narrow kernels feed bounded shuffles") {
+    assume(sf1Present, s"$dir not generated")
+    val pb = finalPlan(Chunking.chunkBoilerplate(spark, dir))
+    assert(!pb.contains("Join"), s"chunk_boilerplate re-grew its self-join:\n$pb")
+    assert(distinctExchanges(pb) <= 3, s"boilerplate shuffle count grew:\n$pb")
+    val pt = finalPlan(TextOps.textTfidf(spark, dir))
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("CartesianProduct"), pt)
+    val pc = finalPlan(TextOps.corpusStats(spark, dir))
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("CartesianProduct"), pc)
+  }
+
+  test("sf1 curation_pack_global: doc windows bucketed; one bounded global scan") {
+    assume(sf1Present, s"$dir not generated")
+    val p = finalPlan(Curation.curationPackGlobal(spark, dir))
+    assert(p.contains("windowspecdefinition(__b1"),
+      s"doc-level window must partition by the id bucket:\n$p")
+    val singles = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(singles <= 1, s"expected at most one bounded global scan, got $singles:\n$p")
+  }
+}

@@ -13,8 +13,15 @@ class PlanContractSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def executedPlan(df: DataFrame): String = {
-    df.write.mode("overwrite").format("noop").save()
-    df.queryExecution.executedPlan.toString
+    // execute THIS QueryExecution — a noop write runs a fresh one and
+    // leaves df's plan un-finalized (static, isFinalPlan=false), so every
+    // contract would silently assert on the pre-AQE plan (r11 find)
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    // an executed AdaptiveSparkPlan prints BOTH the final and the initial
+    // plan; contracts assert on the FINAL section only (counting the
+    // initial copy would double every exchange/join)
+    qe.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("q6: all predicates reach the parquet scan; only needed columns read") {
@@ -184,11 +191,17 @@ class PlanContractSpec extends SparkSpec {
 
   test("curation_pack_global: per-row windows bucket-partitioned, one bounded global scan") {
     val p = executedPlan(Curation.curationPackGlobal(spark, dir))
-    assert(p.contains("hashpartitioning(__b1"),
+    // pin the window's PARTITION SPEC (bucketed, never global): the
+    // physical exchange may be legitimately absent in the final plan when
+    // the checkpointed input is a single partition at this tiny SF
+    assert(p.contains("windowspecdefinition(__b1"),
       s"doc-level window must partition by the id bucket:\n$p")
     // the only SinglePartition exchange feeds the bucket-of-buckets
-    // cumulation (N/2²⁰ rows), never the doc-level frame
-    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    // cumulation (N/2²⁰ rows), never the doc-level frame. Count DISTINCT
+    // plan_ids: an AQE query stage reused by two consumer branches prints
+    // its subtree twice but executes once.
+    val singles = """Exchange SinglePartition[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
     assert(singles <= 1, s"expected at most one bounded global scan, got $singles:\n$p")
   }
 }
