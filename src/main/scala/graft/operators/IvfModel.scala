@@ -282,7 +282,12 @@ object IvfModel {
     var stop = false
     while (round < MaxRefineRounds && !stop) {
       val (supers, memberOf) = superModel(cents)
-      val sums = df
+      // toLocalIterator, NOT collect: the agg is k·dim rows (1.05M at
+      // k = 16407) and Row+Decimal serialization overhead blows the 1 GiB
+      // driver maxResultSize long before the ~17 MB of actual payload
+      // does; per-partition fetches stay bounded, and the fold below is
+      // write-by-(cell, dim) so fetch order cannot matter.
+      val it = df
         .select(try_element_at(graft.functions.IvfProbesHier.column(
             col(vecCol), supers, cents, memberOf,
             VectorOps.scaledSuperProbes(cents.length), 1),
@@ -294,23 +299,22 @@ object IvfModel {
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("xd")).as("sx"), count(col("xd")).as("n"),
           count(lit(1)).as("n_members"))
-        .collect()
+        .toLocalIterator()
       val out = cents.map(_.clone())
-      sums.foreach { r =>
+      // occupancy over ALL k cells (empty cells count as 0), from the
+      // d = 0 rows — exact longs folded in cell-index order below, so
+      // the dispersion arithmetic is layout-independent too
+      val occ = new Array[Double](cents.length)
+      while (it.hasNext) {
+        val r = it.next()
         if (!r.isNullAt(2) && r.getLong(3) > 0L)
           out(r.getLong(0).toInt)(r.getInt(1)) =
             (BigDecimal(r.getDecimal(2)) / BigDecimal(r.getLong(3)))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (r.getInt(1) == 0) occ(r.getLong(0).toInt) = r.getLong(4).toDouble
       }
       cents = out.map(_.map(v =>
         BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      // occupancy dispersion over ALL k cells (empty cells count as 0),
-      // from the d = 0 rows — exact longs folded in cell-index order, so
-      // the double arithmetic is layout-independent too
-      val occ = new Array[Double](cents.length)
-      sums.foreach { r =>
-        if (r.getInt(1) == 0) occ(r.getLong(0).toInt) = r.getLong(4).toDouble
-      }
       val mean = occ.sum / occ.length
       val disp =
         if (mean == 0.0) 0.0

@@ -236,7 +236,10 @@ object VectorOps {
               try_element_at(graft.functions.IvfProbesHier.column(col("embedding"),
                 supers, cents, memberOf,
                 scaledSuperProbes(cents.length), 1), lit(1)),
-              element_at(graft.functions.IvfProbes.column(
+              // try_element_at here too: a vector whose every distance is
+              // non-finite yields an EMPTY flat probe list as well, and
+              // ANSI element_at on an empty array is a query error
+              try_element_at(graft.functions.IvfProbes.column(
                 col("embedding"), cents, 1), lit(1))).as("p"))
           .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       }
