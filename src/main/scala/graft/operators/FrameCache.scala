@@ -50,8 +50,20 @@ private[graft] final class FrameCache {
     // the same shape would collide and every consumer would be served the
     // first frame's checkpoint. Fold the leaf contents (row count + every
     // row's content hash) or, for RDD-backed leaves, the RDD identity into
-    // the digest. File-backed leaves already print their paths.
+    // the digest. FILE-backed leaves carry no path in the analyzed plan's
+    // string either — `Relation [cols] parquet` — so two same-schema
+    // corpora in different directories collided and one was served the
+    // other's checkpoint (found r11: an sf1 suite's frames surfacing in an
+    // sf0.001 query; Bench's warmup-dir entries shadowing the timed dir).
+    // Fold the relation's root paths explicitly.
     plan.collectLeaves().foreach {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val loc = rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+        digest.update(loc.getBytes(StandardCharsets.UTF_8))
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         // Full row CONTENT, not the 32-bit hashCode — a hashCode fold
         // reopens exactly the collision window the class doc rejects.

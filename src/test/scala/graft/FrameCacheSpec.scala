@@ -19,6 +19,36 @@ class FrameCacheSpec extends SparkSpec {
   private lazy val ownSession: SparkSession =
     spark.newSession()
 
+  test("same-schema parquet reads of DIFFERENT directories get distinct entries") {
+    // The canonicalized ANALYZED plan of a file scan must key on the file
+    // location — if `Relation [cols] parquet` prints location-free, two
+    // corpora of the same schema collide and one is served the other's
+    // checkpointed frame (the r11 cross-suite DedupSpec failure: sf1 doc
+    // ids surfacing in an sf0.001 query).
+    val s = ownSession
+    Dedup.invalidateCaches(s)
+    val a = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+    val b = graft.sources.Tables.documents(s, "/root/testdata/sf0.01")
+    val ga = Dedup.normGroups(a)
+    val gb = Dedup.normGroups(b)
+    assert(!(ga eq gb), "different directories must MISS the cache")
+    assert(Dedup.cacheEntryCount(s) == 2)
+    // content check, not count: these corpora happen to have 500 docs each
+    def contentSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("norm"))))
+        .collect()(0).getLong(0)
+    assert(contentSum(ga) != contentSum(gb),
+      "collision: one directory served the other's checkpoint")
+    // and a RE-read of the same directory (a fresh DataFrame object over a
+    // fresh FileIndex) must HIT its entry — the cache exists to share work
+    // across queries in one run
+    val ga2 = Dedup.normGroups(graft.sources.Tables.documents(s, "/root/testdata/sf0.001"))
+    assert(ga2 eq ga, "same directory re-read must HIT the cache")
+    Dedup.invalidateCaches(s)
+  }
+
   test("same-schema literal frames with different rows get distinct entries") {
     // LocalRelation's canonicalized STRING carries only the schema, so
     // without the leaf-content digest two different in-memory corpora of
