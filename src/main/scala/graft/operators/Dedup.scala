@@ -148,12 +148,17 @@ object Dedup {
     normGroupsCache.invalidate(session)
     repBucketsCache.invalidate(session)
     repShinglesCache.invalidate(session)
+    clustersCache.invalidate(session)
   }
 
-  /** Spec hook: live cache entries for `session` across all three frames. */
+  /** Spec hook: live cache entries for `session` across all four frames. */
   private[graft] def cacheEntryCount(session: SparkSession): Int =
     normGroupsCache.size(session) + repBucketsCache.size(session) +
-      repShinglesCache.size(session)
+      repShinglesCache.size(session) + clustersCache.size(session)
+
+  /** Spec hook: live cluster-table entries for `session` alone. */
+  private[graft] def clustersCacheEntryCount(session: SparkSession): Int =
+    clustersCache.size(session)
 
   /** Per-distinct-content shingle sets `(rep_id, sh)`, empty sets dropped.
     * Cached + eagerly checkpointed like [[normGroups]]: the verify stage
@@ -1437,8 +1442,26 @@ object Dedup {
     * (`doc_a`, `doc_b`) — the generic cluster/keeper primitive behind
     * [[dedupClusters]]; the same call clusters simhash, phash-media, or
     * embedding pair sets (every pair operator emits this shape).
+    *
+    * Cached + eagerly checkpointed per pair-frame plan ([[FrameCache]],
+    * the [[normGroups]] convention): the cluster table is the shared
+    * input of dedup_clusters / cluster_stats / curation_weight /
+    * curation_report / pipeline_filter, and before this cache each of
+    * them re-ran the ENTIRE pair stage + propagation loop from scratch —
+    * at skewed sf1 that was ~6 rebuilds of the sweep's single most
+    * expensive stage (measured r11: the rebuilds dominated the skew
+    * Verify wall-clock). "Cluster once per corpus snapshot, then read"
+    * is also the production shape at 100 TB. The checkpoint additionally
+    * lets the loop's final persisted round be unpersisted eagerly —
+    * pre-cache, every call leaked one label-table-sized persisted RDD
+    * for the life of the session.
     */
-  def clustersFromPairs(rawPairs: DataFrame): DataFrame = {
+  def clustersFromPairs(rawPairs: DataFrame): DataFrame =
+    clustersCache.getOrElseUpdate(rawPairs)(clustersFromPairsUncached(rawPairs))
+
+  private val clustersCache = new FrameCache
+
+  private def clustersFromPairsUncached(rawPairs: DataFrame): DataFrame = {
     // The propagation loop runs on RDDs with ONE fixed HashPartitioner —
     // the canonical iterative-graph shape (GraphX's): the mirrored edge
     // list is hash-partitioned ONCE and persisted, so every round's
@@ -1542,10 +1565,14 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // Eager checkpoint BEFORE releasing the loop state: the cached frame
+    // must not depend on `pinned`'s blocks once they are gone.
     val out = labels.map { case (v, rep) => (v, rep, v == rep) }
       .toDF("doc_id", "cluster_rep", "keep")
+      .localCheckpoint(true)
     raw.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    pinned.unpersist(blocking = false)
     out
   }
 

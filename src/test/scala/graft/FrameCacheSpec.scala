@@ -117,6 +117,35 @@ class FrameCacheSpec extends SparkSpec {
     Dedup.invalidateCaches(s)
   }
 
+  test("cluster table is computed once per pair-frame plan and shared") {
+    // dedup_clusters / cluster_stats / curation_weight / curation_report /
+    // pipeline_filter all consume the SAME connected-components table;
+    // before the clustersCache each re-ran the full pair stage +
+    // propagation loop (r11: ~6 rebuilds of the skew sweep's most
+    // expensive stage). Pin: second call HITS, result reads identically
+    // after the loop's working RDDs are unpersisted (the checkpoint is
+    // the thing being served, not the loop state), different pair frames
+    // get their own entries.
+    val s = ownSession
+    import s.implicits._
+    Dedup.invalidateCaches(s)
+    val pairsA = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val a1 = Dedup.clustersFromPairs(pairsA)
+    assert(Dedup.clustersCacheEntryCount(s) == 1)
+    val a2 = Dedup.clustersFromPairs(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+    assert(a2 eq a1, "identical pair frame must HIT the cluster cache")
+    val got = a1.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    val pairsB = Seq((5L, 6L)).toDF("doc_a", "doc_b")
+    Dedup.clustersFromPairs(pairsB)
+    assert(Dedup.clustersCacheEntryCount(s) == 2,
+      "a different pair frame must get its own entry")
+    Dedup.invalidateCaches(s)
+  }
+
   test("entries beyond the per-session cap are reference-dropped") {
     val s = ownSession
     import s.implicits._
