@@ -114,17 +114,51 @@ object IvfModel {
         VectorOps.TargetCellSize).toInt))
   }
 
+  /** The rows with the n globally-smallest (xxhash64(idCol), idCol) — the
+    * shared deterministic fit-sample selection — with the driver fetch
+    * bounded at O(n) rows. A plain `orderBy(...).limit(n).collect()`
+    * compiles to TakeOrderedAndProject, whose driver merge receives each
+    * partition's LOCAL top-n: partitions × n rows — at 4.2M vectors / 32
+    * partitions / n = 262144 that is ~2 GB and aborts on
+    * spark.driver.maxResultSize (found r11 by the uncap4m evidence arm;
+    * at 1000 executors it would be tens of GB). The fix is a
+    * hash-threshold pre-filter: keep rows whose xxhash64 falls below the
+    * uniform hash space's ≈4n/total quantile, doubling the cut
+    * deterministically until the filtered set provably contains the
+    * global top-n (≥ n rows pass the STRICT cut, so every excluded row
+    * ranks after at least n included rows). The ordered take then merges
+    * ~4n rows instead of partitions × n. Output is IDENTICAL to the
+    * unfiltered take by construction — spec-pinned — so every fit
+    * derived from this sample is unchanged. Costs two narrow
+    * column-pruned count jobs; small frames (total ≤ 4n) skip straight
+    * to the plain take.
+    */
+  private[graft] def hashOrderedTake(base: DataFrame, idCol: String,
+      n: Int): Array[org.apache.spark.sql.Row] = {
+    def take(d: DataFrame) =
+      d.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n).collect()
+    val total = base.count()
+    if (total <= 4L * n) return take(base)
+    var frac = 4.0 * n / total
+    while (frac < 1.0) {
+      val cut = (BigDecimal(frac) * BigDecimal(2).pow(64) +
+        BigDecimal(Long.MinValue)).toLong
+      val cand = base.filter(xxhash64(col(idCol)) < lit(cut))
+      if (cand.count() >= n) return take(cand)
+      frac *= 2 // deterministic relax; terminates at the unfiltered take
+    }
+    take(base)
+  }
+
   /** The deterministic bounded fit sample of any (id, array<float>) frame:
-    * TakeOrdered(n) by (xxhash64(id), id) — hash order is deterministic AND
-    * representative on ordered corpora; the id tiebreak pins duplicates.
-    * Shared by the IVF, PQ and PCA fits so all three models train on the
-    * same slice.
+    * the n smallest (xxhash64(id), id) rows ([[hashOrderedTake]]) — hash
+    * order is deterministic AND representative on ordered corpora; the id
+    * tiebreak pins duplicates. Shared by the IVF, PQ and PCA fits so all
+    * three models train on the same slice.
     */
   private[graft] def sampleOf(df: DataFrame, idCol: String, vecCol: String,
       n: Int): Array[Array[Double]] =
-    df.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
-      .collect()
+    hashOrderedTake(df.select(col(idCol), col(vecCol)), idCol, n)
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
 
   /** Fit on the deterministic bounded sample of any (id, array<float>)

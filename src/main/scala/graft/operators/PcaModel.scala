@@ -49,9 +49,9 @@ object PcaModel {
     // cast to array<double> up front: a double- or decimal-typed vector
     // column fits fine (typed analysis error for non-numeric elements)
     // instead of a runtime ClassCastException on getSeq[Float]
-    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(SampleSize)
-      .collect()
+    val sample = IvfModel.hashOrderedTake(
+        df.select(col(idCol), col(vecCol).cast("array<double>")),
+        idCol, SampleSize)
       .map(_.getSeq[Double](1).toArray)
     fit(sample)
   }

@@ -7,6 +7,27 @@ class IvfModelSpec extends SparkSpec {
   private def sample(n: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(n)(i => Array.tabulate(dim)(d => math.sin(i * 31 + d) * 10))
 
+  test("hashOrderedTake equals the unfiltered ordered take (filter path)") {
+    // The hash-threshold pre-filter exists to bound the driver merge at
+    // O(n) rows (the r11 uncap4m maxResultSize abort: TakeOrdered merges
+    // partitions x n local top-n rows). It must select the IDENTICAL set:
+    // total = 50 x n forces the filter path, and the plain take is the
+    // ground truth.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val df = (1L to 5000L).map(i => (i, Array(i.toFloat))).toDF("id", "vec")
+      .repartition(8)
+    val fast = IvfModel.hashOrderedTake(df.select(col("id"), col("vec")), "id", 100)
+      .map(_.getLong(0)).toSeq
+    val plain = df.select(col("id"), col("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == plain)
+    // n >= total degenerates to "everything", both paths
+    val all = IvfModel.hashOrderedTake(df.select(col("id"), col("vec")), "id", 6000)
+    assert(all.length == 5000)
+  }
+
   test("fit is a pure function: identical centroids on every call") {
     val s = sample(200, 8)
     val a = IvfModel.fit(s, 4)
