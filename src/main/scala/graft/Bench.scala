@@ -48,6 +48,21 @@ object Bench {
   val WarmupDir = "/root/testdata/sf0.001"
   val Passes = 3
 
+  /** Above this many embeddings rows the bench lane times the SPEC-PINNED
+    * anchored twins of the three exhaustive audit pins (ann_recall /
+    * ann_hier_recall / dedup_embedding) instead of the exact all-pairs
+    * forms, under renamed `<name>_anchor` keys so the substitution is
+    * visible in the artifact (r11 judge #3: the pins are quadratic BY
+    * DEFINITION — 65.6 s of the 184.7 s sf1 bench — and would dominate
+    * every larger sweep). 4000 keeps every gate SF (≤ 2000 vectors) on
+    * the exact forms; correctness sweeps (Verify) always run the exact
+    * forms — this only shapes what the TIMED lane measures.
+    */
+  val AnchorPinMaxRows = 4000L
+
+  /** Anchor count the substituted pins aim for: step = max(1, n/1000). */
+  val AnchorTarget = 1000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // `--all`: time the FULL registry (Plans.Audited order — headliners
@@ -56,6 +71,13 @@ object Bench {
     // at any SF). The driver's per-round bench stays on Headliners for
     // round-over-round comparability.
     val benchAll = args.contains("--all")
+    // `--once`: ONE timed pass per query instead of min-of-[[Passes]] —
+    // the honest-but-affordable mode for corpora where a single sweep is
+    // hours (the skewed-sf1 `--all` run; r11 judge #2: three passes broke
+    // the round budget and the family shipped timing-blind). The artifact
+    // records `"passes":1` so a --once number is never read as a
+    // steady-state min.
+    val passes = if (args.contains("--once")) 1 else Passes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,15 +98,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Anchored audit-pin substitution (see [[AnchorPinMaxRows]]): past the
+    // threshold the three exhaustive pins run as their bounded anchor
+    // twins, with the step derived from THIS corpus's size (one count
+    // job, cached and reused by the IVF/PQ/PCA fits below).
+    val nEmb = graft.operators.IvfModel.corpusCount(spark, sfDir)
+    val anchorStep = math.max(1L, nEmb / AnchorTarget)
+    val anchored: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (nEmb <= AnchorPinMaxRows) Map.empty
+      else Map(
+        "ann_recall" -> ((s, d) => graft.operators.VectorOps.sampledPairRecall(
+          s, d, graft.operators.VectorOps.annIvf(s, d), anchorStep)),
+        "ann_hier_recall" -> ((s, d) => graft.operators.VectorOps.sampledPairRecall(
+          s, d, graft.operators.VectorOps.annIvfHier(s, d), anchorStep)),
+        "dedup_embedding" -> ((s, d) =>
+          graft.operators.VectorOps.anchorExactPairs(s, d, anchorStep)))
+    if (anchored.nonEmpty) System.err.println(
+      s"[bench] $nEmb vectors > $AnchorPinMaxRows: timing anchored twins " +
+        s"(step=$anchorStep) for ${anchored.keys.mkString(", ")}")
+
     def runOnce(name: String, dir: String): Double = {
+      val q = anchored.getOrElse(name, SparkEntry.queries(name))
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
+      try q(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // the artifact key an operator's time reports under — renamed when the
+    // anchored twin was timed, so the swap is visible round-over-round
+    def keyOf(name: String): String =
+      if (anchored.contains(name)) name + "_anchor" else name
 
     val names = (if (benchAll) Plans.Audited.distinct else Headliners)
       .filter(SparkEntry.queries.contains)
@@ -99,17 +144,22 @@ object Bench {
     graft.operators.IvfModel.centroids(spark, sfDir)
     graft.operators.PqModel.codebooks(spark, sfDir)
     graft.operators.PcaModel.model(spark, sfDir)
-    // Timed sweeps: same order every pass, min per query (see Methodology).
-    val sweeps = (1 to Passes).map(_ => names.map(n => n -> runOnce(n, sfDir)).toMap)
+    // Timed sweeps: same order every pass, min per query (see Methodology;
+    // --once reduces to a single documented pass).
+    val sweeps = (1 to passes).map(_ => names.map(n => n -> runOnce(n, sfDir)).toMap)
     val results = names.map { n =>
       val ts = sweeps.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      keyOf(n) -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val anch = anchored.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""anchored":$anch,"anchor_step":$anchorStep,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

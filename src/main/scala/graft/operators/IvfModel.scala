@@ -96,10 +96,21 @@ object IvfModel {
                 k: Int = 0): Array[Array[Double]] = {
     val kk = if (k > 0) k else adaptiveK(spark, dir)
     cache.getOrElseUpdate((dir, kk),
-      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", kk))
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding", kk,
+        knownTotal = corpusCount(spark, dir)))
   }
 
   private val countCache = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** The embeddings-table row count under `dir`, one cached count job per
+    * dir — shared by [[adaptiveK]] and every dir-keyed fit entry point
+    * ([[centroids]], [[PqModel.codebooks]], [[PcaModel.model]]), so the
+    * fits' [[hashOrderedTake]] bound check reuses the number instead of
+    * re-scanning (r11 advisor: two full-scan count jobs per fit when the
+    * total was already known).
+    */
+  def corpusCount(spark: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
 
   /** Corpus-adaptive nlist (see [[VectorOps.TargetCellSize]]): one cached
     * count job per dir; every gate scale factor lands on the historical
@@ -108,7 +119,7 @@ object IvfModel {
     * stage — stays flat.
     */
   def adaptiveK(spark: SparkSession, dir: String): Int = {
-    val n = countCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    val n = corpusCount(spark, dir)
     math.max(VectorOps.NumCells,
       math.min(VectorOps.MaxCells, ((n + VectorOps.TargetCellSize - 1) /
         VectorOps.TargetCellSize).toInt))
@@ -129,15 +140,22 @@ object IvfModel {
     * ranks after at least n included rows). The ordered take then merges
     * ~4n rows instead of partitions × n. Output is IDENTICAL to the
     * unfiltered take by construction — spec-pinned — so every fit
-    * derived from this sample is unchanged. Costs two narrow
-    * column-pruned count jobs; small frames (total ≤ 4n) skip straight
-    * to the plain take.
+    * derived from this sample is unchanged. Costs at most two narrow
+    * column-pruned count jobs — `knownTotal ≥ 0` (the dir-keyed
+    * [[corpusCount]], threaded by every embeddings-table entry point)
+    * replaces the first; small frames (total ≤ 4n) skip straight to the
+    * plain take. If the doubling loop ever exhausts (frac ≥ 1.0 — only
+    * possible under extreme hash collision mass, e.g. mass-duplicate
+    * ids), the fallback IS the unbounded partitions×n merge this method
+    * exists to prevent, so it warns loudly before proceeding — a
+    * recurrence of the uncap4m driver-merge abort must be attributable
+    * (r11 advisor).
     */
   private[graft] def hashOrderedTake(base: DataFrame, idCol: String,
-      n: Int): Array[org.apache.spark.sql.Row] = {
+      n: Int, knownTotal: Long = -1L): Array[org.apache.spark.sql.Row] = {
     def take(d: DataFrame) =
       d.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n).collect()
-    val total = base.count()
+    val total = if (knownTotal >= 0L) knownTotal else base.count()
     if (total <= 4L * n) return take(base)
     var frac = 4.0 * n / total
     while (frac < 1.0) {
@@ -147,6 +165,13 @@ object IvfModel {
       if (cand.count() >= n) return take(cand)
       frac *= 2 // deterministic relax; terminates at the unfiltered take
     }
+    graft.Warn(
+      s"[graft][warn] hashOrderedTake: hash-quantile pre-filter exhausted " +
+        s"(no cut below 1.0 passed >= $n of $total rows — extreme " +
+        s"xxhash64($idCol) collision mass, e.g. mass-duplicate ids). " +
+        s"Falling back to the UNBOUNDED ordered take: the driver merge " +
+        s"receives partitions x $n rows and may abort on " +
+        s"spark.driver.maxResultSize.")
     take(base)
   }
 
@@ -157,8 +182,8 @@ object IvfModel {
     * three models train on the same slice.
     */
   private[graft] def sampleOf(df: DataFrame, idCol: String, vecCol: String,
-      n: Int): Array[Array[Double]] =
-    hashOrderedTake(df.select(col(idCol), col(vecCol)), idCol, n)
+      n: Int, knownTotal: Long = -1L): Array[Array[Double]] =
+    hashOrderedTake(df.select(col(idCol), col(vecCol)), idCol, n, knownTotal)
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
 
   /** Fit on the deterministic bounded sample of any (id, array<float>)
@@ -167,8 +192,9 @@ object IvfModel {
     * refinement beyond (the only regime that touches the full corpus —
     * ≤ [[MaxRefineRounds]] narrow assignment passes).
     */
-  def fitFromDf(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Double]] = {
-    val sample = sampleOf(df, idCol, vecCol, sampleSize(k))
+  def fitFromDf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      knownTotal: Long = -1L): Array[Array[Double]] = {
+    val sample = sampleOf(df, idCol, vecCol, sampleSize(k), knownTotal)
     val seed = if (k <= FlatFitMaxK) fit(sample, k) else fitHier(sample, k)
     if (k <= DriverFitMaxK) seed
     else refineDistributed(df, idCol, vecCol, seed)

@@ -43,15 +43,17 @@ object PcaModel {
     */
   def model(spark: SparkSession, dir: String): Model =
     cache.getOrElseUpdate(dir,
-      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding"))
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        knownTotal = IvfModel.corpusCount(spark, dir)))
 
-  def fitFromDf(df: DataFrame, idCol: String, vecCol: String): Model = {
+  def fitFromDf(df: DataFrame, idCol: String, vecCol: String,
+      knownTotal: Long = -1L): Model = {
     // cast to array<double> up front: a double- or decimal-typed vector
     // column fits fine (typed analysis error for non-numeric elements)
     // instead of a runtime ClassCastException on getSeq[Float]
     val sample = IvfModel.hashOrderedTake(
         df.select(col(idCol), col(vecCol).cast("array<double>")),
-        idCol, SampleSize)
+        idCol, SampleSize, knownTotal)
       .map(_.getSeq[Double](1).toArray)
     fit(sample)
   }

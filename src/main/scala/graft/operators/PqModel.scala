@@ -44,15 +44,17 @@ object PqModel {
     */
   def codebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
     cache.getOrElseUpdate(dir,
-      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding"))
+      fitFromDf(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        knownTotal = IvfModel.corpusCount(spark, dir)))
 
   /** Fit codebooks on the deterministic bounded sample of any
     * (id, array<float>) frame — the [[IvfModel.fitFromDf]] counterpart.
     * Subspace width is derived from the data (`dim / subSpaces`).
     */
   def fitFromDf(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
-                subSpaces: Int = SubSpaces, codes: Int = Codes): Array[Array[Array[Double]]] = {
-    val sample = IvfModel.sampleOf(df, idCol, vecCol, IvfModel.SampleSize)
+                subSpaces: Int = SubSpaces, codes: Int = Codes,
+                knownTotal: Long = -1L): Array[Array[Array[Double]]] = {
+    val sample = IvfModel.sampleOf(df, idCol, vecCol, IvfModel.SampleSize, knownTotal)
     require(sample.nonEmpty, "PQ fit needs a non-empty sample")
     val dim = sample.head.length
     require(dim % subSpaces == 0, s"dim $dim not divisible into $subSpaces subspaces")

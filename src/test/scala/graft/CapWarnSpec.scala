@@ -1,0 +1,67 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** The capped-regime self-announcement (r11 judge #4): when the
+  * MaxCellFactor guard drops more than [[VectorOps.CapWarnShare]] of the
+  * multi-probe assignments — the "adaptive k below the latent cluster
+  * count" regime UNCAP_CLUSTERED paid recall 0.706 in, silently —
+  * capHotCells warns through [[graft.Warn]]; in healthy regimes (gate
+  * SFs cap nothing) it stays silent.
+  */
+class CapWarnSpec extends SparkSpec {
+
+  /** Run `body` with Warn.sink capturing into a buffer (default sink
+    * preserved for other suites' messages — the session is shared).
+    */
+  private def capturing(body: => Unit): Seq[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    val prev = Warn.sink
+    Warn.sink = m => { buf.synchronized(buf += m); prev(m) }
+    try body finally Warn.sink = prev
+    buf.synchronized(buf.toSeq)
+  }
+
+  test("capHotCells warns when the dropped share crosses CapWarnShare") {
+    import spark.implicits._
+    // one dominant cell owning ~91% of assignments over nCells = 7:
+    // mean = 110/7 ≈ 15.7, cap at 4× mean → cell 0 (100 rows) is hot
+    val rows = (0L until 100L).map(i => (i, 0)) ++
+      (0L until 10L).map(i => (1000L + i, 1 + (i % 6).toInt))
+    val multi = rows.toDF("vec_id", "cell")
+    val msgs = capturing {
+      val out = VectorOps.capHotCells(multi, 7, VectorOps.MaxCellFactor)
+      // the guard itself still works: every cell-0 assignment dropped
+      assert(out.filter(col("cell") === 0).count() === 0)
+      assert(out.count() === 10)
+    }
+    val mine = msgs.filter(_.contains("nlist=7"))
+    assert(mine.size === 1, s"expected exactly one warning, got: $msgs")
+    assert(mine.head.contains("dropped 100 of 110"))
+    assert(mine.head.contains("hot-cell cap"))
+  }
+
+  test("capHotCells stays silent when nothing (or almost nothing) is capped") {
+    import spark.implicits._
+    // uniform: 9 cells × 10 rows, no cell above 4× the mean
+    val uniform = (0L until 90L).map(i => (i, (i % 9).toInt)).toDF("vec_id", "cell")
+    val msgs = capturing {
+      assert(VectorOps.capHotCells(uniform, 9, VectorOps.MaxCellFactor)
+        .count() === 90)
+    }
+    assert(!msgs.exists(_.contains("nlist=9")), s"unexpected warning: $msgs")
+  }
+
+  test("gate-SF ann_ivf runs warning-free (healthy regime is silent)") {
+    val msgs = capturing {
+      VectorOps.annIvf(spark, "/root/testdata/sf0.01")
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(!msgs.exists(_.contains("hot-cell cap")),
+      s"gate corpus tripped the capped-regime warning: $msgs")
+  }
+}

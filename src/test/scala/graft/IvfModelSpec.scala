@@ -26,6 +26,38 @@ class IvfModelSpec extends SparkSpec {
     // n >= total degenerates to "everything", both paths
     val all = IvfModel.hashOrderedTake(df.select(col("id"), col("vec")), "id", 6000)
     assert(all.length == 5000)
+    // a pre-known total (the dir-keyed corpusCount reuse — r11 advisor)
+    // skips the first count job but selects the identical set
+    val known = IvfModel.hashOrderedTake(
+      df.select(col("id"), col("vec")), "id", 100, knownTotal = 5000L)
+      .map(_.getLong(0)).toSeq
+    assert(known == plain)
+  }
+
+  test("hashOrderedTake warns (and still answers) when the pre-filter exhausts") {
+    // mass-duplicate ids: every row hashes identically, so no strict
+    // hash cut below 1.0 can pass >= n rows — the doubling loop exhausts
+    // and the method falls back to the unbounded take, announcing it
+    // (r11 advisor: a recurrence of the uncap4m abort must be
+    // attributable, not silent).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // pick an id whose hash is at the TOP of the hash space, so every
+    // strict cut the doubling loop tries (≤ the 0.64 quantile here)
+    // excludes the entire frame
+    val hid = spark.range(0, 1000).select(col("id"))
+      .orderBy(xxhash64(col("id")).desc).limit(1).collect()(0).getLong(0)
+    val dup = (1L to 5000L).map(i => (hid, Array(i.toFloat))).toDF("id", "vec")
+      .repartition(8)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = Warn.sink
+    Warn.sink = m => { buf.synchronized(buf += m); prev(m) }
+    val rows = try IvfModel.hashOrderedTake(
+      dup.select(col("id"), col("vec")), "id", 100)
+    finally Warn.sink = prev
+    assert(rows.length == 100 && rows.forall(_.getLong(0) == hid))
+    val mine = buf.synchronized(buf.toSeq).filter(_.contains("hashOrderedTake"))
+    assert(mine.size == 1 && mine.head.contains("UNBOUNDED"), s"got: $mine")
   }
 
   test("fit is a pure function: identical centroids on every call") {

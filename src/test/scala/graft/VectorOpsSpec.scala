@@ -141,6 +141,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(s3.getDouble(3) > 0.0 && s3.getDouble(3) <= 1.0)
   }
 
+  test("anchorExactPairs at step=1 equals the dedup_embedding audit pair set") {
+    // the bench lane's `dedup_embedding_anchor` substitute (r11 judge #3)
+    // must be the SAME pair set when the anchor slice is everything
+    val audit = graft.operators.Dedup.dedupEmbedding(spark, dir)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anch = VectorOps.anchorExactPairs(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(anch === audit)
+    // a strict slice is a subset restricted to anchor-touching pairs
+    val a3 = VectorOps.anchorExactPairs(spark, dir, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a3.subsetOf(audit))
+    assert(a3 === audit.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+  }
+
   test("dedup_semantic oracle switches to the two-level chain past FlatFitMaxK") {
     // the query and its oracle share ONE condition (cents.length); pin
     // that the generated SQL actually flips with it
