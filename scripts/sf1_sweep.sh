@@ -150,7 +150,7 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega|uncap4m|clus
     SPARK_GRAFT_CPUS=24 scripts/runmain.sh -Xmx24g graft.GenScale \
       /root/testdata/sf0.1 "$UNC" 1 64
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport "$UNC" "$UNI" \
-      2>/dev/null | tail -1 > "UNCAP_REPORT_${ROUND}.json"
+      2>/tmp/uncap_${ROUND}.err | tail -1 > "UNCAP_REPORT_${ROUND}.json"
     cat "UNCAP_REPORT_${ROUND}.json"
     ;;
   uncapmega)
@@ -162,7 +162,7 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega|uncap4m|clus
       /root/testdata/sf0.1 "$MEG" 1 600
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport \
       "$MEG" testdata-uncap --buildonly \
-      2>/dev/null | tail -1 > "UNCAP_MEGA_${ROUND}.json"
+      2>/tmp/uncapmega_${ROUND}.err | tail -1 > "UNCAP_MEGA_${ROUND}.json"
     cat "UNCAP_MEGA_${ROUND}.json"
     ;;
   uncap4m)
@@ -177,7 +177,7 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega|uncap4m|clus
       -Xmx24g graft.GenScale /root/testdata/sf0.1 testdata-uncapmega 1 600
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx64g graft.UncapReport \
       "$M4" testdata-uncapmega --buildonly \
-      2>/dev/null | tail -1 > "UNCAP_4M_${ROUND}.json"
+      2>/tmp/uncap4m_${ROUND}.err | tail -1 > "UNCAP_4M_${ROUND}.json"
     cat "UNCAP_4M_${ROUND}.json"
     ;;
   clustered)
@@ -201,10 +201,10 @@ case "${1:?gen|verify|check|bench|approx|adv|advsf1|uncap|uncapmega|uncap4m|clus
       graft.GenScale /root/testdata/sf0.1 "$CL3" 1 256 --clustered
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport \
       "$CL2" "$CL1" \
-      2>/dev/null | tail -1 > /tmp/uncap_clustered_a.json
+      2>/tmp/uncap_clustered_a.err | tail -1 > /tmp/uncap_clustered_a.json
     SPARK_GRAFT_CPUS=32 scripts/runmain.sh -Xmx48g graft.UncapReport \
       "$CL3" "$CL2" \
-      2>/dev/null | tail -1 > /tmp/uncap_clustered_b.json
+      2>/tmp/uncap_clustered_b.err | tail -1 > /tmp/uncap_clustered_b.json
     python3 - "$ROUND" <<'EOF'
 import json, sys
 out = {"small_vs_big": json.load(open("/tmp/uncap_clustered_a.json")),
