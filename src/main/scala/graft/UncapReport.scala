@@ -39,6 +39,20 @@ import graft.sources.Tables
   */
 object UncapReport {
 
+  /** Post-cap candidate-pair count above which the harness times the
+    * raw pair operators as their SCAN forms (no final pair-dedup
+    * exchange) under `*_scan` keys. Calibrated against the measured
+    * envelope: the 1.2M-vector ×600-verbatim mega corpus (≈2.5e9
+    * candidates, survivor share near 1 at τ = 0.35 because cells group
+    * similar vectors) spilled ~40 GB through the dedup exchange and
+    * completed; the 4.2M ×2100 corpus (≈1.8e10) needs hundreds of GB
+    * and cannot spill on one machine — the r12 uncap4m find. On a real
+    * cluster the exchange distributes and the bound is irrelevant; this
+    * guards the local evidence harness while still measuring the full
+    * candidate generation + scoring + threshold cost.
+    */
+  val PairTimingMaxCandidates = 4000000000L
+
   def main(args: Array[String]): Unit = {
     val bigDir = args(0)
     val smallDir = args(1)
@@ -100,7 +114,51 @@ object UncapReport {
           sec
         }
         val hb = time("ivf_build_hier")
-        val ah = time("ann_ivf_hier")
+        // The raw pair stage's survivor set can be ANSWER-SIZED on a
+        // verbatim-amplified corpus (every copy-pair scores 1.0, so the
+        // true output is quadratic in the duplication factor — the r12
+        // uncap4m find: ~1.8e10 survivors ≈ hundreds of GB of pair-dedup
+        // spill on one machine, fine on 1000 executors but not here).
+        // Estimate the post-cap candidate count from the hier multi-probe
+        // cell histogram; past [[PairTimingMaxCandidates]] time the
+        // SCAN form instead (full candidate generation + scoring +
+        // thresholding, survivors streamed to the noop sink, no final
+        // dedup exchange) under a renamed key so the substitution is
+        // visible, with the estimate recorded.
+        val (supersH, memberOfH) = IvfModel.superModel(cents)
+        val multiH = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            explode(graft.functions.IvfProbesHier.column(col("embedding"),
+              supersH, cents, memberOfH,
+              VectorOps.scaledSuperProbes(cents.length),
+              VectorOps.scaledAssignProbes(cents.length))).as("p"))
+          .select(col("vec_id"), col("p.cell").as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+          .localCheckpoint(true)
+        val mTot = multiH.agg(coalesce(sum(col("nc")), lit(0L))).head().getLong(0)
+        val surv = multiH
+          .filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * mTot))
+        val candEst = surv
+          .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
+          .head().getLong(0) / 2L
+        val cappedShare = if (mTot > 0)
+          1.0 - surv.agg(coalesce(sum(col("nc")), lit(0L))).head()
+            .getLong(0).toDouble / mTot else 0.0
+        val pairTimed = candEst <= PairTimingMaxCandidates
+        System.err.println(f"[uncap] $dir pair candidates post-cap: " +
+          f"$candEst%,d (capped share $cappedShare%.3f; " +
+          f"${if (pairTimed) "timing raw pair stage" else "timing SCAN form"})")
+        val ahKey = if (pairTimed) "ann_ivf_hier" else "ann_ivf_hier_scan"
+        val ah =
+          if (pairTimed) time("ann_ivf_hier")
+          else {
+            val t = System.nanoTime()
+            VectorOps.annIvfHier(spark, dir, dedup = false)
+              .write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t) / 1e9
+            System.err.println(f"[uncap] $dir ann_ivf_hier_scan: $sec%.2f s")
+            sec
+          }
         val ds = time("dedup_semantic")
         // anchor-sampled quality pins (the full flat O(N·K) forms are the
         // retired design at this K): hier pair recall vs the exact anchor
@@ -133,9 +191,13 @@ object UncapReport {
         return s"""{"n_vectors":$n,"nlist":$k,"fit_sec":$fitSec,""" +
           s""""plan_sec":$planSec,""" +
           s""""cells_used":$cellsUsed,"occ_mean":$occMean,"occ_max":$occMax,""" +
+          s""""hot_cells_capped":${multiH.count() - surv.count()},""" +
+          s""""capped_assign_share":$cappedShare,""" +
+          s""""pair_candidates_post_cap":$candEst,""" +
+          s""""pair_dedup_timed":$pairTimed,""" +
           s""""anchor_step":$step,"n_exact_anchor_pairs":$nExact,""" +
           s""""recall_ivf_hier":$recHier,"sampled_hier_agreement":$agree,""" +
-          s""""queries":{"ivf_build_hier":$hb,"ann_ivf_hier":$ah,""" +
+          s""""queries":{"ivf_build_hier":$hb,"$ahKey":$ah,""" +
           s""""dedup_semantic":$ds}}"""
       }
       // hot cells under the integer-exact MaxCellFactor rule on the
@@ -166,8 +228,36 @@ object UncapReport {
         System.err.println(f"[uncap] $dir $name: $sec%.2f s")
         sec
       }
-      val qs = Seq("ivf_build", "ivf_build_hier", "ann_ivf", "ann_ivf_hier",
-        "dedup_semantic").map(q => s""""$q":${time(q)}""").mkString(",")
+      // same pair-stage guard as the buildonly path: past
+      // [[PairTimingMaxCandidates]] the raw forms' survivor set is
+      // answer-sized and its dedup exchange can't spill on one machine —
+      // time the scan forms under renamed keys instead
+      val candEst = multi
+        .filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * mTot))
+        .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
+        .head().getLong(0) / 2L
+      val pairTimed = candEst <= PairTimingMaxCandidates
+      if (!pairTimed) System.err.println(
+        f"[uncap] $dir pair candidates post-cap $candEst%,d > " +
+          f"$PairTimingMaxCandidates%,d: timing SCAN forms")
+      def timeScan(name: String, frame: org.apache.spark.sql.DataFrame): Double = {
+        val t = System.nanoTime()
+        frame.write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t) / 1e9
+        System.err.println(f"[uncap] $dir $name: $sec%.2f s")
+        sec
+      }
+      val pairQs =
+        if (pairTimed) Seq("ann_ivf", "ann_ivf_hier")
+          .map(q => s""""$q":${time(q)}""")
+        else Seq(
+          s""""ann_ivf_scan":${timeScan("ann_ivf_scan",
+            VectorOps.annIvf(spark, dir, dedup = false))}""",
+          s""""ann_ivf_hier_scan":${timeScan("ann_ivf_hier_scan",
+            VectorOps.annIvfHier(spark, dir, dedup = false))}""")
+      val qs = (Seq("ivf_build", "ivf_build_hier").map(q => s""""$q":${time(q)}""")
+        ++ pairQs ++ Seq(s""""dedup_semantic":${time("dedup_semantic")}"""))
+        .mkString(",")
 
       // anchor-sampled recall (~≤2000 anchors either way)
       val step = math.max(1L, n / 2000L)
@@ -188,6 +278,8 @@ object UncapReport {
         s""""plan_sec":$planSec,""" +
         s""""cells_used":$cellsUsed,"occ_mean":$occMean,"occ_max":$occMax,""" +
         s""""hot_cells_capped":$hotCells,"capped_assign_share":$cappedShare,""" +
+        s""""pair_candidates_post_cap":$candEst,""" +
+        s""""pair_dedup_timed":$pairTimed,""" +
         s""""anchor_step":$step,""" +
         s""""n_exact_anchor_pairs":$nExactFlat,"recall_ivf":$recFlat,""" +
         s""""recall_ivf_hier":$recHier,"hier_agreement":$agree,""" +
@@ -204,7 +296,13 @@ object UncapReport {
       for (b <- r.findFirstMatchIn(big); s <- r.findFirstMatchIn(small))
         yield b.group(1).toDouble / s.group(1).toDouble
     }
-    val ratios = Seq("ann_ivf", "ann_ivf_hier", "dedup_semantic", "ivf_build_hier")
+    // scan keys included: when a dir crossed PairTimingMaxCandidates its
+    // pair time reports under *_scan and a cross-form ratio would compare
+    // different work — qRatio only emits a ratio when BOTH dirs produced
+    // the same key, so a mixed pair drops out of time_ratios (visible in
+    // the per-dir queries blocks instead).
+    val ratios = Seq("ann_ivf", "ann_ivf_hier", "ann_ivf_scan",
+      "ann_ivf_hier_scan", "dedup_semantic", "ivf_build_hier")
       .flatMap(q => qRatio(q).map(v => s""""$q":$v""")).mkString(",")
     // kn_ratio = (K·N)_big / (K·N)_small — fit_sec_ratio below it is the
     // "fit sub-linear in K·N" pin; plan_sec_ratio ≈ 1 is the "plan time

@@ -302,7 +302,11 @@ object VectorOps {
     * construction — that's the ANN trade. Same τ as dedup_embedding.
     * Skew-guarded by the [[MaxCellFactor]] hot-cell cap.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, dedup = true)
+
+  private[graft] def annIvf(spark: SparkSession, dir: String,
+      dedup: Boolean): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
     // Materialized once: the assignment kernel feeds the cell-count
     // pre-pass AND both sides of the pair self-join — without the
@@ -314,7 +318,7 @@ object VectorOps {
           scaledAssignProbes(cents.length))).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
-    cellLocalPairs(multi, cents.length)
+    cellLocalPairs(multi, cents.length, dedup)
   }
 
   /** How many super-cells the hierarchical coarse probe visits. */
@@ -343,7 +347,11 @@ object VectorOps {
     * byte-identical to ann_ivf. The added loss vs the flat probe is
     * pinned numerically by `ann_hier_recall`.
     */
-  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame =
+    annIvfHier(spark, dir, dedup = true)
+
+  private[graft] def annIvfHier(spark: SparkSession, dir: String,
+      dedup: Boolean): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
     val (supers, memberOf) = IvfModel.superModel(cents)
     val multi = Tables.embeddings(spark, dir)
@@ -353,7 +361,7 @@ object VectorOps {
           scaledAssignProbes(cents.length))).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
-    cellLocalPairs(multi, cents.length)
+    cellLocalPairs(multi, cents.length, dedup)
   }
 
   /** The shared ann_ivf pair stage over a (vec_id, embedding, cell)
@@ -364,18 +372,61 @@ object VectorOps {
     * ≥ τ survivor set as (id, id, scalar) rows. A pair that shares both
     * probed cells is scored twice (identical value) and collapsed here.
     */
-  private def cellLocalPairs(multi: DataFrame, nCells: Int): DataFrame = {
+  private def cellLocalPairs(multi: DataFrame, nCells: Int): DataFrame =
+    cellLocalPairs(multi, nCells, dedup = true)
+
+  /** `dedup = false` is the measurement-harness variant ([[UncapReport]]):
+    * full candidate generation, scoring, and thresholding, but the
+    * survivor stream goes straight to the sink instead of through the
+    * pair-dedup exchange. On a corpus whose ≥ τ survivor set is itself
+    * huge — e.g. verbatim-duplicated content, where every copy-pair
+    * scores 1.0 and the TRUE answer is quadratic in the duplication
+    * factor — that final exchange's cost is output-size-bound, not
+    * IVF-mechanics-bound, and on a single machine its spill is the one
+    * stage that cannot fit. Semantically the scan form is the same pair
+    * set with the ≤ [[scaledAssignProbes]]-fold shared-cell re-scorings
+    * left in (spec-pinned: dropDuplicates over it equals the dedup form).
+    */
+  private[graft] def cellLocalPairs(multi: DataFrame, nCells: Int,
+      dedup: Boolean): DataFrame = {
     val e = capHotCells(multi, nCells, MaxCellFactor)
       .withColumn("nrm", norm(col("embedding")))
-    e.as("a").join(e.as("b"),
+    // Self-announce a pair stage whose candidate set is enormous (the
+    // cellLocalPairs analogue of the hot-cell cap warning): Σ n·(n−1)/2
+    // over the surviving cells — one tiny agg on a ≤ nCells-row count
+    // frame. Past [[PairCandidateWarnBound]] the run will work (the
+    // candidates are generated partition-locally and thresholded before
+    // any exchange) but the survivor set is likely answer-sized: on a
+    // verbatim-duplicated corpus every same-content pair survives, and
+    // the production form is the grouped dedup family, not raw pairs.
+    val cand = e.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)))
+      .collect()(0).getLong(0) / 2L
+    if (cand > PairCandidateWarnBound)
+      graft.Warn(
+        f"[graft][warn] cell-local pair stage will score ~$cand%,d " +
+          f"candidate pairs (> $PairCandidateWarnBound%,d). If this " +
+          f"corpus carries verbatim-duplicated content the ≥ τ survivor " +
+          f"set is quadratic in the duplication factor and IS the " +
+          f"answer; consider the grouped dedup family " +
+          f"(dedup_*_grouped), whose output is linear in distinct " +
+          f"contents.")
+    val scored = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("c", cosinePre(dot(col("a.embedding"), col("b.embedding")),
         col("a.nrm"), col("b.nrm")))
       .filter(col("c") >= Dedup.EmbeddingCosThreshold)
       .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
         round(col("c"), 6).as("cos_sim"))
-      .dropDuplicates("vec_id_a", "vec_id_b")
+    if (dedup) scored.dropDuplicates("vec_id_a", "vec_id_b") else scored
   }
+
+  /** Candidate-pair count above which [[cellLocalPairs]] announces that
+    * the pair stage is answer-sized (≈70 GB of (id,id,score) rows at the
+    * bound if most candidates survive τ — the measured spill envelope of
+    * the 1.2M-vector ×600-verbatim uncap corpus was ~40 GB at 2.5e9).
+    */
+  val PairCandidateWarnBound = 1000000000L
 
   /** Drop assignments in cells holding more than `factor`× the mean —
     * the [[MaxCellFactor]] stop-cell guard, factored out so the skew

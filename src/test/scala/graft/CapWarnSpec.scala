@@ -63,5 +63,29 @@ class CapWarnSpec extends SparkSpec {
     }
     assert(!msgs.exists(_.contains("hot-cell cap")),
       s"gate corpus tripped the capped-regime warning: $msgs")
+    assert(!msgs.exists(_.contains("candidate pairs")),
+      s"gate corpus tripped the pair-candidate warning: $msgs")
+  }
+
+  test("cellLocalPairs announces an answer-sized candidate set") {
+    import spark.implicits._
+    // one cell, 50,000 members → 50,000·49,999/2 ≈ 1.25e9 candidates,
+    // past PairCandidateWarnBound = 1e9 — the ×2100-verbatim uncap4m
+    // regime in miniature (the warn fires from the ≤ nCells-row count
+    // table at frame-construction time; the quadratic join is never run).
+    // nCells = 1 keeps the single cell exactly at the mean, so the
+    // hot-cell cap does NOT fire — the two warnings are independent.
+    val multi = spark.range(50000L)
+      .select(col("id").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"), lit(0).as("cell"))
+    val msgs = capturing {
+      VectorOps.cellLocalPairs(multi, 1, dedup = true)
+    }
+    val mine = msgs.filter(_.contains("candidate pairs"))
+    assert(mine.size === 1, s"expected one pair-candidate warning, got: $msgs")
+    assert(mine.head.contains("1,249,975,000"))
+    assert(mine.head.contains("dedup_*_grouped"))
+    assert(!msgs.exists(_.contains("hot-cell cap")),
+      s"hot-cell warning should not fire at uniform occupancy: $msgs")
   }
 }

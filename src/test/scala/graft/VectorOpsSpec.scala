@@ -290,4 +290,21 @@ class VectorOpsSpec extends SparkSpec {
         r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toSet
     assert(got == want)
   }
+  test("pair scan form dedups to exactly the raw ann_ivf / ann_ivf_hier sets") {
+    // The UncapReport harness times the scan form (no final pair-dedup
+    // exchange) past PairTimingMaxCandidates; this pins that the only
+    // difference IS the dedup: collapsing the scan's ≤ probes-fold
+    // shared-cell re-scorings reproduces the raw pair set exactly.
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val rawFlat = asSet(VectorOps.annIvf(spark, dir))
+    val scanFlat = asSet(VectorOps.annIvf(spark, dir, dedup = false)
+      .dropDuplicates("vec_id_a", "vec_id_b"))
+    assert(scanFlat == rawFlat)
+    val rawHier = asSet(VectorOps.annIvfHier(spark, dir))
+    val scanHier = asSet(VectorOps.annIvfHier(spark, dir, dedup = false)
+      .dropDuplicates("vec_id_a", "vec_id_b"))
+    assert(scanHier == rawHier)
+  }
 }
