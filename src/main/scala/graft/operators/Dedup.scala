@@ -148,13 +148,18 @@ object Dedup {
     normGroupsCache.invalidate(session)
     repBucketsCache.invalidate(session)
     repShinglesCache.invalidate(session)
+    shinglePairsCache.invalidate(session)
     clustersCache.invalidate(session)
   }
 
-  /** Spec hook: live cache entries for `session` across all four frames. */
+  /** Spec hook: live cache entries for `session` across all five frames. */
   private[graft] def cacheEntryCount(session: SparkSession): Int =
     normGroupsCache.size(session) + repBucketsCache.size(session) +
-      repShinglesCache.size(session) + clustersCache.size(session)
+      repShinglesCache.size(session) + shinglePairsCache.size(session) +
+      clustersCache.size(session)
+
+  private[graft] def shinglePairsCacheEntryCount(session: SparkSession): Int =
+    shinglePairsCache.size(session)
 
   /** Spec hook: live cluster-table entries for `session` alone. */
   private[graft] def clustersCacheEntryCount(session: SparkSession): Int =
@@ -237,8 +242,31 @@ object Dedup {
     * self-joining (same lesson as minhash/simhash) — sizes ride inside
     * the bucket structs, so the whole stage is two shuffles — one keyed
     * on the shingle, one on the pair — with no join back to the corpus.
+    *
+    * CACHED + eagerly checkpointed per (session, shingle-frame plan), the
+    * [[normGroups]]/[[clustersFromPairs]] convention: four consumers
+    * (ngram, ngram_grouped, clusters via component edges, recall's exact
+    * arm) run this same stage, and it is the ONE stage that is quadratic
+    * in near-dup family size BY SEMANTICS — a Σ bucket² pair emission
+    * that verbatim grouping cannot shrink when the family members are
+    * DISTINCT contents (mutated copies). The first honest skew bench
+    * (BENCH_skew_r12, pre-cache) priced each rebuild at ~400-590 s under
+    * a 4,800-member mutated family vs ~2 s uniform; computing the pair
+    * table once per corpus snapshot is also the production shape at
+    * 100 TB ("pair once, then read", like the cluster table). The
+    * checkpoint is output-sized ((id,id,score) survivors only — ~300 MB
+    * at the skew corpus's 11.5M family pairs), never candidate-sized.
     */
-  private def shinglePairs(shFrame: DataFrame): DataFrame = {
+  private val shinglePairsCache = new FrameCache
+
+  private def shinglePairs(shFrame: DataFrame): DataFrame =
+    shinglePairsCache.getOrElseUpdate(shFrame)(
+      shinglePairsBuild(shFrame).localCheckpoint(true))
+
+  /** The cache-BUILD plan (pre-checkpoint) — where the bucket explode
+    * and pair-group shuffles live once consumers read the checkpoint.
+    */
+  private[graft] def shinglePairsBuild(shFrame: DataFrame): DataFrame = {
     val ex = shFrame
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
     val buckets = ex.groupBy(col("s"))

@@ -117,6 +117,36 @@ class FrameCacheSpec extends SparkSpec {
     Dedup.invalidateCaches(s)
   }
 
+  test("shingle pair table is computed once per snapshot and shared") {
+    // dedup_ngram / dedup_ngram_grouped / dedup_clusters (component
+    // edges) / dedup_recall's exact arm all run the SAME Σ bucket² pair
+    // stage — the one stage that is quadratic in near-dup family size by
+    // semantics (BENCH_skew_r12 pre-cache: ~400-590 s PER REBUILD under
+    // a 4,800-member mutated family). Pin: the second consumer hits the
+    // cached checkpoint (one shinglePairs entry), and the pair content
+    // is right.
+    val s = ownSession
+    import s.implicits._
+    Dedup.invalidateCaches(s)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps low"),
+      (3L, "completely different words here now"),
+      (4L, "the quick brown fox jumps high")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.dedupNgramDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100) / 100)).toSet
+    assert(Dedup.shinglePairsCacheEntryCount(s) == 1)
+    // docs 1/4 verbatim (within pair, jaccard 1.0); 1-2 and 2-4 share 3
+    // of 5 distinct shingles (0.6); doc 3 pairs with nothing
+    assert(raw == Set((1L, 4L, 1.0), (1L, 2L, 0.6), (2L, 4L, 0.6)))
+    Dedup.dedupNgramGroupedDf(docs).collect()
+    assert(Dedup.shinglePairsCacheEntryCount(s) == 1,
+      "the grouped twin must HIT the shared pair-table entry")
+    Dedup.invalidateCaches(s)
+  }
+
   test("cluster table is computed once per pair-frame plan and shared") {
     // dedup_clusters / cluster_stats / curation_weight / curation_report /
     // pipeline_filter all consume the SAME connected-components table;
