@@ -231,15 +231,31 @@ object UncapReport {
       // same pair-stage guard as the buildonly path: past
       // [[PairTimingMaxCandidates]] the raw forms' survivor set is
       // answer-sized and its dedup exchange can't spill on one machine —
-      // time the scan forms under renamed keys instead
+      // time the scan forms under renamed keys instead. Each operator is
+      // gated on ITS OWN probe histogram (r12 advisor #2: the hier probe
+      // set assigns different cells, so a corpus where only the hier
+      // form crosses the bound must not ride the flat estimate through
+      // the infeasible dedup exchange) — the hier histogram costs one
+      // O(N·√K) assignment pass, harness-only.
+      def postCapCand(hist: org.apache.spark.sql.DataFrame): Long = {
+        val tot = hist.agg(coalesce(sum(col("nc")), lit(0L))).head().getLong(0)
+        hist.filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * tot))
+          .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
+          .head().getLong(0) / 2L
+      }
       val candEst = multi
         .filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * mTot))
         .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
         .head().getLong(0) / 2L
+      val candEstHier = postCapCand(
+        VectorOps.hierMulti(spark, dir, cents)
+          .groupBy(col("cell")).agg(count(lit(1)).as("nc")))
       val pairTimed = candEst <= PairTimingMaxCandidates
-      if (!pairTimed) System.err.println(
-        f"[uncap] $dir pair candidates post-cap $candEst%,d > " +
-          f"$PairTimingMaxCandidates%,d: timing SCAN forms")
+      val pairTimedHier = candEstHier <= PairTimingMaxCandidates
+      if (!pairTimed || !pairTimedHier) System.err.println(
+        f"[uncap] $dir pair candidates post-cap flat $candEst%,d / " +
+          f"hier $candEstHier%,d vs $PairTimingMaxCandidates%,d: " +
+          f"timing SCAN form where crossed")
       def timeScan(name: String, frame: org.apache.spark.sql.DataFrame): Double = {
         val t = System.nanoTime()
         frame.write.mode("overwrite").format("noop").save()
@@ -247,14 +263,13 @@ object UncapReport {
         System.err.println(f"[uncap] $dir $name: $sec%.2f s")
         sec
       }
-      val pairQs =
-        if (pairTimed) Seq("ann_ivf", "ann_ivf_hier")
-          .map(q => s""""$q":${time(q)}""")
-        else Seq(
-          s""""ann_ivf_scan":${timeScan("ann_ivf_scan",
-            VectorOps.annIvf(spark, dir, dedup = false))}""",
-          s""""ann_ivf_hier_scan":${timeScan("ann_ivf_hier_scan",
-            VectorOps.annIvfHier(spark, dir, dedup = false))}""")
+      val pairQs = Seq(
+        if (pairTimed) s""""ann_ivf":${time("ann_ivf")}"""
+        else s""""ann_ivf_scan":${timeScan("ann_ivf_scan",
+          VectorOps.annIvf(spark, dir, dedup = false))}""",
+        if (pairTimedHier) s""""ann_ivf_hier":${time("ann_ivf_hier")}"""
+        else s""""ann_ivf_hier_scan":${timeScan("ann_ivf_hier_scan",
+          VectorOps.annIvfHier(spark, dir, dedup = false))}""")
       val qs = (Seq("ivf_build", "ivf_build_hier").map(q => s""""$q":${time(q)}""")
         ++ pairQs ++ Seq(s""""dedup_semantic":${time("dedup_semantic")}"""))
         .mkString(",")
@@ -279,7 +294,9 @@ object UncapReport {
         s""""cells_used":$cellsUsed,"occ_mean":$occMean,"occ_max":$occMax,""" +
         s""""hot_cells_capped":$hotCells,"capped_assign_share":$cappedShare,""" +
         s""""pair_candidates_post_cap":$candEst,""" +
+        s""""pair_candidates_post_cap_hier":$candEstHier,""" +
         s""""pair_dedup_timed":$pairTimed,""" +
+        s""""pair_dedup_timed_hier":$pairTimedHier,""" +
         s""""anchor_step":$step,""" +
         s""""n_exact_anchor_pairs":$nExactFlat,"recall_ivf":$recFlat,""" +
         s""""recall_ivf_hier":$recHier,"hier_agreement":$agree,""" +

@@ -165,7 +165,7 @@ object IvfModel {
       if (cand.count() >= n) return take(cand)
       frac *= 2 // deterministic relax; terminates at the unfiltered take
     }
-    graft.Warn(
+    graft.Warn(base.sparkSession,
       s"[graft][warn] hashOrderedTake: hash-quantile pre-filter exhausted " +
         s"(no cut below 1.0 passed >= $n of $total rows — extreme " +
         s"xxhash64($idCol) collision mass, e.g. mass-duplicate ids). " +

@@ -50,11 +50,10 @@ class IvfModelSpec extends SparkSpec {
     val dup = (1L to 5000L).map(i => (hid, Array(i.toFloat))).toDF("id", "vec")
       .repartition(8)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    val prev = Warn.sink
-    Warn.sink = m => { buf.synchronized(buf += m); prev(m) }
+    Warn.set(spark, m => { buf.synchronized(buf += m); Warn.sink(m) })
     val rows = try IvfModel.hashOrderedTake(
       dup.select(col("id"), col("vec")), "id", 100)
-    finally Warn.sink = prev
+    finally Warn.clear(spark)
     assert(rows.length == 100 && rows.forall(_.getLong(0) == hid))
     val mine = buf.synchronized(buf.toSeq).filter(_.contains("hashOrderedTake"))
     assert(mine.size == 1 && mine.head.contains("UNBOUNDED"), s"got: $mine")
