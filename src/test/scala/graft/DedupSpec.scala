@@ -194,6 +194,51 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._2) == want.values.toSet.size)
   }
 
+  test("dedup_clusters_lsh equals union-find over the verified pairs and " +
+    "refines the exact partition (gate corpora)") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      // ground truth: union-find over the member-expanded verified pair set
+      val pairs = Dedup.dedupVerified(spark, d).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val lsh = Dedup.dedupClustersLsh(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster_rep"), r.getAs[Boolean]("keep"))).toMap
+      assert(lsh.keySet == want.keySet, s"$d: vertex sets differ")
+      lsh.foreach { case (doc, (rep, keep)) =>
+        assert(rep == want(doc), s"$d: doc $doc")
+        assert(keep == (doc == rep))
+      }
+      // refinement vs the exact form: every verified edge is an exact
+      // n-gram edge (precision 1), so LSH clusters sit INSIDE exact
+      // clusters — they can split (missed bridge pairs, dedup_recall's
+      // number) but never merge docs the exact form separates — and
+      // every exact keeper (min of its exact cluster, hence min of its
+      // own LSH sub-cluster) keeps under LSH too.
+      val exact = Dedup.dedupClusters(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster_rep"), r.getAs[Boolean]("keep"))).toMap
+      assert(lsh.keySet.subsetOf(exact.keySet), s"$d: LSH saw extra docs")
+      lsh.groupBy(_._2._1).foreach { case (rep, members) =>
+        val exReps = members.keys.map(exact(_)._1).toSet
+        assert(exReps.size == 1, s"$d: LSH cluster $rep spans exact clusters $exReps")
+      }
+      exact.foreach { case (doc, (_, exKeep)) =>
+        if (exKeep && lsh.contains(doc))
+          assert(lsh(doc)._2, s"$d: exact keeper $doc dropped by LSH")
+      }
+    }
+  }
+
   test("ngram component edges give the full pair graph's components (sparse)") {
     val s = spark
     import s.implicits._
