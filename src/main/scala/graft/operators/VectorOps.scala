@@ -1182,6 +1182,52 @@ object VectorOps {
       .dropDuplicates("vec_id_a", "vec_id_b")
   }
 
+  /** The approx side of a [[sampledPairRecall]] measurement computed
+    * WITHOUT building the full pair frame: post-cap cell-local pairs
+    * restricted at the JOIN to pairs touching the anchor slice. The
+    * filtered-full-frame route cannot push the `a-or-b` anchor predicate
+    * below the self-join (an OR across join sides), so each measurement
+    * pays the entire Σ |cell|² candidate stage — at 512k clustered
+    * vectors that is minutes per probe dial; this form joins the
+    * ≤ (n/step)·probes anchor assignments (broadcast) against the capped
+    * corpus frame instead: O(n/step · |cell|) work, seconds. Same pair
+    * set by construction — a pair (x, y) with an anchor endpoint shares
+    * a post-cap cell iff the anchor's row meets the other endpoint's row
+    * in that cell ([[ProbeDialReport]]'s per-dial recall; spec-pinned
+    * equal to the filtered-full-frame recall at gate SF).
+    */
+  private[graft] def anchorCellPairs(multi: DataFrame, nCells: Int,
+      step: Long): DataFrame = {
+    val e = capHotCells(multi, nCells, MaxCellFactor)
+      .withColumn("nrm", norm(col("embedding")))
+    val anchors = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("cell").as("a_cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    e.join(broadcast(anchors),
+        col("cell") === col("a_cell") && col("vec_id") =!= col("a_id"))
+      .withColumn("c", cosinePre(dot(col("a_emb"), col("embedding")),
+        col("a_nrm"), col("nrm")))
+      .filter(col("c") >= Dedup.EmbeddingCosThreshold)
+      .select(least(col("a_id"), col("vec_id")).as("vec_id_a"),
+        greatest(col("a_id"), col("vec_id")).as("vec_id_b"))
+      .dropDuplicates("vec_id_a", "vec_id_b")
+  }
+
+  /** [[sampledPairRecall]] against a pre-built multi-probe assignment
+    * frame, using [[anchorCellPairs]] as the approx side — the probe-dial
+    * sweep's per-dial recall measurement.
+    */
+  private[graft] def dialedPairRecall(spark: SparkSession, dir: String,
+      multi: DataFrame, nCells: Int, step: Long): DataFrame =
+    dialedPairRecall(anchorExactPairs(spark, dir, step), multi, nCells, step)
+
+  /** Sweep form: `exact` is the (checkpointed-once) anchor-exact pair
+    * frame, shared across the dials instead of re-scored per dial.
+    */
+  private[graft] def dialedPairRecall(exact: DataFrame, multi: DataFrame,
+      nCells: Int, step: Long): DataFrame =
+    pairRecall(exact, anchorCellPairs(multi, nCells, step))
+
   private def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
     val exact = exactPairs
       .select(col("vec_id_a"), col("vec_id_b"), lit(1L).as("in_exact"))

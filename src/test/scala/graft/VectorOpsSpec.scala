@@ -141,6 +141,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(s3.getDouble(3) > 0.0 && s3.getDouble(3) <= 1.0)
   }
 
+  test("dialedPairRecall (anchor-join form) equals the filtered-full-frame " +
+    "recall at rule and non-rule dials") {
+    // the probe-dial sweep's per-dial recall must be the SAME measurement
+    // as sampledPairRecall over the full pair frame — the anchor-join
+    // form just avoids building the Σ|cell|² candidate stage per dial
+    val d01 = "/root/testdata/sf0.01"
+    val cents = graft.operators.IvfModel.centroids(spark, d01)
+    val step = 7L // anchors off any trivial alignment
+    for (dial <- Seq(-1, 4)) {
+      val mh = VectorOps.hierMulti(spark, d01, cents, dial)
+      val a = VectorOps.dialedPairRecall(spark, d01, mh, cents.length, step)
+        .collect()(0)
+      val b = VectorOps.sampledPairRecall(spark, d01,
+        VectorOps.annIvfHier(spark, d01, dedup = true, dial), step)
+        .collect()(0)
+      for (i <- 0 to 2)
+        assert(a.getLong(i) === b.getLong(i), s"dial $dial col $i")
+      assert(a.getDouble(3) === b.getDouble(3), s"dial $dial recall")
+    }
+    // a larger dial can only add candidate coverage: recall monotone
+    val r2 = VectorOps.dialedPairRecall(spark, d01,
+      VectorOps.hierMulti(spark, d01, cents, 2), cents.length, step)
+      .collect()(0).getDouble(3)
+    val r6 = VectorOps.dialedPairRecall(spark, d01,
+      VectorOps.hierMulti(spark, d01, cents, 6), cents.length, step)
+      .collect()(0).getDouble(3)
+    assert(r6 >= r2, s"recall must not drop with more probes: $r2 -> $r6")
+  }
+
   test("anchorExactPairs at step=1 equals the dedup_embedding audit pair set") {
     // the bench lane's `dedup_embedding_anchor` substitute (r11 judge #3)
     // must be the SAME pair set when the anchor slice is everything
