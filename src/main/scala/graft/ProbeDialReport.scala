@@ -91,6 +91,15 @@ object ProbeDialReport {
         .head().getLong(0) / 2L
     }
 
+    // optional SECOND dimension: super-probe dial at a fixed assign dial
+    // (--super-dials 3,4,5,6 [--super-assign 8]) — attributes the
+    // hier-vs-flat recall gap: if it is coarse-level coverage, one more
+    // super-probe closes it at O(N·√K) assignment cost with ZERO
+    // pair-stage cost increase (the per-vector cell count — and so the
+    // candidate set — is assignProbes, not superProbes).
+    val superDials = listArg("--super-dials", Seq.empty)
+    val superAssign = listArg("--super-assign", Seq(8)).head
+
     val rows = dials.map { d =>
       val tf = System.nanoTime()
       val mf = VectorOps.flatMulti(spark, dir, cents, d)
@@ -124,10 +133,28 @@ object ProbeDialReport {
         f""""recall_flat":$rf,"recall_hier":$rh,""" +
         f""""recall_pass_sec":$recallSec%.3f$scan}"""
     }
+    val superRows = superDials.map { s =>
+      val th = System.nanoTime()
+      val mh = VectorOps.hierMulti(spark, dir, cents, superAssign, s)
+      mh.count()
+      val assignH = (System.nanoTime() - th) / 1e9
+      val ch = candEst(mh)
+      val rh = VectorOps.dialedPairRecall(exact, mh, k, step)
+        .head().getAs[Double]("recall")
+      System.err.println(f"[dial] $dir supers=$s assign=$superAssign " +
+        f"cand hier=$ch%,d recall hier=$rh%.4f (assign $assignH%.1f s)")
+      unpersistCk(mh)
+      f"""{"super_probes":$s,"assign_probes":$superAssign,""" +
+        f""""cand_est_hier":$ch,"assign_sec_hier":$assignH%.3f,""" +
+        f""""recall_hier":$rh}"""
+    }
+    val superJson = if (superRows.isEmpty) ""
+      else s""","rule_super_probes":${VectorOps.scaledSuperProbes(k)},""" +
+        s""""super_dials":[${superRows.mkString(",")}]"""
     println(s"""{"dir":"$dir","n_vectors":$n,"nlist":$k,""" +
       s""""rule_probes":$rule,"anchor_step":$step,""" +
       s""""n_exact_anchor_pairs":$nExact,""" +
-      s""""dials":[${rows.mkString(",")}]}""")
+      s""""dials":[${rows.mkString(",")}]$superJson}""")
     spark.stop()
   }
 }

@@ -374,10 +374,25 @@ object VectorOps {
       assignProbes: Int): DataFrame =
     annIvfHier(spark, dir, dedup = true, assignProbes)
 
+  /** Two-dial form: `superProbes` additionally overrides the
+    * [[scaledSuperProbes]] coarse-level rule. The two dials price
+    * DIFFERENTLY: assignProbes multiplies the pair-stage candidate set
+    * (quadratic cost), superProbes only widens the coarse argmin
+    * (O(N·√K) assignment cost, candidate set unchanged) — so when the
+    * hier form trails the flat form at the same assign dial (coarse
+    * coverage loss), extra super-probes are the cheap lever
+    * (PROBE_DIAL_r13 super_dials: 0.790 → 0.817 at supers 3 → 5 with
+    * candidates flat ±1%).
+    */
+  def annIvfHier(spark: SparkSession, dir: String,
+      assignProbes: Int, superProbes: Int): DataFrame =
+    annIvfHier(spark, dir, dedup = true, assignProbes, superProbes)
+
   private[graft] def annIvfHier(spark: SparkSession, dir: String,
-      dedup: Boolean, assignProbes: Int = -1): DataFrame = {
+      dedup: Boolean, assignProbes: Int = -1,
+      superProbes: Int = -1): DataFrame = {
     val cents = IvfModel.centroids(spark, dir)
-    cellLocalPairs(hierMulti(spark, dir, cents, assignProbes),
+    cellLocalPairs(hierMulti(spark, dir, cents, assignProbes, superProbes),
       cents.length, dedup)
   }
 
@@ -385,15 +400,17 @@ object VectorOps {
     * assignment frame ([[graft.functions.IvfProbesHier]]).
     */
   private[graft] def hierMulti(spark: SparkSession, dir: String,
-      cents: Array[Array[Double]], assignProbes: Int = -1): DataFrame = {
+      cents: Array[Array[Double]], assignProbes: Int = -1,
+      superProbes: Int = -1): DataFrame = {
     val (supers, memberOf) = IvfModel.superModel(cents)
     val r = if (assignProbes >= 1) assignProbes
             else scaledAssignProbes(cents.length)
+    val s = if (superProbes >= 1) superProbes
+            else scaledSuperProbes(cents.length)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(graft.functions.IvfProbesHier.column(col("embedding"),
-          supers, cents, memberOf, scaledSuperProbes(cents.length),
-          r)).as("p"))
+          supers, cents, memberOf, s, r)).as("p"))
       .select(col("vec_id"), col("embedding"), col("p.cell").as("cell"))
       .localCheckpoint(true)
   }

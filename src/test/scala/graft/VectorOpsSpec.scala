@@ -168,6 +168,21 @@ class VectorOpsSpec extends SparkSpec {
       VectorOps.hierMulti(spark, d01, cents, 6), cents.length, step)
       .collect()(0).getDouble(3)
     assert(r6 >= r2, s"recall must not drop with more probes: $r2 -> $r6")
+    // the SUPER dial: two-dial operator == the two-dial assignment frame,
+    // and widening the coarse argmin can only add cells to visit
+    val a2 = VectorOps.dialedPairRecall(spark, d01,
+      VectorOps.hierMulti(spark, d01, cents, 4, 3), cents.length, step)
+      .collect()(0)
+    val b2 = VectorOps.sampledPairRecall(spark, d01,
+      VectorOps.annIvfHier(spark, d01, dedup = true, 4, 3), step)
+      .collect()(0)
+    for (i <- 0 to 2) assert(a2.getLong(i) === b2.getLong(i), s"super col $i")
+    assert(a2.getDouble(3) === b2.getDouble(3), "super recall")
+    val s1 = VectorOps.dialedPairRecall(spark, d01,
+      VectorOps.hierMulti(spark, d01, cents, 4, 1), cents.length, step)
+      .collect()(0).getDouble(3)
+    assert(a2.getDouble(3) >= s1,
+      s"recall must not drop with more super-probes: $s1 -> ${a2.getDouble(3)}")
   }
 
   test("anchorExactPairs at step=1 equals the dedup_embedding audit pair set") {
