@@ -57,6 +57,15 @@ object UncapReport {
     val bigDir = args(0)
     val smallDir = args(1)
     val buildOnly = args.contains("--buildonly")
+    // probe-dial overrides (r13): run the whole report at an explicit
+    // assign/super dial (the PROBE_DIAL-measured corpus parameter for
+    // subdivided-cluster corpora). -1 = the nlist rules. Recorded in the
+    // per-dir JSON so a dialed artifact is never mistaken for a rule run.
+    def intFlag(flag: String): Int =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v.toInt }
+        .getOrElse(-1)
+    val dialAssign = intFlag("--probes")
+    val dialSuper = intFlag("--supers")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -202,10 +211,14 @@ object UncapReport {
       }
       // hot cells under the integer-exact MaxCellFactor rule on the
       // multi-probe assignment (the ann_ivf guard's own counting frame)
+      val effAssign = if (dialAssign >= 1) dialAssign
+                      else VectorOps.scaledAssignProbes(cents.length)
+      val effSuper = if (dialSuper >= 1) dialSuper
+                     else VectorOps.scaledSuperProbes(cents.length)
       val multi = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           explode(graft.functions.IvfProbes.column(col("embedding"), cents,
-            VectorOps.scaledAssignProbes(cents.length))).as("p"))
+            effAssign)).as("p"))
         .select(col("vec_id"), col("p.cell").as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
         .localCheckpoint(true)
@@ -248,7 +261,7 @@ object UncapReport {
         .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
         .head().getLong(0) / 2L
       val candEstHier = postCapCand(
-        VectorOps.hierMulti(spark, dir, cents)
+        VectorOps.hierMulti(spark, dir, cents, dialAssign, dialSuper)
           .groupBy(col("cell")).agg(count(lit(1)).as("nc")))
       val pairTimed = candEst <= PairTimingMaxCandidates
       val pairTimedHier = candEstHier <= PairTimingMaxCandidates
@@ -263,13 +276,19 @@ object UncapReport {
         System.err.println(f"[uncap] $dir $name: $sec%.2f s")
         sec
       }
+      // the pair forms are timed as FRAMES so the dial overrides apply
+      // (identical to the registry forms at the rule dials)
       val pairQs = Seq(
-        if (pairTimed) s""""ann_ivf":${time("ann_ivf")}"""
+        if (pairTimed) s""""ann_ivf":${timeScan("ann_ivf",
+          VectorOps.annIvf(spark, dir, dedup = true, dialAssign))}"""
         else s""""ann_ivf_scan":${timeScan("ann_ivf_scan",
-          VectorOps.annIvf(spark, dir, dedup = false))}""",
-        if (pairTimedHier) s""""ann_ivf_hier":${time("ann_ivf_hier")}"""
+          VectorOps.annIvf(spark, dir, dedup = false, dialAssign))}""",
+        if (pairTimedHier) s""""ann_ivf_hier":${timeScan("ann_ivf_hier",
+          VectorOps.annIvfHier(spark, dir, dedup = true, dialAssign,
+            dialSuper))}"""
         else s""""ann_ivf_hier_scan":${timeScan("ann_ivf_hier_scan",
-          VectorOps.annIvfHier(spark, dir, dedup = false))}""")
+          VectorOps.annIvfHier(spark, dir, dedup = false, dialAssign,
+            dialSuper))}""")
       val qs = (Seq("ivf_build", "ivf_build_hier").map(q => s""""$q":${time(q)}""")
         ++ pairQs ++ Seq(s""""dedup_semantic":${time("dedup_semantic")}"""))
         .mkString(",")
@@ -282,8 +301,10 @@ object UncapReport {
         System.err.println(f"[uncap] $dir recall pass: ${(System.nanoTime() - t) / 1e9}%.2f s")
         (r.getAs[Long]("n_exact_pairs"), r.getAs[Double]("recall"))
       }
-      val (nExactFlat, recFlat) = recall(VectorOps.annIvf(spark, dir))
-      val (_, recHier) = recall(VectorOps.annIvfHier(spark, dir))
+      val (nExactFlat, recFlat) =
+        recall(VectorOps.annIvf(spark, dir, dedup = true, dialAssign))
+      val (_, recHier) = recall(
+        VectorOps.annIvfHier(spark, dir, dedup = true, dialAssign, dialSuper))
       // the hier build's agreement with the exact flat argmin — the
       // O(N·√K) form's quality pin, measured at scale, not just gate SF
       val agree = VectorOps.ivfHierAgreement(spark, dir)
@@ -291,6 +312,7 @@ object UncapReport {
 
       s"""{"n_vectors":$n,"nlist":$k,"fit_sec":$fitSec,""" +
         s""""plan_sec":$planSec,""" +
+        s""""assign_probes":$effAssign,"super_probes":$effSuper,""" +
         s""""cells_used":$cellsUsed,"occ_mean":$occMean,"occ_max":$occMax,""" +
         s""""hot_cells_capped":$hotCells,"capped_assign_share":$cappedShare,""" +
         s""""pair_candidates_post_cap":$candEst,""" +
