@@ -34,14 +34,31 @@ import graft.sources.Tables
   *
   * Usage: `runMain graft.ProbeDialReport <dir> [--dials 3,4,6,8,10]
   *   [--scan 3,8]` (scan dials must be a subset of dials).
+  *
+  * `--target 0.8` switches to AUTO-DIAL: walk the assign dial upward
+  * from the rule until each form's anchor recall meets the target
+  * (capped at [[MaxAutoDial]]), then report the walked rows plus
+  * `chosen_flat`/`chosen_hier` — the one-command tuning loop for a new
+  * corpus ("what dial does MY data need for recall ≥ X, and what does
+  * it cost?"). Each step costs one assignment pass + one anchor-join
+  * recall (~15 s at 512k vectors), never a pair stage.
   */
 object ProbeDialReport {
+
+  /** Auto-dial walk ceiling: past this many probes per vector the pair
+    * stage costs ≥ (MaxAutoDial/2)² × the 2-probe baseline — if recall
+    * still hasn't met the target, the corpus needs a different index
+    * shape (larger nlist / PQ re-rank), not more probes.
+    */
+  val MaxAutoDial = 16
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     def listArg(flag: String, dflt: Seq[Int]): Seq[Int] =
       args.sliding(2).collectFirst { case Array(`flag`, v) =>
         v.split(",").map(_.trim.toInt).toSeq }.getOrElse(dflt)
+    val target = args.sliding(2).collectFirst {
+      case Array("--target", v) => v.toDouble }
     val dials = listArg("--dials", Seq(3, 4, 6, 8, 10))
     val scans = listArg("--scan", Seq.empty).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -100,7 +117,7 @@ object ProbeDialReport {
     val superDials = listArg("--super-dials", Seq.empty)
     val superAssign = listArg("--super-assign", Seq(8)).head
 
-    val rows = dials.map { d =>
+    def measureDial(d: Int): (String, Double, Double) = {
       val tf = System.nanoTime()
       val mf = VectorOps.flatMulti(spark, dir, cents, d)
       mf.count()
@@ -128,10 +145,33 @@ object ProbeDialReport {
         f""","scan_sec_hier":$s%.3f"""
       } else ""
       unpersistCk(mf); unpersistCk(mh)
-      f"""{"probes":$d,"cand_est_flat":$cf,"cand_est_hier":$ch,""" +
+      (f"""{"probes":$d,"cand_est_flat":$cf,"cand_est_hier":$ch,""" +
         f""""assign_sec_flat":$assignF%.3f,"assign_sec_hier":$assignH%.3f,""" +
         f""""recall_flat":$rf,"recall_hier":$rh,""" +
-        f""""recall_pass_sec":$recallSec%.3f$scan}"""
+        f""""recall_pass_sec":$recallSec%.3f$scan}""", rf, rh)
+    }
+
+    // --target: walk the dial upward from the rule until each form meets
+    // the target (or the MaxAutoDial ceiling says "wrong lever")
+    val (rows, chosenJson) = target match {
+      case Some(t) =>
+        var chosenFlat = -1
+        var chosenHier = -1
+        val walked = Iterator.from(rule)
+          .takeWhile(d => d <= MaxAutoDial &&
+            (chosenFlat < 0 || chosenHier < 0))
+          .map { d =>
+            val (row, rf, rh) = measureDial(d)
+            if (chosenFlat < 0 && rf >= t) chosenFlat = d
+            if (chosenHier < 0 && rh >= t) chosenHier = d
+            row
+          }.toSeq
+        System.err.println(s"[dial] $dir target=$t chosen " +
+          s"flat=$chosenFlat hier=$chosenHier (-1 = not reached by " +
+          s"$MaxAutoDial; consider a larger nlist or a re-rank stage)")
+        (walked, s""","target":$t,"chosen_flat":$chosenFlat,""" +
+          s""""chosen_hier":$chosenHier""")
+      case None => (dials.map(d => measureDial(d)._1), "")
     }
     val superRows = superDials.map { s =>
       val th = System.nanoTime()
@@ -154,7 +194,7 @@ object ProbeDialReport {
     println(s"""{"dir":"$dir","n_vectors":$n,"nlist":$k,""" +
       s""""rule_probes":$rule,"anchor_step":$step,""" +
       s""""n_exact_anchor_pairs":$nExact,""" +
-      s""""dials":[${rows.mkString(",")}]$superJson}""")
+      s""""dials":[${rows.mkString(",")}]$superJson$chosenJson}""")
     spark.stop()
   }
 }
