@@ -185,6 +185,38 @@ class VectorOpsSpec extends SparkSpec {
       s"recall must not drop with more super-probes: $s1 -> ${a2.getDouble(3)}")
   }
 
+  test("anchorCellPairs == cellLocalPairs restricted to anchor-touching " +
+    "pairs (synthetic frames, exact set equality)") {
+    // stronger than the recall-equality pin: on deterministic synthetic
+    // assignment frames (shared cells, multi-probe duplicates, a hot
+    // cell that the cap drops, anchor-anchor pairs scored from both
+    // ends) the anchor-join builder must reproduce EXACTLY the full
+    // pair stage's survivor set filtered to pairs with >= 1 anchor
+    // endpoint — same cap, same threshold, same canonicalization.
+    val s = spark
+    import s.implicits._
+    for ((nCells, step) <- Seq((4, 3L), (7, 2L), (5, 4L))) {
+      // vectors on a ring: cos similarity varies smoothly, so the tau
+      // threshold actually separates pairs instead of passing everything
+      val rows = (0L until 60L).flatMap { i =>
+        val ang = i.toDouble / 60.0 * math.Pi
+        val vec = Array(math.cos(ang).toFloat, math.sin(ang).toFloat)
+        // two probes each: own cell + a neighbor cell; cell 0 is made hot
+        val c1 = (i % nCells).toInt
+        val c2 = (if (i % 3 == 0) 0 else (i + 1) % nCells).toInt
+        Seq((i, vec, c1), (i, vec, c2))
+      }
+      val multi = rows.toDF("vec_id", "embedding", "cell")
+      val full = VectorOps.cellLocalPairs(multi, nCells, dedup = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullAnchor = full.filter(p => p._1 % step == 0 || p._2 % step == 0)
+      val anch = VectorOps.anchorCellPairs(multi, nCells, step)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(anch === fullAnchor, s"nCells=$nCells step=$step")
+      assert(anch.nonEmpty, s"degenerate case: nCells=$nCells step=$step")
+    }
+  }
+
   test("anchorExactPairs at step=1 equals the dedup_embedding audit pair set") {
     // the bench lane's `dedup_embedding_anchor` substitute (r11 judge #3)
     // must be the SAME pair set when the anchor slice is everything
