@@ -88,7 +88,12 @@ object SparkEntry {
     "ivf_build"           -> VectorOps.ivfBuild _,
     "ivf_search"          -> VectorOps.ivfSearch _,
     "ann_ivf"             -> VectorOps.annIvf _,
+    "ann_ivf_dial"        -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      VectorOps.annIvf(s, d, VectorOps.DialedAssignProbes)),
     "ann_ivf_hier"        -> VectorOps.annIvfHier _,
+    "ann_ivf_hier_dial"   -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      VectorOps.annIvfHier(s, d, VectorOps.DialedAssignProbes,
+        VectorOps.DialedSuperProbes)),
     "ivf_build_hier"      -> VectorOps.ivfBuildHier _,
     "ivf_hier_agreement"  -> VectorOps.ivfHierAgreement _,
     "ann_recall"          -> VectorOps.annRecall _,
@@ -827,9 +832,15 @@ object SparkEntry {
     "ivf_build" -> graft.operators.VectorOps.ivfBuildOracleSql(ivfCents),
     "ivf_search" -> graft.operators.VectorOps.ivfSearchOracleSql(ivfCents),
     "ann_ivf" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents),
+    "ann_ivf_dial" -> graft.operators.VectorOps.annIvfOracleSql(ivfCents,
+      graft.operators.VectorOps.DialedAssignProbes),
     "dedup_semantic" -> graft.operators.VectorOps.dedupSemanticOracleSql(ivfCents),
     "ann_ivf_hier" -> graft.operators.VectorOps.annIvfHierOracleSql(
       ivfCents, ivfSupers, ivfMemberOf),
+    "ann_ivf_hier_dial" -> graft.operators.VectorOps.annIvfHierOracleSql(
+      ivfCents, ivfSupers, ivfMemberOf,
+      graft.operators.VectorOps.DialedAssignProbes,
+      graft.operators.VectorOps.DialedSuperProbes),
     "ivf_build_hier" -> graft.operators.VectorOps.ivfBuildHierOracleSql(
       ivfCents, ivfSupers, ivfMemberOf),
     "ivf_hier_agreement" -> graft.operators.VectorOps.ivfHierAgreementOracleSql(

@@ -340,6 +340,18 @@ object VectorOps {
       .localCheckpoint(true)
   }
 
+  /** The oracle-gated probe-dial example values: `ann_ivf_dial` /
+    * `ann_ivf_hier_dial` run the dial surface at these settings against
+    * their own DuckDB oracles on every correctness corpus, so the
+    * public dial path is hash-checked, not just spec-pinned — the
+    * generated SQL takes the same constants, one condition shared by
+    * both engines. 4/3 sit above every gate corpus's rule values
+    * (assign 2, super 2), so the dialed results genuinely differ from
+    * the rule forms at the gate SFs.
+    */
+  val DialedAssignProbes = 4
+  val DialedSuperProbes = 3
+
   /** How many super-cells the hierarchical coarse probe visits. */
   val SuperProbes = 2
 
@@ -985,10 +997,10 @@ object VectorOps {
     * hot-cell cap, cell-local scored pairs. Shared by the ann_ivf oracle
     * and the ann_recall oracle.
     */
-  private def annIvfCtes(nCells: Int): String =
+  private def annIvfCtes(nCells: Int, assignProbes: Int = -1): String =
     s"""md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e CROSS JOIN cents c),
-       |${pairTailCtes(nCells)}""".stripMargin
+       |${pairTailCtes(nCells, assignProbes)}""".stripMargin
 
   /** The hier variant of the `md` probe: super argmin first, then the cell
     * argmin restricted to the probed supers' members — the
@@ -1001,7 +1013,9 @@ object VectorOps {
     * probed supers' members. Shared by the hier pair chain, the hier
     * build, and the agreement oracle.
     */
-  private def hierMdCtes(nCells: Int): String =
+  private def hierMdCtes(nCells: Int, superProbes: Int = -1): String = {
+    val sProbes = if (superProbes >= 1) superProbes
+                  else scaledSuperProbes(nCells)
     s"""sd AS (SELECT e.vec_id, s.sup,
        |         round(list_sum(list_transform(list_zip(e.embedding, s.supcent),
        |           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), 6) AS d2
@@ -1009,25 +1023,29 @@ object VectorOps {
        |sr AS (SELECT vec_id, sup,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, sup) AS srk
        |       FROM sd),
-       |sp AS (SELECT vec_id, sup FROM sr WHERE srk <= ${scaledSuperProbes(nCells)}),
+       |sp AS (SELECT vec_id, sup FROM sr WHERE srk <= $sProbes),
        |md AS (SELECT e.vec_id, c.cell, ${d2Sql("e.embedding")} AS d2
        |       FROM embeddings e
        |       JOIN sp ON sp.vec_id = e.vec_id
        |       JOIN mem ON mem.sup = sp.sup
        |       JOIN cents c ON c.cell = mem.cell)""".stripMargin
+  }
 
-  private def annIvfHierCtes(nCells: Int): String =
-    s"""${hierMdCtes(nCells)},
-       |${pairTailCtes(nCells)}""".stripMargin
+  private def annIvfHierCtes(nCells: Int, assignProbes: Int = -1,
+      superProbes: Int = -1): String =
+    s"""${hierMdCtes(nCells, superProbes)},
+       |${pairTailCtes(nCells, assignProbes)}""".stripMargin
 
   /** mr … sc: probe ranking, hot-cell cap, cell-local scored pairs — shared
     * by the flat and hier pair chains (and their recall oracles).
     */
-  private def pairTailCtes(nCells: Int): String =
+  private def pairTailCtes(nCells: Int, assignProbes: Int = -1): String = {
+    val aProbes = if (assignProbes >= 1) assignProbes
+                  else scaledAssignProbes(nCells)
     s"""mr AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crk
        |       FROM md),
-       |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= ${scaledAssignProbes(nCells)}),
+       |mp AS (SELECT vec_id, cell FROM mr WHERE crk <= $aProbes),
        |cc AS (SELECT cell, count(*) AS n FROM mp GROUP BY 1),
        |tot AS (SELECT sum(n) AS t FROM cc),
        |hot AS (SELECT cell FROM cc, tot WHERE n * $nCells > $MaxCellFactor * t),
@@ -1039,10 +1057,12 @@ object VectorOps {
        |         ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cv
        |       FROM pr JOIN nn na ON pr.vec_id_a = na.vec_id
        |               JOIN nn nb ON pr.vec_id_b = nb.vec_id)""".stripMargin
+  }
 
-  def annIvfOracleSql(cents: Array[Array[Double]]): String =
+  def annIvfOracleSql(cents: Array[Array[Double]],
+      assignProbes: Int = -1): String =
     s"""WITH ${IvfModel.centsCte(cents)},
-       |${annIvfCtes(cents.length)}
+       |${annIvfCtes(cents.length, assignProbes)}
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
 
@@ -1095,10 +1115,11 @@ object VectorOps {
   }
 
   def annIvfHierOracleSql(cents: Array[Array[Double]],
-      supers: Array[Array[Double]], memberOf: Array[Int]): String =
+      supers: Array[Array[Double]], memberOf: Array[Int],
+      assignProbes: Int = -1, superProbes: Int = -1): String =
     s"""WITH ${IvfModel.centsCte(cents)},
        |${IvfModel.superCtes(supers, memberOf)},
-       |${annIvfHierCtes(cents.length)}
+       |${annIvfHierCtes(cents.length, assignProbes, superProbes)}
        |SELECT vec_id_a, vec_id_b, round(cv, 6) AS cos_sim
        |FROM sc WHERE cv >= ${Dedup.EmbeddingCosThreshold}""".stripMargin
 
