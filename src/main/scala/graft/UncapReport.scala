@@ -61,11 +61,25 @@ object UncapReport {
     // assign/super dial (the PROBE_DIAL-measured corpus parameter for
     // subdivided-cluster corpora). -1 = the nlist rules. Recorded in the
     // per-dir JSON so a dialed artifact is never mistaken for a rule run.
-    def intFlag(flag: String): Int =
-      args.sliding(2).collectFirst { case Array(`flag`, v) => v.toInt }
-        .getOrElse(-1)
+    // A recognized flag with a missing or non-integer value is an error
+    // naming the flag (r13 advisor: a trailing `--probes` must not
+    // silently produce a rule-only run that looks intentional).
+    def intFlag(flag: String): Int = {
+      val i = args.indexOf(flag)
+      if (i < 0) -1
+      else if (i + 1 >= args.length)
+        sys.error(s"$flag requires an integer value, got end of args")
+      else args(i + 1).toIntOption.getOrElse(
+        sys.error(s"$flag requires an integer value, got '${args(i + 1)}'"))
+    }
     val dialAssign = intFlag("--probes")
     val dialSuper = intFlag("--supers")
+    // The buildonly path times the registry/rule forms; the dial overrides
+    // do not reach it (r13 advisor #3) — reject the combination instead of
+    // emitting an artifact whose `--probes` header silently means nothing.
+    require(!buildOnly || (dialAssign < 0 && dialSuper < 0),
+      "--probes/--supers are not threaded through --buildonly; " +
+        "run the full report for dialed measurements")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -260,9 +274,23 @@ object UncapReport {
         .filter(col("nc") * k <= lit(VectorOps.MaxCellFactor.toLong * mTot))
         .agg(coalesce(sum(col("nc") * (col("nc") - lit(1L))), lit(0L)))
         .head().getLong(0) / 2L
+      // hier histogram from a (vec_id, cell)-only projection (r13 advisor
+      // #2: hierMulti localCheckpoints the full embedding payload — probes
+      // × corpus — and it would sit cached for the rest of the dir report;
+      // the histogram only needs the cell ids). Checkpoint the ≤nCells-row
+      // HISTOGRAM so postCapCand's two aggregates don't re-run the
+      // assignment pass, mirroring the buildonly path.
+      val (supersH, memberOfH) = IvfModel.superModel(cents)
+      val effSuperH = if (dialSuper >= 1) dialSuper
+                      else VectorOps.scaledSuperProbes(cents.length)
       val candEstHier = postCapCand(
-        VectorOps.hierMulti(spark, dir, cents, dialAssign, dialSuper)
-          .groupBy(col("cell")).agg(count(lit(1)).as("nc")))
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            explode(graft.functions.IvfProbesHier.column(col("embedding"),
+              supersH, cents, memberOfH, effSuperH, effAssign)).as("p"))
+          .select(col("vec_id"), col("p.cell").as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+          .localCheckpoint(true))
       val pairTimed = candEst <= PairTimingMaxCandidates
       val pairTimedHier = candEstHier <= PairTimingMaxCandidates
       if (!pairTimed || !pairTimedHier) System.err.println(

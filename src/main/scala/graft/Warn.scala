@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.SparkSession
 
 /** Sink for the library's scale-guard self-announcements (hot-cell-cap
@@ -17,29 +15,34 @@ import org.apache.spark.sql.SparkSession
   * concurrent sessions must not capture one session's scale warnings in
   * the other's sink. `set`/`clear` manage a per-session override; a
   * session without one falls through to the process-wide [[sink]]
-  * default. Entries hold the session only weakly-by-identity (an Int
-  * key), so a stopped session's entry is at worst a dangling closure —
-  * callers that install a sink clear it when done (the spec pattern).
+  * default. The map keys the session OBJECT weakly: [[SparkSession]]
+  * does not override `equals`, so `WeakHashMap`'s equals-based lookup is
+  * reference identity here — two live sessions can never collide (unlike
+  * the r13 `identityHashCode` Int key, which could), and a stopped
+  * session's entry is evicted by the GC instead of lingering to shadow a
+  * later session that happened to reuse its hash.
   */
 object Warn {
 
   /** Process-wide fallback sink for sessions without an override. */
   @volatile var sink: String => Unit = m => System.err.println(m)
 
-  private val sinks = TrieMap[Int, String => Unit]()
-
-  private def id(session: SparkSession): Int =
-    System.identityHashCode(session)
+  private val sinks =
+    new java.util.WeakHashMap[SparkSession, String => Unit]()
 
   /** Install `s` as `session`'s sink (replacing any previous override). */
   def set(session: SparkSession, s: String => Unit): Unit =
-    sinks.put(id(session), s)
+    sinks.synchronized { sinks.put(session, s); () }
 
   /** Remove `session`'s override; it falls back to [[sink]]. */
   def clear(session: SparkSession): Unit =
-    sinks.remove(id(session))
+    sinks.synchronized { sinks.remove(session); () }
 
   /** Emit `msg` through `session`'s sink (or the process default). */
-  def apply(session: SparkSession, msg: String): Unit =
-    sinks.getOrElse(id(session), sink)(msg)
+  def apply(session: SparkSession, msg: String): Unit = {
+    val s = sinks.synchronized {
+      Option(sinks.get(session))
+    }
+    s.getOrElse(sink)(msg)
+  }
 }

@@ -8,11 +8,17 @@ package graft.pipeline
   */
 object Defaults {
 
+  // A JVM system property of the same name overrides the environment —
+  // the per-submit channel (`spark-submit --driver-java-options
+  // -DGRAFT_…`) on clusters where the driver env is not caller-settable,
+  // and the only way a spec can exercise the GRAFT_* selection path
+  // in-process (the JVM cannot mutate its own environment).
   private def env(name: String, default: String): String =
-    sys.env.getOrElse(name, default)
+    sys.props.get(name).orElse(sys.env.get(name)).getOrElse(default)
 
   def allowedModels: Seq[String] =
-    sys.env.get("GRAFT_ALLOWED_MODELS") match {
+    sys.props.get("GRAFT_ALLOWED_MODELS")
+      .orElse(sys.env.get("GRAFT_ALLOWED_MODELS")) match {
       case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None    => graft.functions.Encoders.names // whatever is registered
     }

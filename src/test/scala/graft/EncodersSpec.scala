@@ -114,6 +114,32 @@ class EncodersSpec extends SparkSpec {
       "GRAFT_EMBEDDING_MODEL=hashed-ngram-v1 must be an allowed value")
   }
 
+  test("GRAFT_EMBEDDING_MODEL selects the encoder end-to-end via Defaults") {
+    import graft.functions.HashedNgramEncoder
+    val s = spark
+    import s.implicits._
+    // the env-var channel itself (via its JVM-property override — a spec
+    // cannot mutate its own process environment): the reference's
+    // EMBEDDING_MODEL setting (core/config.py) selecting the model for a
+    // build with NO encoder named anywhere in code
+    System.setProperty("GRAFT_EMBEDDING_MODEL", HashedNgramEncoder.name)
+    try {
+      val cfg = graft.pipeline.Defaults.pipelineConfig("env_sel")
+      assert(cfg.model == HashedNgramEncoder.name)
+      val root = Files.createTempDirectory("graft-envsel").toString
+      val docs = Seq(
+        ("d1", "partition pruning skips irrelevant parquet files"),
+        ("d2", "the marathon route follows the river for ten miles"))
+        .toDF("doc_id", "text")
+      val manifest = IndexPipeline.build(docs, root, cfg)
+      assert(manifest.model == HashedNgramEncoder.name,
+        "manifest must record the env-selected encoder")
+      val hits = IndexPipeline.search(spark, root, "env_sel",
+        "prune partitions to skip parquet files", 1, cfg).collect()
+      assert(hits.head.getAs[String]("id").startsWith("d1#"))
+    } finally System.clearProperty("GRAFT_EMBEDDING_MODEL")
+  }
+
   test("IndexPipeline builds + searches with a config-selected encoder") {
     val root = Files.createTempDirectory("graft-enc").toString
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -49,4 +49,32 @@ class IndexPqSpec extends SparkSpec {
     }
     assert(scans.exists(_.partitionFilters.nonEmpty), "partition filter missing")
   }
+
+  test("an index built at a tuned dial serves with it by default") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dial").toString
+    val vectors = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // a non-rule dial (8 ≠ the build nprobe 4), as a ProbeDialReport
+    // --target run would choose it for this corpus
+    IndexStore.build(vectors, root, "dialidx", "ivfpq",
+      params = IndexStore.Params(VectorOps.NumCells, VectorOps.NProbe,
+        assignProbes = 8),
+      measuredRecall = 0.9)
+    assert(IndexStore.manifest(root, "dialidx").servingProbes == 8)
+    val queries = vectors.filter(col("id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).sorted.toSeq
+    // default serve == explicit nprobe=8 serve: the tuned dial travels
+    // with the artifact, the serving job never re-tunes or guesses
+    val dflt = rows(IndexStore.adcSearch(spark, root, "dialidx", queries,
+      VectorOps.DefaultK))
+    val at8 = rows(IndexStore.adcSearch(spark, root, "dialidx", queries,
+      VectorOps.DefaultK, nprobe = 8))
+    assert(dflt == at8)
+    // an explicit override still wins over the persisted dial
+    val at1 = rows(IndexStore.adcSearch(spark, root, "dialidx", queries,
+      VectorOps.DefaultK, nprobe = 1))
+    assert(at1 != dflt, "nprobe=1 over 16 cells must change some top-5 list")
+  }
 }

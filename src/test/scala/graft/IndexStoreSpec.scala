@@ -90,6 +90,59 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("flat, ivf, ivf_hier, ivfpq"))
   }
 
+  test("tuned probe dials + measured recall round-trip through the manifest") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    // a ProbeDialReport `--target` result persisted at build time
+    IndexStore.build(vectors, root, "dialed", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2,
+        assignProbes = 5, superProbes = 3),
+      measuredRecall = 0.835)
+    val m = IndexStore.manifest(root, "dialed")
+    assert(m.params.assignProbes == 5 && m.params.superProbes == 3)
+    assert(math.abs(m.measuredRecall - 0.835) < 1e-9)
+    // the serving default is the tuned dial, not the build nprobe
+    assert(m.servingProbes == 5)
+    // an untuned build serves at its nprobe and records "unset" dials
+    IndexStore.build(vectors, root, "rule", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val r = IndexStore.manifest(root, "rule")
+    assert(r.params.assignProbes == -1 && r.params.superProbes == -1)
+    assert(r.servingProbes == 2 && r.measuredRecall == -1.0)
+    assert(IndexStore.manifestJson(root, "rule")
+      .contains("\"measured_recall\": null"))
+    // append carries the dials forward into the updated manifest
+    IndexStore.append(vectors.limit(5)
+      .withColumn("id", concat(lit("n"), col("id"))), root, "dialed")
+    assert(IndexStore.manifest(root, "dialed").params.assignProbes == 5)
+  }
+
+  test("pre-dial manifests (no dial/recall keys) still parse, as unset") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors, root, "legacy", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    // overwrite with the r13-format manifest (no assign_probes /
+    // super_probes / measured_recall keys) — shipped artifacts built
+    // before the dial fields must keep loading
+    val legacyJson =
+      """{"dim": 8, "count": 100, "model": "none", "normalize": false,
+        | "backend": "ivf",
+        | "params": {"nlist": 4, "nprobe": 2},
+        | "chunking": {"mode": "fixed", "size": 100, "overlap": 20},
+        | "metric": "ip", "created_at": "2026-01-01T00:00:00"}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/legacy/latest/manifest.json"),
+      legacyJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the nio write bypassed Hadoop's LocalFileSystem, whose stale .crc
+    // sidecar from the build would fail the checksummed read-back
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/legacy/latest/.manifest.json.crc"))
+    val m = IndexStore.manifest(root, "legacy")
+    assert(m.params.nlist == 4 && m.params.nprobe == 2)
+    assert(m.params.assignProbes == -1 && m.params.superProbes == -1)
+    assert(m.measuredRecall == -1.0)
+    assert(m.servingProbes == 2)
+  }
+
   test("list and delete manage indexes like the reference endpoints") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
     IndexStore.build(vectors, root, "ix_a", "flat")
