@@ -182,4 +182,30 @@ class IndexPipelineSpec extends SparkSpec {
       "self chunk missing from ADC top-k")
     assert(hits.forall(_.getAs[String]("preview") != null))
   }
+
+  test("a pipeline built at a non-rule dial serves through it by default") {
+    val root = Files.createTempDirectory("graft-pipe-dial").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    // a ProbeDialReport-style tuned dial persisted through the pipeline
+    // config; the default search (cfg.nprobe = -1) must inherit it from
+    // the manifest rather than the library NProbe
+    val cfg = IndexPipeline.Config(name = "e2e_dial", backend = "ivfpq",
+      assignProbes = 9)
+    val manifest = IndexPipeline.build(docs, root, cfg)
+    assert(manifest.params.assignProbes == 9)
+    assert(manifest.servingProbes == 9)
+    val someChunk = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect()(3)
+    def top5(c: IndexPipeline.Config) = IndexPipeline.search(spark, root,
+      "e2e_dial", someChunk.getString(1), 5, c).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[String]("id"))).toSeq
+    // default serve == an explicit nprobe=9 serve over the same artifact
+    assert(top5(cfg) == top5(cfg.copy(nprobe = 9)))
+    // an explicit caller override still wins over the persisted dial
+    // (nprobe=1 probes one cell, which may hold fewer than 5 codes)
+    val narrow = top5(cfg.copy(nprobe = 1))
+    assert(narrow.nonEmpty && narrow.map(_._1) == (1L to narrow.length))
+  }
 }
