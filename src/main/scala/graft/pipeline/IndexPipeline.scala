@@ -235,6 +235,39 @@ object IndexPipeline {
         val qdf = Seq(("__query__", qv)).toDF("id", "vec")
         IndexStore.adcSearch(spark, root, name, qdf, k, cfg.nprobe, version)
           .select(col("rk"), col("neighbor_id").as("id"), col("score"))
+      case b if b.startsWith("ivf") =>
+        // IVF text search PROBES: nearest nprobe coarse cells from the
+        // tiny persisted centroid sidecar (driver arithmetic), pushed as
+        // a partition filter — at 100 TB the scan reads nprobe/nlist of
+        // the index, which is what the cell-partitioned layout exists
+        // for (and the reference's faiss-IVF nprobe semantics: the
+        // result is the exact top-k WITHIN the probed cells). The probe
+        // count resolves like adcSearch: explicit cfg.nprobe, else the
+        // manifest's serving default (the tuned dial when persisted).
+        // Sidecar-less builds (e.g. a streaming-ingest vectors-only dir
+        // that still carries an ivf-manifest) fall back to the exact
+        // full scan — correct, just unpruned.
+        val index = IndexStore.load(spark, root, name, version)
+        val probed = scala.util.Try(
+            IndexStore.loadCentroids(spark, root, name, version)).toOption
+          .filter(_.nonEmpty) match {
+          case Some(cents) =>
+            val np = if (cfg.nprobe >= 1) cfg.nprobe
+              else scala.util.Try(IndexStore.manifest(root, name, version))
+                .toOption.map(_.servingProbes).filter(_ >= 1)
+                .getOrElse(graft.operators.VectorOps.NProbe)
+            val cells = cents.indices
+              .map(c => (c, cents(c).indices.map { d =>
+                val diff = qv(d) - cents(c)(d); diff * diff }.sum))
+              .sortBy(_._2).take(math.min(np, cents.length)).map(_._1)
+            IndexStore.probe(index, cells)
+          case None => index
+        }
+        val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
+        val scored = probed
+          .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
+        graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
+          .select(col("rk"), col("id"), col("score"))
       case _ =>
         val index = IndexStore.load(spark, root, name, version)
         val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)

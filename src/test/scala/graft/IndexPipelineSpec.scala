@@ -51,6 +51,37 @@ class IndexPipelineSpec extends SparkSpec {
     assert(hits.count() == 3)
   }
 
+  test("ivf text search probes nprobe cells as a partition filter") {
+    val root = Files.createTempDirectory("graft-pipe-probe").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(40)
+    val cfg = IndexPipeline.Config(name = "probed", backend = "ivf")
+    IndexPipeline.build(docs, root, cfg) // nlist 16, manifest nprobe 4
+    val someChunk = graft.operators.Chunking
+      .chunkFixedDf(docs, cfg.chunkSize, cfg.chunkOverlap)
+      .select("chunk_id", "chunk").collect()(5)
+    val hits = IndexPipeline.search(spark, root, "probed",
+      someChunk.getString(1), 3, cfg)
+    // self-retrieval survives probing: the query's own cell is its
+    // nearest cell by construction, so rank 1 is the exact self chunk
+    val rows = hits.collect()
+    assert(rows.head.getAs[String]("id") == someChunk.getString(0))
+    assert(math.abs(rows.head.getAs[Double]("score") - 1.0) < 1e-6)
+    // the cell restriction reaches the scan as a PARTITION filter —
+    // at scale the read is nprobe/nlist of the index, not a full scan
+    val scans = hits.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "vec") => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"ivf search must partition-prune, got:\n${hits.queryExecution.sparkPlan}")
+    // a narrower explicit override prunes harder and still rank-1s the
+    // self chunk (its own cell is always among the probed)
+    val one = IndexPipeline.search(spark, root, "probed",
+      someChunk.getString(1), 1, cfg.copy(nprobe = 1)).collect()
+    assert(one.head.getAs[String]("id") == someChunk.getString(0))
+  }
+
   test("eval surface over the pipeline: self-query gold has perfect recall") {
     val s = spark
     import s.implicits._
