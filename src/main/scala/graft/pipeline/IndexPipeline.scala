@@ -228,6 +228,15 @@ object IndexPipeline {
       .toOption
       .flatMap(""""backend":\s*"(\w+)"""".r.findFirstMatchIn(_))
       .map(_.group(1)).getOrElse("flat")
+    // exact inner-product top-k over whatever slice of the index reaches
+    // the scan (the full dataset for flat; the probed cells for ivf*)
+    def scoreTopK(slice: DataFrame): DataFrame = {
+      val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
+      val scored = slice
+        .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
+      graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
+        .select(col("rk"), col("id"), col("score"))
+    }
     val hits = backend match {
       case "ivfpq" =>
         // the index holds PQ codes, not vectors: probe + ADC-score
@@ -248,7 +257,7 @@ object IndexPipeline {
         // that still carries an ivf-manifest) fall back to the exact
         // full scan — correct, just unpruned.
         val index = IndexStore.load(spark, root, name, version)
-        val probed = scala.util.Try(
+        scoreTopK(scala.util.Try(
             IndexStore.loadCentroids(spark, root, name, version)).toOption
           .filter(_.nonEmpty) match {
           case Some(cents) =>
@@ -262,19 +271,9 @@ object IndexPipeline {
               .sortBy(_._2).take(math.min(np, cents.length)).map(_._1)
             IndexStore.probe(index, cells)
           case None => index
-        }
-        val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
-        val scored = probed
-          .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
-        graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
-          .select(col("rk"), col("id"), col("score"))
+        })
       case _ =>
-        val index = IndexStore.load(spark, root, name, version)
-        val qlit = array(qv.map(x => lit(x)).toIndexedSeq: _*)
-        val scored = index
-          .withColumn("score", round(VectorFunctions.dot(qlit, col("vec")), 6))
-        graft.functions.Ranking.topK(scored, k, col("score").desc, col("id"))
-          .select(col("rk"), col("id"), col("score"))
+        scoreTopK(IndexStore.load(spark, root, name, version))
     }
     // rank order in the result — k rows, so the sort is free; callers read
     // hit lists top-down like the reference API

@@ -26,6 +26,10 @@ object VectorStream {
     * `codes array<long>`, `cell`) — each query meets only the rows of its
     * `nprobe` nearest coarse cells, scored by the
     * [[graft.functions.PqAdcScore]] ADC kernel. Append-safe (stateless).
+    * When serving a persisted artifact, pass
+    * [[graft.index.IndexStore.Manifest.servingProbes]] as `nprobe` —
+    * the build-time tuned dial travels in the manifest (this function is
+    * frame-level by design and does not read artifacts itself).
     */
   def adcCandidates(queries: DataFrame, index: DataFrame,
                     cents: Array[Array[Double]],
