@@ -37,9 +37,20 @@ object IndexStore {
     * ≥ 1 = an explicit dial a serving job inherits without re-tuning
     * (r13 judge #3 — the dial is a corpus property and must travel with
     * the artifact).
+    *
+    * `m` / `efConstruction` / `efSearch` are the reference's HNSW knobs,
+    * carried for config-surface parity: the reference accepts them
+    * (`ingest/schema.py:18-20`, defaults 16/200/64) and persists them in
+    * every manifest's params block (`ingest/pipeline.py:96-98`) even
+    * though its backend loader raises on `hnsw`
+    * (`ingest/backends/loader.py:10,19`) — a dead surface there, and
+    * deliberately the same here ([[build]] raises the identical
+    * "Unknown backend" contract).
     */
   case class Params(nlist: Int, nprobe: Int,
-                    assignProbes: Int = -1, superProbes: Int = -1)
+                    assignProbes: Int = -1, superProbes: Int = -1,
+                    m: Int = 16, efConstruction: Int = 200,
+                    efSearch: Int = 64)
 
   case class Manifest(
       dim: Int, count: Long, model: String, normalize: Boolean,
@@ -56,7 +67,7 @@ object IndexStore {
     def toJsonWith(extra: String): String =
       s"""{"dim": $dim, "count": $count, "model": "$model", "normalize": $normalize,
          | "backend": "$backend",
-         | "params": {"nlist": ${params.nlist}, "nprobe": ${params.nprobe}, "assign_probes": ${params.assignProbes}, "super_probes": ${params.superProbes}},
+         | "params": {"nlist": ${params.nlist}, "nprobe": ${params.nprobe}, "assign_probes": ${params.assignProbes}, "super_probes": ${params.superProbes}, "M": ${params.m}, "efConstruction": ${params.efConstruction}, "efSearch": ${params.efSearch}},
          | "chunking": {"mode": "${chunking.mode}", "size": ${chunking.size}, "overlap": ${chunking.overlap}},
          | "metric": "$metric", "created_at": "$createdAt",
          | "measured_recall": ${if (measuredRecall >= 0) measuredRecall else "null"}$extra}""".stripMargin
@@ -253,7 +264,9 @@ object IndexStore {
       .findFirstMatchIn(j).fold(-1.0)(_.group(1).toDouble)
     Manifest(num("dim").toInt, num("count"), str("model"), bool("normalize"),
       str("backend"), Params(num("nlist").toInt, num("nprobe").toInt,
-        numOpt("assign_probes", -1).toInt, numOpt("super_probes", -1).toInt),
+        numOpt("assign_probes", -1).toInt, numOpt("super_probes", -1).toInt,
+        numOpt("M", 16).toInt, numOpt("efConstruction", 200).toInt,
+        numOpt("efSearch", 64).toInt),
       Chunking(str("mode"), num("size").toInt, num("overlap").toInt),
       str("metric"), str("created_at"), recall)
   }

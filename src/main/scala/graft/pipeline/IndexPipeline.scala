@@ -41,14 +41,23 @@ object IndexPipeline {
       nprobe: Int = -1,
       model: String = graft.functions.StubEncoder.name,
       assignProbes: Int = -1,
-      superProbes: Int = -1) {
+      superProbes: Int = -1,
+      // The reference's HNSW knobs (api/files.py:25-27 form fields,
+      // schema.py:18-20 defaults) — accepted and persisted for
+      // config-surface parity; `backend = "hnsw"` still fails at build
+      // with the reference loader's own "Unknown backend" contract
+      // (loader.py:10,19 raises on hnsw too: a dead surface there and,
+      // deliberately, here).
+      m: Int = 16,
+      efConstruction: Int = 200,
+      efSearch: Int = 64) {
     /** The params block persisted into the manifest (nprobe resolved to
       * the library default when the config leaves it to the artifact).
       */
     def params: IndexStore.Params = IndexStore.Params(
       nlist,
       if (nprobe >= 1) nprobe else graft.operators.VectorOps.NProbe,
-      assignProbes, superProbes)
+      assignProbes, superProbes, m, efConstruction, efSearch)
   }
 
   /** Chunked text with the reference's `{doc}#{j}` chunk ids — both the

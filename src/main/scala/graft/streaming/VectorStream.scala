@@ -26,10 +26,10 @@ object VectorStream {
     * `codes array<long>`, `cell`) — each query meets only the rows of its
     * `nprobe` nearest coarse cells, scored by the
     * [[graft.functions.PqAdcScore]] ADC kernel. Append-safe (stateless).
-    * When serving a persisted artifact, pass
-    * [[graft.index.IndexStore.Manifest.servingProbes]] as `nprobe` —
-    * the build-time tuned dial travels in the manifest (this function is
-    * frame-level by design and does not read artifacts itself).
+    * This form is frame-level (no artifact IO) for callers that manage
+    * their own index frames; to serve a PERSISTED artifact — with the
+    * manifest's tuned probe dial resolved automatically — use
+    * [[adcCandidatesFrom]].
     */
   def adcCandidates(queries: DataFrame, index: DataFrame,
                     cents: Array[Array[Double]],
@@ -44,6 +44,40 @@ object VectorStream {
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("neighbor_id"),
         PqAdcScore.column(col("q_emb"), col("q_nrm"), col("codes"), cb).as("score"))
+  }
+
+  /** [[adcCandidates]] against a PERSISTED ivfpq artifact — the stream
+    * twin of [[graft.index.IndexStore.adcSearch]]: loads the code table,
+    * centroid and codebook sidecars once at query start, and resolves the
+    * probe count the same way batch serving does — an explicit
+    * `nprobe ≥ 1` wins, else the manifest's
+    * [[graft.index.IndexStore.Manifest.servingProbes]] (the
+    * ProbeDialReport-tuned dial when the build persisted one, else the
+    * build nprobe). This closes the dial handoff end-to-end: a stream
+    * server pointed at a tuned artifact serves AT the tuned dial with no
+    * code knowing the number.
+    *
+    * The static side stays a lazy parquet scan of the cell-partitioned
+    * code table; per-micro-batch probing joins against it stream-static.
+    * (Cell-level partition PRUNING is per-query-set and therefore a batch
+    * concept — a long-lived stream meets all cells eventually, so the
+    * static side is the full table by design, still 64× smaller than the
+    * embeddings.)
+    */
+  def adcCandidatesFrom(spark: org.apache.spark.sql.SparkSession,
+                        root: String, name: String, queries: DataFrame,
+                        nprobe: Int = -1,
+                        version: Option[String] = None): DataFrame = {
+    import graft.index.IndexStore
+    val m = IndexStore.manifest(root, name, version)
+    require(m.backend == "ivfpq",
+      s"adcCandidatesFrom serves ivfpq artifacts; '$name' is ${m.backend}")
+    val np = if (nprobe >= 1) nprobe
+             else if (m.servingProbes >= 1) m.servingProbes
+             else VectorOps.NProbe
+    adcCandidates(queries, IndexStore.load(spark, root, name, version),
+      IndexStore.loadCentroids(spark, root, name, version),
+      IndexStore.loadCodebooks(spark, root, name, version), np)
   }
 
   /** Streaming embedding near-dup candidates — the continuous form of the

@@ -116,6 +116,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.manifest(root, "dialed").params.assignProbes == 5)
   }
 
+  test("HNSW config knobs persist in the manifest for reference parity") {
+    // The reference accepts M/ef_construction/ef_search (schema.py:18-20,
+    // api/files.py:25-27) and writes them into every manifest's params
+    // block (pipeline.py:96-98) even though its loader raises on the hnsw
+    // backend (loader.py:10,19) — config-surface parity means the knobs
+    // round-trip here too, while "hnsw" keeps failing the loader contract
+    // (previous test).
+    val root = Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors, root, "knobs", "flat",
+      params = IndexStore.Params(nlist = 4, nprobe = 2,
+        m = 32, efConstruction = 400, efSearch = 128))
+    val m = IndexStore.manifest(root, "knobs")
+    assert(m.params.m == 32 && m.params.efConstruction == 400 &&
+      m.params.efSearch == 128)
+    val mj = IndexStore.manifestJson(root, "knobs")
+    assert(mj.contains("\"M\": 32") && mj.contains("\"efConstruction\": 400")
+      && mj.contains("\"efSearch\": 128"))
+    // defaults mirror the reference's schema defaults
+    IndexStore.build(vectors, root, "knobs_dflt", "flat")
+    val d = IndexStore.manifest(root, "knobs_dflt").params
+    assert(d.m == 16 && d.efConstruction == 200 && d.efSearch == 64)
+  }
+
   test("pre-dial manifests (no dial/recall keys) still parse, as unset") {
     val root = Files.createTempDirectory("graft-idx").toString
     IndexStore.build(vectors, root, "legacy", "ivf",
@@ -141,6 +164,9 @@ class IndexStoreSpec extends SparkSpec {
     assert(m.params.assignProbes == -1 && m.params.superProbes == -1)
     assert(m.measuredRecall == -1.0)
     assert(m.servingProbes == 2)
+    // pre-r14 manifests also lack the HNSW parity knobs -> schema defaults
+    assert(m.params.m == 16 && m.params.efConstruction == 200 &&
+      m.params.efSearch == 64)
   }
 
   test("list and delete manage indexes like the reference endpoints") {

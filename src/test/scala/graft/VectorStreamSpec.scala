@@ -56,6 +56,55 @@ class VectorStreamSpec extends SparkSpec {
     assert(out.map(_._1).distinct.size == queries.length)
   }
 
+  test("adcCandidatesFrom serves a tuned artifact at its persisted dial") {
+    // End-to-end dial handoff on the STREAM path (the batch twin is
+    // IndexStoreSpec/IndexPipelineSpec): build at a non-rule assign dial,
+    // then stream-serve with NO probe count in code — the manifest's
+    // servingProbes must drive the probe fan-out.
+    val root = java.nio.file.Files.createTempDirectory("graft_vdial").toString
+    val vectors = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IndexStore.build(vectors, root, "tuned", "ivfpq",
+      params = IndexStore.Params(
+        nlist = VectorOps.NumCells, nprobe = 2, assignProbes = 3))
+
+    val queries = vectors.filter(col("id") < 5).collect()
+      .map(r => QueryVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+
+    // candidate count per dial: each query meets the rows of `np` probed
+    // cells, so dial 3 must strictly out-fan an explicit dial-1 override
+    def candidates(nprobe: Int): Long = {
+      val mem = MemoryStream[QueryVec]
+      mem.addData(queries.toIndexedSeq: _*)
+      var n = 0L
+      val q = VectorStream
+        .adcCandidatesFrom(spark, root, "tuned", mem.toDF(), nprobe)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += batch.count(); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      n
+    }
+    val atDefault = candidates(-1) // resolves to the persisted dial 3
+    val atOne = candidates(1)      // explicit override still wins
+    assert(atOne < atDefault,
+      s"default-dial fan-out ($atDefault) must exceed nprobe=1 ($atOne)")
+    // and the default equals serving at the dial explicitly
+    assert(candidates(3) == atDefault)
+    // a non-ivfpq artifact is rejected, not mis-served
+    IndexStore.build(vectors, root, "notpq", "ivf")
+    val mem = MemoryStream[QueryVec]
+    val e = intercept[IllegalArgumentException] {
+      VectorStream.adcCandidatesFrom(spark, root, "notpq", mem.toDF())
+    }
+    assert(e.getMessage.contains("ivfpq"))
+  }
+
   test("serving across an index append: restart on loadResolved serves the new version") {
     // The production risk (r11 judge #7): IndexStore.append creates a
     // delta version while a stream is serving — what does the running
