@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexStore
+import graft.pipeline.IndexPipeline
+import graft.sources.Tables
+
+/** Measures what the probed IVF text-search path (r14:
+  * [[IndexPipeline.search]] pushing the nprobe nearest cells as a
+  * partition filter) actually buys over the flat full-scan form, on the
+  * SAME chunked/embedded corpus — the committed evidence behind the
+  * "reads nprobe/nlist of the index" claim (the spec pins the
+  * PartitionFilters plan shape; this pins the price).
+  *
+  * Two artifacts are built from one document frame (amplified `factor`×
+  * from the source dir so the index is large enough for IO pruning to be
+  * visible): backend `flat` (exact full scan — the reference's faiss_flat
+  * serving shape) and backend `ivf` at the adaptive nlist rule (probed at
+  * the manifest's serving dial). Each arm then answers the same query set
+  * and reports per-query mean wall time; the ivf arm also re-checks that
+  * its executed plan carries the cell partition filter (a regression here
+  * silently turns "probed" into "full scan, slower by a filter").
+  *
+  * The two arms return DIFFERENT result sets by design (probed = exact
+  * top-k WITHIN the probed cells — the faiss-IVF contract); result
+  * agreement is the recall lane's business (ann_recall family), not this
+  * artifact's. What must hold here: probed latency < flat latency, with
+  * the gap widening in the cells-read ratio as nlist grows.
+  *
+  * Usage: `runMain graft.ProbedSearchReport <srcDir> [--factor N]
+  * [--queries N] [--out FILE]` — defaults factor 32, 12 queries,
+  * PROBED_SEARCH.json.
+  */
+object ProbedSearchReport {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    def valueOf(flag: String): Option[String] = {
+      val i = args.indexOf(flag)
+      if (i < 0) None
+      else if (i + 1 >= args.length)
+        sys.error(s"$flag requires a value, got end of args")
+      else Some(args(i + 1))
+    }
+    def intFlag(flag: String, dflt: Int): Int =
+      valueOf(flag).fold(dflt)(v => v.toIntOption.getOrElse(
+        sys.error(s"$flag requires an integer value, got '$v'")))
+    val factor = intFlag("--factor", 32)
+    val nQueries = intFlag("--queries", 12)
+    val out = valueOf("--out").getOrElse("PROBED_SEARCH.json")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Amplify documents in-memory with GenScale's key-stride discipline:
+    // text verbatim, ids strided per replica — the index build (chunk →
+    // embed → assign) sees `factor`× the corpus without a second on-disk
+    // dataset. Chunk ids stay unique because doc ids do.
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val stride = (src.agg(max(col("doc_id"))).first().getLong(0) + 1L)
+    val docs = src.crossJoin(
+        spark.range(factor.toLong).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * stride).as("doc_id"), col("text"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_psearch").toString
+    val nChunks = IndexPipeline.chunked(docs, IndexPipeline.Config("sz")).count()
+    // the adaptiveK rule (IvfModel.adaptiveK is keyed to an embeddings
+    // dir; this corpus is the chunk frame, so apply the formula directly)
+    val ops = graft.operators.VectorOps
+    val nlist = math.max(ops.NumCells, math.min(ops.MaxCells,
+      ((nChunks + ops.TargetCellSize - 1) / ops.TargetCellSize).toInt))
+    System.err.println(s"[psearch] docs=${factor}x -> chunks=$nChunks nlist=$nlist")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildFlatSec) = timed(IndexPipeline.build(docs, root,
+      IndexPipeline.Config("flat_arm", backend = "flat")))
+    val (_, buildIvfSec) = timed(IndexPipeline.build(docs, root,
+      IndexPipeline.Config("ivf_arm", backend = "ivf", nlist = nlist)))
+
+    // Deterministic query strings drawn from the corpus itself (mid-doc
+    // word windows spread across the id range), so scores are non-trivial.
+    val queries = src.orderBy(col("doc_id"))
+      .limit(nQueries * 97).collect().zipWithIndex
+      .collect { case (r, i) if i % 97 == 0 =>
+        r.getString(1).split("\\s+").filter(_.nonEmpty).slice(3, 9).mkString(" ") }
+      .filter(_.nonEmpty).take(nQueries).toSeq
+    require(queries.nonEmpty, s"no usable query strings drawn from $dir")
+
+    def arm(name: String): (Double, Long) = {
+      IndexPipeline.search(spark, root, name, queries.head, 10).collect() // warm
+      val secs = queries.map(q => timed(
+        IndexPipeline.search(spark, root, name, q, 10).collect())._2)
+      (secs.sum / secs.length, secs.length.toLong)
+    }
+    val (flatMean, _) = arm("flat_arm")
+    val (ivfMean, _) = arm("ivf_arm")
+
+    // the pruning proof on the executed plan of one probed search's scan
+    val probedPlan = IndexPipeline.search(spark, root, "ivf_arm",
+      queries.head, 10).queryExecution.executedPlan.toString
+    val pruned = probedPlan.contains("PartitionFilters") &&
+      probedPlan.contains("cell")
+    val servingNp = IndexStore.manifest(root, "ivf_arm").servingProbes
+
+    val json =
+      s"""{"metric": "probed_search", "src": "$dir", "factor": $factor,
+         | "chunks": $nChunks, "nlist": $nlist, "nprobe_serving": $servingNp,
+         | "queries": ${queries.length},
+         | "build_flat_sec": ${f"$buildFlatSec%.3f"},
+         | "build_ivf_sec": ${f"$buildIvfSec%.3f"},
+         | "search_flat_mean_sec": ${f"$flatMean%.4f"},
+         | "search_ivf_mean_sec": ${f"$ivfMean%.4f"},
+         | "speedup": ${f"${flatMean / ivfMean}%.2f"},
+         | "cells_read_fraction": ${f"${servingNp.toDouble / nlist}%.4f"},
+         | "partition_filter_in_plan": $pruned}""".stripMargin
+    System.err.println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

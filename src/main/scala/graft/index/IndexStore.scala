@@ -204,8 +204,19 @@ object IndexStore {
       chunking, metric, createdAt, measuredRecall)
     val version = freshVersion(root, name)
 
+    // One FILE per cell, not one per (writer task × cell): partitionBy
+    // from W tasks writes up to W files in every cell directory — at
+    // nlist cells that is W·nlist near-empty parquet files, which a
+    // serving job pays for in file-listing time on every load and a
+    // 100 TB store pays for in namespace pressure. A hash repartition on
+    // the partition column routes each cell's rows to exactly one task,
+    // so each cell directory holds one file; task count stays the shuffle
+    // partition count, never nlist.
+    val laidOut =
+      if (backend.startsWith("ivf")) assigned.repartition(col("cell"))
+      else assigned
     for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
-      val w = assigned.write.mode("overwrite")
+      val w = laidOut.write.mode("overwrite")
       (if (backend.startsWith("ivf")) w.partitionBy("cell") else w)
         .parquet(s"$dir/vectors")
       centSidecar.foreach(
@@ -331,7 +342,12 @@ object IndexStore {
     val vDir = s"$root/$name/versions/$version"
 
     def writeVectors(dir: String, mode: String): Unit = {
-      val w = assigned.write.mode(mode)
+      // same file-per-cell layout discipline as build(): a delta appended
+      // from W tasks must not scatter W files into every touched cell
+      val laidOut =
+        if (old.backend.startsWith("ivf")) assigned.repartition(col("cell"))
+        else assigned
+      val w = laidOut.write.mode(mode)
       (if (old.backend.startsWith("ivf")) w.partitionBy("cell") else w)
         .parquet(s"$dir/vectors")
     }
@@ -407,7 +423,11 @@ object IndexStore {
                version: Option[String] = None): Option[DataFrame] = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
     val p = new HPath(s"$dir/docs")
-    if (p.getFileSystem(hadoopConf).exists(p)) Some(spark.read.parquet(p.toString))
+    // same per-session serving cache as the vectors: the preview join
+    // re-reads this sidecar on every search
+    if (p.getFileSystem(hadoopConf).exists(p))
+      Some(cachedServingFrame(spark, root, name, version, "docs")(
+        spark.read.parquet(p.toString)))
     else None
   }
 
@@ -513,22 +533,113 @@ object IndexStore {
   def probe(index: DataFrame, cells: Seq[Int]): DataFrame =
     index.filter(col("cell").isin(cells: _*))
 
+  /** Driver-side LRU for the tiny model sidecars (centroids/codebooks),
+    * keyed by sidecar path + the manifest JSON's hash: a serving loop
+    * calling [[adcSearch]] / [[graft.pipeline.IndexPipeline.search]] per
+    * query was paying a Spark collect job per call for arrays that never
+    * change between builds (measured: the probed text search LOST to the
+    * flat scan at small corpus size on exactly this overhead). A rebuild
+    * rewrites the manifest (new createdAt/count ⇒ new key); an [[append]]
+    * keeps the frozen quantizers by contract, so serving its refreshed
+    * manifest re-reads the same sidecar once and re-caches. Sidecar-less
+    * or manifest-less dirs bypass the cache entirely (their load keeps
+    * failing/behaving as before). Known limit: two rebuilds of the same
+    * name with identical shape (same count/params/model) inside ONE
+    * second produce byte-identical manifests (created_at is
+    * second-resolution) and the first build's sidecars would be served —
+    * unreachable for any real build, noted for completeness.
+    */
+  private val sidecarCache =
+    new java.util.LinkedHashMap[(String, String), AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), AnyRef]): Boolean = size() > 16
+    }
+  private def cachedSidecar[A <: AnyRef](root: String, name: String,
+      version: Option[String], kind: String)(load: => A): A =
+    scala.util.Try(manifestJson(root, name, version)).toOption match {
+      case None => load // no manifest to key freshness on -> never cache
+      case Some(mj) =>
+        // the full manifest text is the freshness key (it is a few hundred
+        // bytes — a hash would admit stale-serve collisions for no gain)
+        val k = (version.fold(s"$root/$name/latest")(v =>
+          s"$root/$name/versions/$v") + "/" + kind, mj)
+        sidecarCache.synchronized(Option(sidecarCache.get(k))) match {
+          case Some(a) => a.asInstanceOf[A]
+          case None =>
+            val a = load
+            sidecarCache.synchronized(sidecarCache.put(k, a))
+            a
+        }
+    }
+
+  /** Session-keyed cache of LAZY serving scans, same freshness key as the
+    * sidecar cache (path + manifest text). A `spark.read.parquet` builds a
+    * fresh file index every call — over a cell-partitioned index that is a
+    * full partition-directory listing PER QUERY, which the probed-search
+    * measurement showed out-costing the probed scan itself at 63k chunks
+    * (PROBED_SEARCH: 0.52× before, the listing dominating the 1.6% read).
+    * The cached object is only the lazy plan + its resolved file listing —
+    * no data is pinned. Sessions weak-key out like the Warn registry;
+    * eight artifacts per session, oldest-first drop.
+    */
+  private val servingCache = new java.util.WeakHashMap[
+    SparkSession, java.util.LinkedHashMap[(String, String), DataFrame]]()
+  private def cachedServingFrame(spark: SparkSession, root: String,
+      name: String, version: Option[String], sub: String)
+      (build: => DataFrame): DataFrame =
+    scala.util.Try(manifestJson(root, name, version)).toOption match {
+      case None => build // no manifest to key freshness on -> never cache
+      case Some(mj) =>
+        val per = servingCache.synchronized {
+          var m = servingCache.get(spark)
+          if (m == null) {
+            m = new java.util.LinkedHashMap[(String, String), DataFrame](
+                16, 0.75f, true) {
+              override def removeEldestEntry(
+                  e: java.util.Map.Entry[(String, String), DataFrame])
+                : Boolean = size() > 8
+            }
+            servingCache.put(spark, m)
+          }
+          m
+        }
+        val k = (version.fold(s"$root/$name/latest")(v =>
+          s"$root/$name/versions/$v") + "/" + sub, mj)
+        per.synchronized(Option(per.get(k)) match {
+          case Some(df) => df
+          case None => val df = build; per.put(k, df); df
+        })
+    }
+
+  /** [[load]] through the per-session serving cache: repeat searches of
+    * one artifact reuse the resolved file listing instead of re-listing
+    * the cell directories per query. Freshness: a rebuild or [[append]]
+    * rewrites the manifest, which changes the cache key. Use in serving
+    * loops; [[load]] stays the uncached read.
+    */
+  def loadServing(spark: SparkSession, root: String, name: String,
+                  version: Option[String] = None): DataFrame =
+    cachedServingFrame(spark, root, name, version, "vectors")(
+      load(spark, root, name, version))
+
   /** The coarse centroids persisted by an ivfpq build, cell order. */
   def loadCentroids(spark: SparkSession, root: String, name: String,
-                    version: Option[String] = None): Array[Array[Double]] = {
-    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
-    spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-  }
+                    version: Option[String] = None): Array[Array[Double]] =
+    cachedSidecar(root, name, version, "centroids") {
+      val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+      spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   /** The PQ codebooks persisted by an ivfpq build, (m, code) order. */
   def loadCodebooks(spark: SparkSession, root: String, name: String,
-                    version: Option[String] = None): Array[Array[Array[Double]]] = {
-    val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
-    val rows = spark.read.parquet(s"$dir/codebooks").orderBy("m", "code").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
-  }
+                    version: Option[String] = None): Array[Array[Array[Double]]] =
+    cachedSidecar(root, name, version, "codebooks") {
+      val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
+      val rows = spark.read.parquet(s"$dir/codebooks").orderBy("m", "code").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+    }
 
   /** Serve an ivfpq index: per query, probe the `nprobe` nearest coarse
     * cells and ADC-score that slice's PQ code rows — the persisted-artifact
@@ -558,7 +669,7 @@ object IndexStore {
         explode(graft.functions.IvfProbes.column(col("vec"), cents, np)).as("p"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").cast("int").as("cell"))
     val cells = qCells.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    probe(load(spark, root, name, version), cells)
+    probe(loadServing(spark, root, name, version), cells)
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
       .withColumn("score",

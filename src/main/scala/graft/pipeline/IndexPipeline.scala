@@ -265,7 +265,7 @@ object IndexPipeline {
         // Sidecar-less builds (e.g. a streaming-ingest vectors-only dir
         // that still carries an ivf-manifest) fall back to the exact
         // full scan — correct, just unpruned.
-        val index = IndexStore.load(spark, root, name, version)
+        val index = IndexStore.loadServing(spark, root, name, version)
         scoreTopK(scala.util.Try(
             IndexStore.loadCentroids(spark, root, name, version)).toOption
           .filter(_.nonEmpty) match {
@@ -282,7 +282,7 @@ object IndexPipeline {
           case None => index
         })
       case _ =>
-        scoreTopK(IndexStore.load(spark, root, name, version))
+        scoreTopK(IndexStore.loadServing(spark, root, name, version))
     }
     // rank order in the result — k rows, so the sort is free; callers read
     // hit lists top-down like the reference API

@@ -75,7 +75,7 @@ object VectorStream {
     val np = if (nprobe >= 1) nprobe
              else if (m.servingProbes >= 1) m.servingProbes
              else VectorOps.NProbe
-    adcCandidates(queries, IndexStore.load(spark, root, name, version),
+    adcCandidates(queries, IndexStore.loadServing(spark, root, name, version),
       IndexStore.loadCentroids(spark, root, name, version),
       IndexStore.loadCodebooks(spark, root, name, version), np)
   }

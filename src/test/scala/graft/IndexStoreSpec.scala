@@ -169,6 +169,56 @@ class IndexStoreSpec extends SparkSpec {
       m.params.efSearch == 64)
   }
 
+  test("sidecar cache: repeat loads are driver-map hits, rebuilds refresh") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors, root, "sc", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val first = IndexStore.loadCentroids(spark, root, "sc")
+    // a serving loop's second load must be the cached ARRAY, not a re-read
+    assert(IndexStore.loadCentroids(spark, root, "sc") eq first)
+    // a rebuild rewrites the manifest (here the count changes; a
+    // same-count rebuild differs in created_at) -> the stale entry can no
+    // longer be served; the fresh build's centroids come back
+    IndexStore.build(vectors.limit(50), root, "sc", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val second = IndexStore.loadCentroids(spark, root, "sc")
+    assert(!(second eq first), "rebuild must refresh the sidecar cache")
+  }
+
+  test("loadServing reuses one lazy scan per artifact and sees appends") {
+    val root = Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors, root, "lv", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val first = IndexStore.loadServing(spark, root, "lv")
+    // repeat serving loads are the SAME frame (file listing resolved once)
+    assert(IndexStore.loadServing(spark, root, "lv") eq first)
+    assert(first.count() == 100)
+    // an append rewrites the manifest -> the next serving load re-lists
+    // and the appended rows are visible
+    IndexStore.append(vectors.limit(7)
+      .withColumn("id", concat(lit("n"), col("id"))), root, "lv")
+    val second = IndexStore.loadServing(spark, root, "lv")
+    assert(!(second eq first), "append must invalidate the serving frame")
+    assert(second.count() == 107)
+  }
+
+  test("ivf layout holds one parquet file per cell directory") {
+    // partitionBy from W writer tasks would scatter up to W files into
+    // every cell directory (W·nlist tiny files at scale); the build
+    // repartitions on the partition column so each cell is one file
+    val root = Files.createTempDirectory("graft-idx").toString
+    IndexStore.build(vectors.repartition(8), root, "onefile", "ivf",
+      params = IndexStore.Params(nlist = 4, nprobe = 2))
+    val cellDirs = new java.io.File(s"$root/onefile/latest/vectors")
+      .listFiles().filter(_.isDirectory).filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName} holds ${parts.length} files; want exactly 1")
+    }
+  }
+
   test("list and delete manage indexes like the reference endpoints") {
     val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
     IndexStore.build(vectors, root, "ix_a", "flat")
