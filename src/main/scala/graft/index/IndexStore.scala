@@ -64,6 +64,11 @@ object IndexStore {
       * advisor's string-surgery hazard: stripSuffix on a trailing-newline
       * json would silently emit malformed output).
       */
+    // Key spellings are deliberate: "M"/"efConstruction"/"efSearch" are
+    // the reference manifest's own spellings (pipeline.py:96-98 — camel,
+    // unlike its snake_case form fields), so manifests diff cleanly
+    // against reference ones; assign_probes/super_probes are graft
+    // extension keys and follow the file's snake_case.
     def toJsonWith(extra: String): String =
       s"""{"dim": $dim, "count": $count, "model": "$model", "normalize": $normalize,
          | "backend": "$backend",
@@ -215,21 +220,31 @@ object IndexStore {
     val laidOut =
       if (backend.startsWith("ivf")) assigned.repartition(col("cell"))
       else assigned
-    for (dir <- Seq(s"$root/$name/latest", s"$root/$name/versions/$version")) {
+    // The EXPENSIVE lineage (chunk → embed → assign → layout shuffle) runs
+    // exactly once, into the version dir; `latest` is then a byte-level
+    // FILE copy of what was just written (r14: the old two-target write
+    // loop re-ran the whole corpus pass — and its shuffle — per target,
+    // doubling the dominant stage of every build).
+    val vDir = s"$root/$name/versions/$version"
+    locally {
       val w = laidOut.write.mode("overwrite")
       (if (backend.startsWith("ivf")) w.partitionBy("cell") else w)
-        .parquet(s"$dir/vectors")
+        .parquet(s"$vDir/vectors")
       centSidecar.foreach(
-        _.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
+        _.coalesce(1).write.mode("overwrite").parquet(s"$vDir/centroids"))
       cbSidecar.foreach(
-        _.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"))
+        _.coalesce(1).write.mode("overwrite").parquet(s"$vDir/codebooks"))
       docs.foreach(_.select(col("id"), col("text"))
-        .write.mode("overwrite").parquet(s"$dir/docs"))
+        .write.mode("overwrite").parquet(s"$vDir/docs"))
       // per-doc provenance, the reference's `<index>.sources.json`
       // (answerless_search.py:60-71,104-111): (doc_id, origin_*, ...)
-      sources.foreach(_.write.mode("overwrite").parquet(s"$dir/sources"))
-      writeString(s"$dir/manifest.json", manifest.toJson)
+      sources.foreach(_.write.mode("overwrite").parquet(s"$vDir/sources"))
+      writeString(s"$vDir/manifest.json", manifest.toJson)
     }
+    val latestDir = s"$root/$name/latest"
+    for (ds <- Seq("vectors", "centroids", "codebooks", "docs", "sources"))
+      copyDirOver(s"$vDir/$ds", s"$latestDir/$ds")
+    writeString(s"$latestDir/manifest.json", manifest.toJson)
     val meta =
       s"""{"version": "$version", "created_at": "$createdAt", "embed_model": "$model",
          | "chunking": "${chunking.mode}", "chunk_size": ${chunking.size},
@@ -238,6 +253,47 @@ object IndexStore {
          | "metrics": {"recall@k": null, "mrr": null, "ndcg": null}}""".stripMargin
     writeString(s"$root/$name/versions/$version/meta.json", meta)
     manifest
+  }
+
+  /** Replace `dst` with a file-level copy of `src` (no-op when `src` does
+    * not exist — optional sidecars). Local FS / HDFS: a byte copy; object
+    * stores: server-side copies. Either way no Spark job, no decode, no
+    * recompute — the lineage that produced `src` never re-runs.
+    */
+  private def copyDirOver(src: String, dst: String): Unit = {
+    val s = new HPath(src)
+    val fs = s.getFileSystem(hadoopConf)
+    if (fs.exists(s)) {
+      val d = new HPath(dst)
+      val dfs = d.getFileSystem(hadoopConf)
+      dfs.delete(d, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, s, dfs, d, false, hadoopConf)
+    }
+  }
+
+  /** Copy every data file under `src` into `dst` at its relative path —
+    * the file-level form of a `mode("append")` write, used to land an
+    * already-written delta into `latest` without recomputing its lineage.
+    * Spark part-file names carry a job-unique id, so copied names cannot
+    * collide with resident files.
+    */
+  private def mergeDirInto(src: String, dst: String): Unit = {
+    val s = new HPath(src)
+    val fs = s.getFileSystem(hadoopConf)
+    val dfs = new HPath(dst).getFileSystem(hadoopConf)
+    val it = fs.listFiles(s, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(
+        fs.makeQualified(s).toString).stripPrefix("/")
+      val base = f.getPath.getName
+      if (!base.startsWith("_") && !base.startsWith(".")) {
+        val d = new HPath(s"$dst/$rel")
+        dfs.mkdirs(d.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, dfs, d,
+          false, hadoopConf)
+      }
+    }
   }
 
   /** A version id not yet taken: second-resolution UTC timestamp, with a
@@ -256,7 +312,7 @@ object IndexStore {
   /** Parse a manifest written by [[Manifest.toJson]] (own format: unique
     * keys, no nesting ambiguity — a regex field pull, not a JSON library).
     */
-  private[index] def parseManifest(j: String): Manifest = {
+  private[graft] def parseManifest(j: String): Manifest = {
     def str(k: String): String =
       ("\"" + k + "\": \"([^\"]*)\"").r.findFirstMatchIn(j)
         .getOrElse(sys.error(s"manifest missing $k")).group(1)
@@ -341,18 +397,20 @@ object IndexStore {
     val latest = s"$root/$name/latest"
     val vDir = s"$root/$name/versions/$version"
 
-    def writeVectors(dir: String, mode: String): Unit = {
-      // same file-per-cell layout discipline as build(): a delta appended
-      // from W tasks must not scatter W files into every touched cell
+    // same file-per-cell layout discipline as build(): a delta appended
+    // from W tasks must not scatter W files into every touched cell. The
+    // delta's lineage (assignment + layout shuffle) runs ONCE, into the
+    // version dir; landing it in `latest` is a file-level merge of the
+    // just-written files (the file form of a mode("append") write).
+    locally {
       val laidOut =
         if (old.backend.startsWith("ivf")) assigned.repartition(col("cell"))
         else assigned
-      val w = laidOut.write.mode(mode)
+      val w = laidOut.write.mode("overwrite")
       (if (old.backend.startsWith("ivf")) w.partitionBy("cell") else w)
-        .parquet(s"$dir/vectors")
+        .parquet(s"$vDir/vectors") // delta only
     }
-    writeVectors(latest, "append")
-    writeVectors(vDir, "overwrite") // delta only
+    mergeDirInto(s"$vDir/vectors", s"$latest/vectors")
     // carry the model sidecars into the version dir so it is servable on
     // its own (they are tiny)
     val fs = new HPath(latest).getFileSystem(hadoopConf)
@@ -420,23 +478,29 @@ object IndexStore {
     * search joins back against for previews.
     */
   def loadDocs(spark: SparkSession, root: String, name: String,
-               version: Option[String] = None): Option[DataFrame] = {
+               version: Option[String] = None,
+               manifestText: Option[String] = None): Option[DataFrame] = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
     val p = new HPath(s"$dir/docs")
-    // same per-session serving cache as the vectors: the preview join
-    // re-reads this sidecar on every search
+    // same serving cache as the vectors: the preview join re-reads this
+    // sidecar on every search
     if (p.getFileSystem(hadoopConf).exists(p))
-      Some(cachedServingFrame(spark, root, name, version, "docs")(
-        spark.read.parquet(p.toString)))
+      Some(cachedServingFrame(spark, root, name, version, "docs",
+        manifestText)(spark.read.parquet(p.toString)))
     else None
   }
 
-  /** The per-doc provenance sidecar, if present. */
+  /** The per-doc provenance sidecar, if present — served through the same
+    * cache as the docs sidecar (searchWithSource joins it per query).
+    */
   def loadSources(spark: SparkSession, root: String, name: String,
-                  version: Option[String] = None): Option[DataFrame] = {
+                  version: Option[String] = None,
+                  manifestText: Option[String] = None): Option[DataFrame] = {
     val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
     val p = new HPath(s"$dir/sources")
-    if (p.getFileSystem(hadoopConf).exists(p)) Some(spark.read.parquet(p.toString))
+    if (p.getFileSystem(hadoopConf).exists(p))
+      Some(cachedServingFrame(spark, root, name, version, "sources",
+        manifestText)(spark.read.parquet(p.toString)))
     else None
   }
 
@@ -555,8 +619,10 @@ object IndexStore {
           e: java.util.Map.Entry[(String, String), AnyRef]): Boolean = size() > 16
     }
   private def cachedSidecar[A <: AnyRef](root: String, name: String,
-      version: Option[String], kind: String)(load: => A): A =
-    scala.util.Try(manifestJson(root, name, version)).toOption match {
+      version: Option[String], kind: String,
+      manifestText: Option[String] = None)(load: => A): A =
+    manifestText.orElse(
+        scala.util.Try(manifestJson(root, name, version)).toOption) match {
       case None => load // no manifest to key freshness on -> never cache
       case Some(mj) =>
         // the full manifest text is the freshness key (it is a few hundred
@@ -572,60 +638,69 @@ object IndexStore {
         }
     }
 
-  /** Session-keyed cache of LAZY serving scans, same freshness key as the
-    * sidecar cache (path + manifest text). A `spark.read.parquet` builds a
-    * fresh file index every call — over a cell-partitioned index that is a
-    * full partition-directory listing PER QUERY, which the probed-search
-    * measurement showed out-costing the probed scan itself at 63k chunks
-    * (PROBED_SEARCH: 0.52× before, the listing dominating the 1.6% read).
-    * The cached object is only the lazy plan + its resolved file listing —
-    * no data is pinned. Sessions weak-key out like the Warn registry;
-    * eight artifacts per session, oldest-first drop.
+  /** Bounded LRU of LAZY serving scans keyed by (session id, path,
+    * manifest text) — the same freshness key as the sidecar cache. A
+    * `spark.read.parquet` builds a fresh file index every call — over a
+    * cell-partitioned index that is a full partition-directory listing
+    * PER QUERY, which the probed-search measurement showed out-costing
+    * the probed scan itself at 63k chunks (PROBED_SEARCH: 0.52× before,
+    * the listing dominating the 1.6% read). The cached object is only the
+    * lazy plan + its resolved file listing — no data is pinned. The LRU
+    * is GLOBAL and hard-capped (a DataFrame strongly references its
+    * SparkSession, so a session-weak-keyed map could never evict — the
+    * WeakHashMap value→key caveat); a stopped session's entries age out
+    * under cap pressure, and the worst case is [[ServingCacheCap]]
+    * resolved listings pinned, never unbounded growth.
     */
-  private val servingCache = new java.util.WeakHashMap[
-    SparkSession, java.util.LinkedHashMap[(String, String), DataFrame]]()
+  private val ServingCacheCap = 32
+  private val servingCache =
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+        ServingCacheCap, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
+        : Boolean = size() > ServingCacheCap
+    }
   private def cachedServingFrame(spark: SparkSession, root: String,
-      name: String, version: Option[String], sub: String)
-      (build: => DataFrame): DataFrame =
-    scala.util.Try(manifestJson(root, name, version)).toOption match {
+      name: String, version: Option[String], sub: String,
+      manifestText: Option[String])(build: => DataFrame): DataFrame =
+    manifestText.orElse(
+        scala.util.Try(manifestJson(root, name, version)).toOption) match {
       case None => build // no manifest to key freshness on -> never cache
       case Some(mj) =>
-        val per = servingCache.synchronized {
-          var m = servingCache.get(spark)
-          if (m == null) {
-            m = new java.util.LinkedHashMap[(String, String), DataFrame](
-                16, 0.75f, true) {
-              override def removeEldestEntry(
-                  e: java.util.Map.Entry[(String, String), DataFrame])
-                : Boolean = size() > 8
-            }
-            servingCache.put(spark, m)
-          }
-          m
-        }
-        val k = (version.fold(s"$root/$name/latest")(v =>
+        // the session rides in the key by REFERENCE (SparkSession does not
+        // override equals), so one session can never serve another's frame
+        val k = (spark, version.fold(s"$root/$name/latest")(v =>
           s"$root/$name/versions/$v") + "/" + sub, mj)
-        per.synchronized(Option(per.get(k)) match {
+        servingCache.synchronized(Option(servingCache.get(k))) match {
           case Some(df) => df
-          case None => val df = build; per.put(k, df); df
-        })
+          case None =>
+            val df = build
+            servingCache.synchronized(servingCache.put(k, df))
+            df
+        }
     }
 
-  /** [[load]] through the per-session serving cache: repeat searches of
-    * one artifact reuse the resolved file listing instead of re-listing
-    * the cell directories per query. Freshness: a rebuild or [[append]]
-    * rewrites the manifest, which changes the cache key. Use in serving
-    * loops; [[load]] stays the uncached read.
+  /** [[load]] through the serving cache: repeat searches of one artifact
+    * reuse the resolved file listing instead of re-listing the cell
+    * directories per query. Freshness: a rebuild or [[append]] rewrites
+    * the manifest, which changes the cache key. `manifestText` lets a
+    * caller that already read the manifest THIS query skip the re-read —
+    * pass only a same-query read (an older text would key to the older
+    * entry). Manifest-LESS dirs (streaming-ingest targets) are never
+    * cached, so their growing file set stays visible per query. Use in
+    * serving loops; [[load]] stays the uncached read.
     */
   def loadServing(spark: SparkSession, root: String, name: String,
-                  version: Option[String] = None): DataFrame =
-    cachedServingFrame(spark, root, name, version, "vectors")(
+                  version: Option[String] = None,
+                  manifestText: Option[String] = None): DataFrame =
+    cachedServingFrame(spark, root, name, version, "vectors", manifestText)(
       load(spark, root, name, version))
 
   /** The coarse centroids persisted by an ivfpq build, cell order. */
   def loadCentroids(spark: SparkSession, root: String, name: String,
-                    version: Option[String] = None): Array[Array[Double]] =
-    cachedSidecar(root, name, version, "centroids") {
+                    version: Option[String] = None,
+                    manifestText: Option[String] = None): Array[Array[Double]] =
+    cachedSidecar(root, name, version, "centroids", manifestText) {
       val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
       spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
         .map(_.getSeq[Double](1).toArray)
@@ -633,8 +708,9 @@ object IndexStore {
 
   /** The PQ codebooks persisted by an ivfpq build, (m, code) order. */
   def loadCodebooks(spark: SparkSession, root: String, name: String,
-                    version: Option[String] = None): Array[Array[Array[Double]]] =
-    cachedSidecar(root, name, version, "codebooks") {
+                    version: Option[String] = None,
+                    manifestText: Option[String] = None): Array[Array[Array[Double]]] =
+    cachedSidecar(root, name, version, "codebooks", manifestText) {
       val dir = version.fold(s"$root/$name/latest")(v => s"$root/$name/versions/$v")
       val rows = spark.read.parquet(s"$dir/codebooks").orderBy("m", "code").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
@@ -658,10 +734,13 @@ object IndexStore {
                 queries: DataFrame, k: Int,
                 nprobe: Int = -1,
                 version: Option[String] = None): DataFrame = {
-    val cents = loadCentroids(spark, root, name, version)
-    val cb = loadCodebooks(spark, root, name, version)
+    // ONE manifest read per call: the text keys every cache below and the
+    // parsed form resolves the serving dial
+    val mj = scala.util.Try(manifestJson(root, name, version)).toOption
+    val cents = loadCentroids(spark, root, name, version, mj)
+    val cb = loadCodebooks(spark, root, name, version, mj)
     val np = if (nprobe >= 1) nprobe
-             else scala.util.Try(manifest(root, name, version)).toOption
+             else mj.flatMap(j => scala.util.Try(parseManifest(j)).toOption)
                .map(_.servingProbes).filter(_ >= 1).getOrElse(VectorOps.NProbe)
     val qCells = queries.select(
         col("id").as("q_id"), col("vec").as("q_emb"),
@@ -669,7 +748,7 @@ object IndexStore {
         explode(graft.functions.IvfProbes.column(col("vec"), cents, np)).as("p"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p.cell").cast("int").as("cell"))
     val cells = qCells.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    probe(loadServing(spark, root, name, version), cells)
+    probe(loadServing(spark, root, name, version, mj), cells)
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
       .withColumn("score",

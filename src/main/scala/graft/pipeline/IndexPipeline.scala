@@ -233,8 +233,16 @@ object IndexPipeline {
     // artifact), not the caller's cfg — a shipped index searches correctly
     // whatever the caller assumes. Indexes without a manifest (e.g. the
     // streaming-ingest append path writes vectors only) search as flat.
-    val backend = scala.util.Try(IndexStore.manifestJson(root, name, version))
-      .toOption
+    // ONE manifest read per search: its text keys the serving caches and
+    // its parsed form resolves the dial default. Backend dispatch stays
+    // LENIENT (a bare regex over the text): a reformatted or partial
+    // manifest a tool rewrote must still dispatch to its real backend —
+    // falling back to "flat" on an ivfpq artifact would reference a `vec`
+    // column the code table does not have. A vectors-only dir with no
+    // manifest at all searches as flat at the library defaults, as before.
+    val mj = scala.util.Try(IndexStore.manifestJson(root, name, version)).toOption
+    val mf = mj.flatMap(j => scala.util.Try(IndexStore.parseManifest(j)).toOption)
+    val backend = mj
       .flatMap(""""backend":\s*"(\w+)"""".r.findFirstMatchIn(_))
       .map(_.group(1)).getOrElse("flat")
     // exact inner-product top-k over whatever slice of the index reaches
@@ -265,14 +273,13 @@ object IndexPipeline {
         // Sidecar-less builds (e.g. a streaming-ingest vectors-only dir
         // that still carries an ivf-manifest) fall back to the exact
         // full scan — correct, just unpruned.
-        val index = IndexStore.loadServing(spark, root, name, version)
+        val index = IndexStore.loadServing(spark, root, name, version, mj)
         scoreTopK(scala.util.Try(
-            IndexStore.loadCentroids(spark, root, name, version)).toOption
+            IndexStore.loadCentroids(spark, root, name, version, mj)).toOption
           .filter(_.nonEmpty) match {
           case Some(cents) =>
             val np = if (cfg.nprobe >= 1) cfg.nprobe
-              else scala.util.Try(IndexStore.manifest(root, name, version))
-                .toOption.map(_.servingProbes).filter(_ >= 1)
+              else mf.map(_.servingProbes).filter(_ >= 1)
                 .getOrElse(graft.operators.VectorOps.NProbe)
             val cells = cents.indices
               .map(c => (c, cents(c).indices.map { d =>
@@ -282,11 +289,11 @@ object IndexPipeline {
           case None => index
         })
       case _ =>
-        scoreTopK(IndexStore.loadServing(spark, root, name, version))
+        scoreTopK(IndexStore.loadServing(spark, root, name, version, mj))
     }
     // rank order in the result — k rows, so the sort is free; callers read
     // hit lists top-down like the reference API
-    (IndexStore.loadDocs(spark, root, name, version) match {
+    (IndexStore.loadDocs(spark, root, name, version, mj) match {
       case Some(docs) =>
         val preview = when(length(col("text")) > graft.operators.Search.PreviewLen,
             concat(substring(col("text"), 1, graft.operators.Search.PreviewLen), lit("…")))

@@ -50,4 +50,24 @@ class IndexIngestSpec extends SparkSpec {
     assert(hits.head.getAs[String]("id") == chunk.getString(0))
     assert(hits.head.getAs[String]("preview") == chunk.getString(1))
   }
+
+  test("streamed ingest refuses a built artifact (manifest present)") {
+    // A file-sink append never rewrites the manifest, so a cached serving
+    // loop would not see streamed rows — and flat cell=0 files would
+    // corrupt an IVF layout. Built artifacts grow via IndexStore.append;
+    // the ingest path must fail fast instead of silently going stale.
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val cp = Files.createTempDirectory("graft-ingest-cp").toString
+    graft.index.IndexStore.build(
+      Seq(("a", Array.fill(8)(0.5f))).toDF("id", "vec"), root, "built", "flat")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[IngestDoc]
+    val e = intercept[IllegalArgumentException] {
+      IndexIngest.start(mem.toDF(), root, "built",
+        IndexPipeline.Config(name = "built", backend = "flat"), cp)
+    }
+    assert(e.getMessage.contains("IndexStore.append"))
+  }
 }
