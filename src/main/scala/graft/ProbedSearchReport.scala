@@ -87,6 +87,12 @@ object ProbedSearchReport {
       IndexPipeline.Config("flat_arm", backend = "flat")))
     val (_, buildIvfSec) = timed(IndexPipeline.build(docs, root,
       IndexPipeline.Config("ivf_arm", backend = "ivf", nlist = nlist)))
+    // the at-scale build path: ivf_hier assigns through the two-level
+    // coarse probe — O(N·√nlist) instead of ivf's exact O(N·nlist) — and
+    // serves through the identical probed layout; this arm prices the
+    // build-side claim next to the exact form
+    val (_, buildHierSec) = timed(IndexPipeline.build(docs, root,
+      IndexPipeline.Config("hier_arm", backend = "ivf_hier", nlist = nlist)))
 
     // Deterministic query strings drawn from the corpus itself (mid-doc
     // word windows spread across the id range), so scores are non-trivial.
@@ -117,6 +123,7 @@ object ProbedSearchReport {
     val (ivfMean, _) = arm("ivf_arm", IndexPipeline.Config("q"))
     val (ivfScaledMean, _) =
       arm("ivf_arm", IndexPipeline.Config("q", nprobe = npScaled))
+    val (hierMean, _) = arm("hier_arm", IndexPipeline.Config("q"))
 
     // the pruning proof on the executed plan of one probed search's scan
     val probedPlan = IndexPipeline.search(spark, root, "ivf_arm",
@@ -130,6 +137,8 @@ object ProbedSearchReport {
          | "queries": ${queries.length},
          | "build_flat_sec": ${f"$buildFlatSec%.3f"},
          | "build_ivf_sec": ${f"$buildIvfSec%.3f"},
+         | "build_ivf_hier_sec": ${f"$buildHierSec%.3f"},
+         | "search_ivf_hier_fixed_mean_sec": ${f"$hierMean%.4f"},
          | "search_flat_mean_sec": ${f"$flatMean%.4f"},
          | "nprobe_fixed": $npFixed,
          | "search_ivf_fixed_mean_sec": ${f"$ivfMean%.4f"},
