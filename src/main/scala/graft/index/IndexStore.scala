@@ -159,17 +159,19 @@ object IndexStore {
           vectors.select(col("id"), col("vec")), "id", "vec", params.nlist)
         centSidecar = Some(centsDf(cents))
         val (supers, memberOf) = graft.operators.IvfModel.superModel(cents)
-        // try_element_at: the hier probe can emit an EMPTY array (all
-        // probed supers memberless) and ANSI element_at would throw.
         // the build-side super dial: the persisted tuning when set, else
         // the nlist rule (the same resolution a dialed serving job makes)
         val sp = if (params.superProbes >= 1) params.superProbes
                  else VectorOps.scaledSuperProbes(cents.length)
+        // explode evaluates the probe ONCE per row and drops empty-probe
+        // rows (all probed supers memberless) — the try_element_at +
+        // isNotNull-filter form it replaces triple-evaluated the probe
+        // (project + filter + pushed scan filter; see ivfBuildHier)
         vectors.select(col("id"), col("vec"),
-            try_element_at(graft.functions.IvfProbesHier.column(col("vec"),
-              supers, cents, memberOf, sp, 1), lit(1))("cell")
-              .cast("int").as("cell"))
-          .filter(col("cell").isNotNull)
+            explode(graft.functions.IvfProbesHier.column(col("vec"),
+              supers, cents, memberOf, sp, 1)).as("p"))
+          .select(col("id"), col("vec"),
+            col("p")("cell").cast("int").as("cell"))
       case "ivfpq" =>
         // The 100 TB serving layout: coarse cells for pruning + PQ CODES
         // instead of raw vectors (SubSpaces longs per row, 64× smaller).

@@ -348,13 +348,15 @@ object IvfModel {
       // does; per-partition fetches stay bounded, and the fold below is
       // write-by-(cell, dim) so fetch order cannot matter.
       val it = df
-        .select(try_element_at(graft.functions.IvfProbesHier.column(
+        // explode: one probe evaluation per row, empty-probe rows (all
+        // probed supers memberless) dropped — the old try_element_at +
+        // isNotNull filter triple-evaluated the probe per row (project +
+        // filter + pushed scan filter; see VectorOps.ivfBuildHier)
+        .select(col(vecCol).as("v"),
+          explode(graft.functions.IvfProbesHier.column(
             col(vecCol), supers, cents, memberOf,
-            VectorOps.scaledSuperProbes(cents.length), 1),
-            lit(1))("cell").as("cell"),
-          col(vecCol).as("v"))
-        .filter(col("cell").isNotNull) // all probed supers memberless
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+            VectorOps.scaledSuperProbes(cents.length), 1)).as("p"))
+        .select(col("p")("cell").as("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .withColumn("xd", expr("try_cast(x AS DECIMAL(30, 10))"))
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("xd")).as("sx"), count(col("xd")).as("n"),

@@ -162,16 +162,19 @@ object VectorOps {
     val cents = IvfModel.centroids(spark, dir)
     val (supers, memberOf) = IvfModel.superModel(cents)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      // try_element_at, not element_at: IvfProbesHier emits an EMPTY array
-      // when every probed super is memberless (IvfModel.fit keeps empty-
-      // cluster centroids, so such supers exist), and under ANSI mode
-      // (Spark 4 default) element_at on an empty array throws instead of
-      // returning null. try_element_at yields null → the filter drops it.
-      .withColumn("p", try_element_at(graft.functions.IvfProbesHier.column(
-        col("embedding"), supers, cents, memberOf,
-        scaledSuperProbes(cents.length), 1), lit(1)))
-      .filter(col("p").isNotNull) // a vector whose probed supers are all memberless
+      .select(col("vec_id"),
+        // explode, not try_element_at + filter(isNotNull): the probe can
+        // emit an EMPTY array (every probed super memberless — IvfModel
+        // .fit keeps empty-cluster centroids), and explode drops such
+        // rows the same way the old null filter did. The difference is
+        // COST: the filter form triple-evaluated the probe per row — the
+        // optimizer collapsed it into the Project, the Filter, AND the
+        // scan's pushed DataFilters (r14, read off the committed
+        // ivf_build_hier plan dump) — where a Generate evaluates its
+        // generator exactly once.
+        explode(graft.functions.IvfProbesHier.column(
+          col("embedding"), supers, cents, memberOf,
+          scaledSuperProbes(cents.length), 1)).as("p"))
       .select(col("vec_id"), col("p.cell").as("cell"), col("p.d2").as("d2"))
   }
 
